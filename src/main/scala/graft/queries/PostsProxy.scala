@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** Deterministic posts-shaped corpus derived from the `documents` fixture.
+  *
+  * The reference's input is scraped Reddit job posts (reference
+  * `dags/dag.py:172-292`); the driver fixtures have no such corpus, so we
+  * derive one — reproducibly, in BOTH engines — from `doc_id` arithmetic.
+  * Every title template targets a SURVEY.md §2 / FIXTURES.md §1 edge case
+  * (currency classes, 'None'-string currency, decimal k-values, substring
+  * keyword semantics, dead C++/C# keywords, priority-ordered location tiers,
+  * empty-title guards). `base = doc_id % 400` makes doc_id and doc_id+400
+  * exact (post_id, title) duplicates → real work for D1 dedup.
+  *
+  * The derivation is rendered once per dialect (Spark SQL / DuckDB SQL);
+  * q01 in ReferenceQueries differentially verifies the two renderings are
+  * value-identical, so all downstream queries can share the proxy.
+  */
+object PostsProxy {
+
+  sealed trait Dialect
+  case object SparkSql extends Dialect
+  case object DuckSql extends Dialect
+
+  /** SELECT producing: doc_id, post_id, title, url, author,
+    * created_datetime, upvotes, comments_text, subreddit FROM documents. */
+  def sql(d: Dialect): String = {
+    // minutes-offset timestamp: same wall-clock result in both dialects
+    val ts = d match {
+      case SparkSql => "timestampadd(MINUTE, CAST(doc_id * 7 % 40320 AS INT), TIMESTAMP '2024-01-01 00:00:00')"
+      case DuckSql  => "(TIMESTAMP '2024-01-01 00:00:00' + (doc_id * 7 % 40320) * INTERVAL 1 MINUTE)"
+    }
+    s"""SELECT
+       |  doc_id,
+       |  'p' || (doc_id % 400) AS post_id,
+       |  CASE doc_id % 400 % 12
+       |    WHEN 0 THEN 'Hiring Senior Data Engineer | Remote | $$' || (80 + doc_id % 400 % 37) || 'k - ' || (120 + doc_id % 400 % 53) || 'k | Python, AWS, Kubernetes'
+       |    WHEN 1 THEN 'Job opening: Machine Learning Engineer in New York (USD ' || (90 + doc_id % 400 % 11) || '.5k - ' || (120 + doc_id % 400 % 31) || 'k) - PyTorch/SQL'
+       |    WHEN 2 THEN 'Hiring backend engineer ' || (70 + doc_id % 400 % 19) || 'k-' || (95 + doc_id % 400 % 23) || 'k london'
+       |    WHEN 3 THEN 'Question about data engineering careers'
+       |    WHEN 4 THEN 'Networking opportunity for cloud folks'
+       |    WHEN 5 THEN 'Discussion: C++ vs C# for hiring managers'
+       |    WHEN 6 THEN '€' || (55 + doc_id % 400 % 13) || 'k-' || (75 + doc_id % 400 % 17) || 'k DevOps position, Berlin/Hybrid'
+       |    WHEN 7 THEN 'Vacancy: Research Scientist, NLP, Zurich ' || (120 + doc_id % 400 % 29) || 'k - ' || (150 + doc_id % 400 % 41) || 'k'
+       |    WHEN 8 THEN 'Data analyst role (remote, US) — sql, python, tableau'
+       |    WHEN 9 THEN ''
+       |    WHEN 10 THEN 'Work from home: fullstack developer position with react and typescript'
+       |    ELSE text
+       |  END AS title,
+       |  CASE WHEN doc_id % 400 % 10 = 0 THEN NULL ELSE 'https://example.com/post/' || (doc_id % 400) END AS url,
+       |  'user' || (doc_id % 400 % 50) AS author,
+       |  $ts AS created_datetime,
+       |  CAST(doc_id * 17 % 500 - 50 AS INT) AS upvotes,
+       |  CASE WHEN doc_id % 400 % 7 = 0 THEN 'comment' ELSE (doc_id % 400 % 97) || ' comments' END AS comments_text,
+       |  'r' || (doc_id % 400 % 5) AS subreddit
+       |FROM documents""".stripMargin
+  }
+
+  /** Spark-side proxy DataFrame (registers `documents` as a temp view). */
+  def df(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(sql(SparkSql))
+  }
+
+  /** DuckDB CTE prefix for oracle queries needing the proxy. */
+  val duckCte: String = s"WITH posts_proxy AS (${sql(DuckSql)})"
+}
