@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Standard relational coverage the north star requires beyond the
+  * reference's own surface (SURVEY.md §2.5 "absent in the reference" +
+  * §7.3 step 5): grouped aggregation, broadcast + shuffle joins, window
+  * functions, rollup/cube, set ops, semi/anti joins, string/date suites,
+  * JSON extraction, pivot. Each query has a DuckDB oracle.
+  *
+  * Cross-engine determinism rules (SURVEY.md §7.5.3):
+  *  - money/measure SUMs go through DECIMAL(18,4) — exact arithmetic is
+  *    order-independent, so Spark's partial-agg tree and DuckDB's scan
+  *    order can't diverge in the last bit (doubles would).
+  *  - AVGs are CAST(decimal-sum AS DOUBLE)/count — one IEEE division of
+  *    identical operands, not an engine-internal accumulation.
+  *  - every ORDER BY is total (unique tiebreaker) with explicit null
+  *    ordering (Spark defaults NULLS FIRST on ASC, DuckDB NULLS LAST).
+  *
+  * Scale notes are per-query; the common one: groupBy/join shuffles hash
+  * on the grouping/join key — with AQE on, skew is split and small sides
+  * broadcast. Dimension joins (region/nation/customer) are explicitly
+  * `broadcast()` so the 100 TB fact side never shuffles for them.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String) = Tables.load(s, dir, name)
+  private def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1-style pricing summary: the canonical partial-agg shape —
+    // map-side combine reduces 100 TB of lineitem to |flag×status| rows
+    // per partition before the single shuffle.
+    // The charge expression multiplies three 2-decimal quantities → the
+    // exact product has 6 decimals, and casting the double product to
+    // DECIMAL(18,4) hits rounding ties that Spark (HALF_UP on the
+    // shortest double repr) and DuckDB resolve differently. So: cast the
+    // INPUTS to decimal (tie-free — they carry ≤2 true decimals) and do
+    // the arithmetic exactly in decimal, sized to stay under precision 38
+    // in both engines.
+    "q20_pricing_summary" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val oneMinusD = (lit(1.0) - col("l_discount")).cast("decimal(3,2)")
+      val onePlusT = (lit(1.0) + col("l_tax")).cast("decimal(3,2)")
+      l.where(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          sum(price).as("sum_base_price"),
+          sum(price * oneMinusD).as("sum_disc_price"),
+          sum(price * oneMinusD * onePlusT).as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // orders⋈customer revenue top-100: broadcast the dimension, never
+    // shuffle the fact for the join; the groupBy shuffles on c_custkey.
+    "q21_top_customers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(100)
+    }),
+
+    // ROLLUP over the region→nation dimension chain (two broadcast joins),
+    // via the spark.sql surface with explicit broadcast hints.
+    "q22_rollup_region" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "region").createOrReplaceTempView("region")
+      s.sql("""SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+              |  r_name, n_name, count(*) AS n_customers,
+              |  sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_acctbal
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)
+              |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Window top-k: one shuffle on the partition key, rank inside.
+    "q23_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Running-sum + lag window. The running SUM goes through DECIMAL:
+    // DuckDB evaluates windowed sums over a segment tree (different
+    // addition grouping than Spark's sequential frame) — exact decimal
+    // arithmetic makes the grouping irrelevant.
+    "q24_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          sum(dec(col("value"))).over(frame).as("running_value"),
+          lag(col("value"), 1).over(order).as("prev_value"))
+        .orderBy("event_id")
+    }),
+
+    // Left-semi / left-anti joins (EXISTS / NOT EXISTS).
+    "q25_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select("o_custkey")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), lit(true).as("has_orders"))
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), lit(false).as("has_orders"))
+      withOrders.unionByName(without).orderBy("c_custkey")
+    }),
+
+    // INTERSECT / EXCEPT set ops on distinct user sets.
+    "q26_setops" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def users(tpe: String) = e.where(col("event_type") === tpe).select("user_id")
+      val both = users("purchase").intersect(users("click"))
+        .select(col("user_id"), lit("purchase_and_click").as("segment"))
+      val viewOnly = users("view").except(users("purchase"))
+        .select(col("user_id"), lit("view_no_purchase").as("segment"))
+      both.unionByName(viewOnly).orderBy("segment", "user_id")
+    }),
+
+    // String function suite over part.
+    "q27_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          length(col("p_name")).as("len"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          lpad(col("p_brand"), 10, "*").as("padded"),
+          reverse(col("p_type")).as("rev"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          instr(col("p_name"), "e").as("pos_e"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_word"))
+        .orderBy("p_partkey")),
+
+    // Date/time function suite over orders.
+    "q28_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+          last_day(col("o_orderdate")).as("eom"),
+          datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate"))).as("days_to_2002"))
+        .orderBy("o_orderkey")),
+
+    // DISTINCT aggregation: Spark plans count(distinct) as a two-phase
+    // expand+agg — scales to 100 TB without a per-group hash set.
+    "q29_distinct_agg" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          sum(dec(col("value"))).as("total_value"))
+        .orderBy("event_type")),
+
+    // 3-way join: fact⋈fact sort-merge (lineitem⋈orders on orderkey) +
+    // broadcast dim (customer); monthly revenue per segment.
+    "q30_segment_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+             countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment", "mon")
+    }),
+
+    // CUBE over status×priority.
+    "q31_cube_orders" -> ((s, dir) =>
+      t(s, dir, "orders").cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(dec(col("o_totalprice"))).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)),
+
+    // JSON extraction from the events.props payload column.
+    "q32_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))
+        .orderBy("event_id")),
+
+    // Correlated-style filter: customers above their nation's average
+    // balance. The per-nation average is a decimal-exact sum/count so the
+    // strict `>` can't flip on a last-bit difference between engines.
+    "q33_above_nation_avg" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val na = c.groupBy("c_nationkey")
+        .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("nation_avg"))
+        .withColumnRenamed("c_nationkey", "nk")
+      c.join(broadcast(na), c("c_nationkey") === na("nk"))
+        .where(col("c_acctbal") > col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal", "nation_avg")
+        .orderBy("c_custkey")
+    }),
+
+    // PIVOT: status columns per priority (explicit value list keeps the
+    // plan static — no extra distinct-values job at scale).
+    "q34_pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .orderBy("o_orderpriority")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS sum_disc_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2)) * CAST(1.0 + l_tax AS DECIMAL(3,2))) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q21_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 100""".stripMargin,
+
+    "q22_rollup_region" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q23_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q24_window_running" ->
+      """SELECT event_id, user_id, ts, value,
+        |  sum(CAST(value AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+        |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q25_semi_anti" ->
+      """SELECT c_custkey, c_name, TRUE AS has_orders FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, FALSE AS has_orders FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_setops" ->
+      """SELECT user_id, 'purchase_and_click' AS segment FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'click')
+        |UNION ALL
+        |SELECT user_id, 'view_no_purchase' AS segment FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'view'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY segment, user_id""".stripMargin,
+
+    "q27_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS up, length(p_name) AS len,
+        |  substr(p_name, 1, 5) AS prefix, regexp_replace(p_name, ' ', '_', 'g') AS snake,
+        |  lpad(p_brand, 10, '*') AS padded, reverse(p_type) AS rev,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  strpos(p_name, 'e') AS pos_e, split_part(p_name, ' ', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q28_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d, date_trunc('month', o_orderdate) AS mon,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  last_day(o_orderdate) AS eom,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q29_distinct_agg" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q30_segment_revenue" ->
+      """SELECT c_mktsegment, date_trunc('month', o_orderdate) AS mon,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, mon ORDER BY c_mktsegment, mon""".stripMargin,
+
+    "q31_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q32_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q33_above_nation_avg" ->
+      """WITH na AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS nation_avg
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_custkey, c_name, c_acctbal, nation_avg
+        |FROM customer JOIN na ON c_nationkey = nk
+        |WHERE c_acctbal > nation_avg ORDER BY c_custkey""".stripMargin,
+
+    "q34_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}
