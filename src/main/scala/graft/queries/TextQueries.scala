@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis._
+import graft.sources.Tables
+
+/** Text-analysis extension queries over the `documents` fixture
+  * (q40–q43). Each is a single narrow projection — no shuffle at all
+  * except the final presentation ORDER BY, so the shape is embarrassingly
+  * parallel at 100 TB: scan → codegen'd expressions → write.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q40_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          stopwordHits(col("toks"), "en").as("s_en"),
+          stopwordHits(col("toks"), "de").as("s_de"),
+          stopwordHits(col("toks"), "fr").as("s_fr"),
+          stopwordHits(col("toks"), "es").as("s_es"))
+        .withColumn("pred_lang",
+          predLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+        .orderBy("doc_id")),
+
+    "q41_quality_score" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("sum_tok_len", sumTokenLen(col("toks")))
+        .withColumn("digit_ratio",
+          digitCount(col("text")).cast("double") / greatest(length(col("text")), lit(1)))
+        .withColumn("stop_ratio",
+          stopwordHits(col("toks"), "en").cast("double") / greatest(col("n_tokens"), lit(1)))
+        .select(
+          col("doc_id"), col("n_tokens"), col("sum_tok_len"),
+          col("digit_ratio"), col("stop_ratio"),
+          qualityScore(col("n_tokens"), col("digit_ratio"), col("stop_ratio"))
+            .as("quality_score"))
+        .orderBy("doc_id")),
+
+    "q42_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("ws_tokens"),
+          bpeTokenCount(col("text")).as("bpe_tokens"),
+          length(col("text")).as("text_len"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    "q43_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("doc_id"),
+          fingerprint(tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")))
+
+  val oracleSql: Map[String, String] = {
+    val toksE = tokensSql("text")
+    val (en, de, fr, es) = (stopwordHitsSql("toks", "en"), stopwordHitsSql("toks", "de"),
+      stopwordHitsSql("toks", "fr"), stopwordHitsSql("toks", "es"))
+    Map(
+      "q40_lang_id" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksE AS toks FROM documents),
+           |s AS (SELECT doc_id, lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM t)
+           |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           |  ${predLangSql("s_en", "s_de", "s_fr", "s_es")} AS pred_lang
+           |FROM s ORDER BY doc_id""".stripMargin,
+
+      "q41_quality_score" ->
+        s"""WITH t AS (SELECT doc_id, text, $toksE AS toks FROM documents),
+           |m AS (SELECT doc_id, len(toks) AS n_tokens, ${sumTokenLenSql("toks")} AS sum_tok_len,
+           |  CAST(${digitCountSql("text")} AS DOUBLE) / greatest(len(text), 1) AS digit_ratio,
+           |  CAST($en AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio FROM t)
+           |SELECT doc_id, n_tokens, sum_tok_len, digit_ratio, stop_ratio,
+           |  ${qualityScoreSql("n_tokens", "digit_ratio", "stop_ratio")} AS quality_score
+           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "q42_token_counts" ->
+        s"""SELECT doc_id, len($toksE) AS ws_tokens,
+           |  ${bpeTokenCountSql("text")} AS bpe_tokens,
+           |  len(text) AS text_len, n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q43_fingerprint" ->
+        s"""SELECT doc_id, ${fingerprintSql(toksE)} AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+}
