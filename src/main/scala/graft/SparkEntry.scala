@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++ DedupQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      TextQueries.oracleSql
+      TextQueries.oracleSql ++ DedupQueries.oracleSql
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Deduplication primitives for a training-data pipeline (builder-prompt
+  * extension surface): word-shingling, MinHash signatures + LSH banding,
+  * SimHash, character n-grams, and exact-Jaccard verification. Pure
+  * Column expressions with DuckDB renderings from the same constants.
+  *
+  * Scale shape (the point of MinHash+LSH): candidate generation is
+  * explode(bands) → groupBy(band,key) — one shuffle keyed on the band
+  * signature, never an all-pairs cross join. Only rows sharing a band
+  * bucket meet; the exact-Jaccard verify runs on candidates only. At
+  * 100 TB the hot buckets (boilerplate docs) are the skew risk — salt
+  * the band key or cap bucket size upstream; AQE skew-join handles the
+  * verify join.
+  *
+  * Portability: minhash = lexicographic MIN over hex md5 strings (same
+  * byte-wise ordering in both engines); all set sizes are exact ints;
+  * Jaccard is one IEEE division.
+  */
+object Dedup {
+
+  val NumHashes = 12
+  val Bands = 4
+  val RowsPerBand = 3 // NumHashes / Bands
+
+  // ---- word shingles (3-grams over the token sequence) ----
+
+  /** Distinct word-3-gram set; a document shorter than 3 tokens
+    * contributes its whole token string as the single shingle. */
+  def shingles(toks: Column): Column =
+    when(size(toks) < 3, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+
+  def shinglesSql(toksE: String): String =
+    s"""CASE WHEN len($toksE) < 3 THEN [array_to_string($toksE, ' ')]
+       | ELSE list_distinct(list_transform(range(0, len($toksE) - 2),
+       |   i -> array_to_string(list_slice($toksE, i + 1, i + 3), ' '))) END"""
+      .stripMargin.replace("\n", "")
+
+  // ---- MinHash ----
+
+  /** NumHashes-element signature: element i = min md5("i:"+shingle). */
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x))))): _*)
+
+  def minhashSignatureSql(shE: String): String =
+    (0 until NumHashes).map(i =>
+      s"list_min(list_transform($shE, x -> md5('$i:' || x)))")
+      .mkString("[", ", ", "]")
+
+  /** Band key b (0-based): RowsPerBand signature slots joined by '|'. */
+  def bandKey(sig: Column, b: Int): Column =
+    concat_ws("|", (0 until RowsPerBand).map(r =>
+      element_at(sig, b * RowsPerBand + r + 1)): _*)
+
+  def bandKeySql(sigE: String, b: Int): String =
+    (0 until RowsPerBand).map(r => s"$sigE[${b * RowsPerBand + r + 1}]")
+      .mkString(" || '|' || ")
+
+  // ---- exact Jaccard over distinct element sets ----
+
+  /** |a ∩ b| / |a ∪ b| — inputs must be distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  def jaccardSql(aE: String, bE: String): String =
+    s"CAST(len(list_intersect($aE, $bE)) AS DOUBLE) / (len($aE) + len($bE) - len(list_intersect($aE, $bE)))"
+
+  // ---- character n-grams ----
+
+  /** Distinct character-3-gram set (whole string for length < 3). */
+  def charGrams(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => text.substr(i, lit(3))))
+
+  def charGramsSql(e: String): String =
+    s"list_distinct(list_transform(range(1, greatest(len($e) - 2, 1) + 1), i -> substr($e, i, 3)))"
+
+  // ---- SimHash (16-bit, over the token multiset) ----
+
+  val SimHashBits = 16
+
+  /** Per-bit balance vote: +1 when the token hash has bit i set, else -1;
+    * simhash bit i = 1 iff the balance is positive. Exact int folds, so
+    * fully order-free and engine-portable. */
+  def simhash(toks: Column): Column = {
+    val hs = transform(toks, t => TextAnalysis.tokenHash(t))
+    (0 until SimHashBits).map { i =>
+      val bal = aggregate(hs, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+      when(bal > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def simhashSql(toksE: String): String = {
+    val hsE = s"list_transform($toksE, t -> ${TextAnalysis.tokenHashSql("t")})"
+    (0 until SimHashBits).map { i =>
+      val bit = 1L << i
+      s"(CASE WHEN list_reduce(list_concat([0], list_transform($hsE, h -> CASE WHEN (h & $bit) <> 0 THEN 1 ELSE -1 END)), (acc, x) -> acc + x) > 0 THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  // ---- embedding dot/cosine with pinned fold order ----
+
+  /** Sequential left-fold dot product — bit-identical to the DuckDB
+    * rendering because both evaluate the same IEEE ops in the same
+    * order (zip → per-slot double multiply → left-to-right sum). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def dotProductSql(aE: String, bE: String): String =
+    s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(range(1, len($aE) + 1), i -> CAST($aE[i] AS DOUBLE) * CAST($bE[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  def norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  def normSql(aE: String): String = s"sqrt(${dotProductSql(aE, aE)})"
+}

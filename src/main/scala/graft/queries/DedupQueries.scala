@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Deduplication extension queries (q50–q54): exact hash dedup, MinHash
+  * + LSH banding, SimHash, blocked char-n-gram Jaccard, and brute-force
+  * embedding-cosine near-dup. q51–q53 run over the PostsProxy corpus,
+  * which contains exact and near duplicates by construction (same title
+  * templates with varying parameters); q50 runs over raw `documents`
+  * (real duplicate texts at sf0.1); q54 over `embeddings`.
+  *
+  * Pair-generation steps go through temp views + spark.sql — Spark's
+  * ambiguous-self-join check rejects DataFrame-API self joins on shared
+  * lineage, while SQL-over-view self joins resolve cleanly.
+  */
+object DedupQueries {
+
+  private def proxyTitles(s: SparkSession, dir: String): DataFrame =
+    PostsProxy.df(s, dir).where(col("title") =!= "")
+      .select(col("doc_id"), col("title"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy — ONE shuffle on the 128-bit text hash,
+    // never on the full text payload. Keeper = min(doc_id).
+    "q50_dedup_exact" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_doc_id")),
+
+    // MinHash + LSH: shingle → 12-slot signature → 4 band keys →
+    // band-bucket self-join for candidates → exact-Jaccard verify ≥ 0.5.
+    "q51_minhash_lsh" -> ((s, dir) => {
+      val withSh = proxyTitles(s, dir)
+        .withColumn("sh", Dedup.shingles(TextAnalysis.tokens(col("title"))))
+      val sig = withSh.withColumn("sig", Dedup.minhashSignature(col("sh")))
+      sig.select(col("doc_id"), explode(array((0 until Dedup.Bands).map(b =>
+          struct(lit(b).as("band"), Dedup.bandKey(col("sig"), b).as("bkey"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        .createOrReplaceTempView("mh_bands")
+      withSh.select("doc_id", "sh").createOrReplaceTempView("mh_sh")
+      s.sql("""
+        |WITH cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM mh_bands a JOIN mh_bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |      (size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))) AS jaccard
+        |  FROM cand
+        |  JOIN mh_sh sa ON sa.doc_id = doc_a
+        |  JOIN mh_sh sb ON sb.doc_id = doc_b)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
+    // SimHash: 16-bit signature per doc + bucket size (identical
+    // signatures = duplicate cluster).
+    "q52_simhash" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      proxyTitles(s, dir)
+        .withColumn("simhash", Dedup.simhash(TextAnalysis.tokens(col("title"))))
+        .withColumn("n_same", count(lit(1)).over(Window.partitionBy("simhash")))
+        .select("doc_id", "simhash", "n_same")
+        .orderBy("doc_id")
+    }),
+
+    // Blocked char-3-gram Jaccard: block key = (first token, #tokens) —
+    // pairs only meet inside a block, the classic scalable alternative
+    // to an all-pairs cross join.
+    "q53_ngram_jaccard" -> ((s, dir) => {
+      proxyTitles(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("title")))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          concat_ws("#", element_at(col("toks"), 1),
+            size(col("toks")).cast("string")).as("blk"),
+          Dedup.charGrams(lower(trim(col("title")))).as("cg"))
+        .createOrReplaceTempView("cg_docs")
+      s.sql("""
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(size(array_intersect(a.cg, b.cg)) AS DOUBLE) /
+        |      (size(a.cg) + size(b.cg) - size(array_intersect(a.cg, b.cg))) AS jaccard
+        |  FROM cg_docs a JOIN cg_docs b
+        |    ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
+    }),
+
+    // Brute-force cosine near-dup pairs (the exactness baseline; the
+    // LSH-bucketed scale path is q56 in SimilarityQueries).
+    "q54_embedding_dup" -> ((s, dir) => {
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", Dedup.norm(col("embedding")))
+        .createOrReplaceTempView("emb_n")
+      s.sql("""
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    aggregate(zip_with(a.embedding, b.embedding,
+        |        (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |      CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
+        |  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+    }))
+
+  val oracleSql: Map[String, String] = {
+    val cte = PostsProxy.duckCte
+    val toksE = TextAnalysis.tokensSql("title")
+    val docsCte = s"docs AS (SELECT doc_id, title FROM posts_proxy WHERE title <> '')"
+    Map(
+      "q50_dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
+
+      "q51_minhash_lsh" -> {
+        val bandRows = (0 until Dedup.Bands).map(b =>
+          s"SELECT doc_id, $b AS band, ${Dedup.bandKeySql("sig", b)} AS bkey FROM sigs")
+          .mkString(" UNION ALL ")
+        s"""$cte, $docsCte,
+           |sh AS (SELECT doc_id, ${Dedup.shinglesSql(toksE)} AS sh FROM docs),
+           |sigs AS (SELECT doc_id, sh, ${Dedup.minhashSignatureSql("sh")} AS sig FROM sh),
+           |bands AS ($bandRows),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT doc_a, doc_b, ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS jaccard
+           |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+      },
+
+      "q52_simhash" ->
+        s"""$cte, $docsCte,
+           |t AS (SELECT doc_id, $toksE AS toks FROM docs),
+           |sh AS (SELECT doc_id, ${Dedup.simhashSql("toks")} AS simhash FROM t)
+           |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same
+           |FROM sh ORDER BY doc_id""".stripMargin,
+
+      "q53_ngram_jaccard" ->
+        s"""$cte, $docsCte,
+           |t AS (SELECT doc_id, $toksE AS toks, title FROM docs),
+           |cg AS (SELECT doc_id,
+           |    toks[1] || '#' || CAST(len(toks) AS VARCHAR) AS blk,
+           |    ${Dedup.charGramsSql("lower(trim(title))")} AS cg
+           |  FROM t WHERE len(toks) > 0)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    ${Dedup.jaccardSql("a.cg", "b.cg")} AS jaccard
+           |  FROM cg a JOIN cg b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+           |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q54_embedding_dup" ->
+        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings)
+           |SELECT vec_a, vec_b, cosine FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    ${Dedup.dotProductSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+           |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+  }
+}
