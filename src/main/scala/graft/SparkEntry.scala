@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalQueries.queries ++
-      TextQueries.queries ++ DedupQueries.queries
+      TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      TextQueries.oracleSql ++ DedupQueries.oracleSql
+      TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql
 }
