@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+/** Text-analysis + similarity extension tests. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("language ID picks the stopword-dominant language; unknown on none") {
+    val df = Seq(
+      "the cat and the dog in the house",
+      "der hund und die katze ist nicht da",
+      "xyzzy plugh").toDF("text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(TextAnalysis.predLang(
+        TextAnalysis.stopwordHits(col("toks"), "en"),
+        TextAnalysis.stopwordHits(col("toks"), "de"),
+        TextAnalysis.stopwordHits(col("toks"), "fr"),
+        TextAnalysis.stopwordHits(col("toks"), "es")).as("pred"))
+    assert(df.as[String].collect().toSeq == Seq("en", "de", "unknown"))
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val df = Seq(("a b c", "a b c", "c b a")).toDF("x", "y", "z").select(
+      TextAnalysis.fingerprint(split(col("x"), " ")).as("fx"),
+      TextAnalysis.fingerprint(split(col("y"), " ")).as("fy"),
+      TextAnalysis.fingerprint(split(col("z"), " ")).as("fz"))
+    val r = df.head()
+    assert(r.getAs[Long]("fx") == r.getAs[Long]("fy"))
+    assert(r.getAs[Long]("fx") != r.getAs[Long]("fz"))
+    assert(r.getAs[Long]("fx") >= 0 && r.getAs[Long]("fx") < TextAnalysis.fpMod)
+  }
+
+  test("BPE-ish token count segments alpha runs, digit runs, other glyphs") {
+    val df = Seq("abc12 de-f!").toDF("t")
+      .select(TextAnalysis.bpeTokenCount(col("t")).as("n"))
+    // segments: abc, 12, de, -, f, !
+    assert(df.head().getAs[Int]("n") == 6)
+  }
+
+  test("cosine of a vector with itself is exactly 1 after norm division") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v")
+      .select((Dedup.dotProduct(col("v"), col("v")) /
+        (Dedup.norm(col("v")) * Dedup.norm(col("v")))).as("c"))
+    assert(math.abs(df.head().getAs[Double]("c") - 1.0) < 1e-12)
+  }
+
+  test("LSH bucket is deterministic and within 8 bits") {
+    val df = Seq(
+      Tuple1(Array.tabulate(Similarity.Dim)(i => (i % 7 - 3).toFloat)),
+      Tuple1(Array.tabulate(Similarity.Dim)(i => (i % 7 - 3).toFloat)))
+      .toDF("v").select(Similarity.bucket(col("v")).as("b"))
+    val bs = df.as[Int].collect()
+    assert(bs(0) == bs(1))
+    assert(bs(0) >= 0 && bs(0) < 256)
+  }
+
+  test("planes are reproducible across invocations (fixed LCG seed)") {
+    assert(Similarity.planes == Similarity.planes)
+    assert(Similarity.planes.length == Similarity.NumPlanes)
+    assert(Similarity.planes.forall(_.forall(c => c >= -5 && c <= 5)))
+  }
+}

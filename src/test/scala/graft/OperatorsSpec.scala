@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Incremental, Merge, Transform}
+
+/** Operator-level tests: dedup keeper determinism + idempotence, upsert
+  * last-writer-wins + idempotence (SURVEY.md §5.3 properties), and the
+  * high-water-mark fallback branches. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toDF("id", "k", "ord")
+
+  test("dedupFirst keeps the row with the minimal order column") {
+    val df = ev((1L, "a", 2L), (2L, "a", 1L), (3L, "b", 5L))
+    val out = Transform.dedupFirst(df, Seq("k"), Seq("ord", "id"))
+      .select("id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("dedup is idempotent: dd(dd(x)) == dd(x)") {
+    val df = ev((1L, "a", 2L), (2L, "a", 1L), (3L, "b", 5L), (4L, "b", 5L))
+    val once = Transform.dedupFirst(df, Seq("k"), Seq("ord", "id"))
+    val twice = Transform.dedupFirst(once, Seq("k"), Seq("ord", "id"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("upsert: updates replace matching keys wholesale, new keys append") {
+    val target = Seq((1L, "old", 10.0), (2L, "keep", 20.0)).toDF("id", "v", "x")
+    val updates = Seq((1L, "new", 11.0), (3L, "ins", 30.0)).toDF("id", "v", "x")
+    val out = Merge.upsert(target, updates, Seq("id"))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "new", 11.0), (2L, "keep", 20.0), (3L, "ins", 30.0)))
+  }
+
+  test("upsert idempotence: merge(merge(t,u),u) == merge(t,u)  (ST4)") {
+    val target = Seq((1L, "old", 10.0), (2L, "keep", 20.0)).toDF("id", "v", "x")
+    val updates = Seq((1L, "new", 11.0), (3L, "ins", 30.0)).toDF("id", "v", "x")
+    val once = Merge.upsert(target, updates, Seq("id"))
+    val twice = Merge.upsert(once, updates, Seq("id"))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("highWaterMark: max within window, cold-start fallback when empty") {
+    val now = to_timestamp(lit("2024-02-10 00:00:00"))
+    val sink = Seq("2024-02-01 00:00:00", "2023-01-01 00:00:00")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val hwm = Incremental.highWaterMark(sink, "ts", now)
+      .head().getTimestamp(0).toInstant.toString
+    assert(hwm == "2024-02-01T00:00:00Z")
+    val empty = sink.where(lit(false))
+    val cold = Incremental.highWaterMark(empty, "ts", now)
+      .head().getTimestamp(0).toInstant.toString
+    assert(cold == "2024-02-03T00:00:00Z") // now - 7 days
+  }
+
+  test("jaccard and shingles basics") {
+    val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
+      .select(
+        Dedup.jaccard(
+          Dedup.shingles(split(col("t1"), " ")),
+          Dedup.shingles(split(col("t2"), " "))).as("j"),
+        Dedup.shingles(split(col("t1"), " ")).as("sh"))
+    val row = df.head()
+    assert(row.getAs[collection.Seq[String]]("sh").toSet == Set("a b c", "b c d"))
+    // shingle sets {abc,bcd} vs {bcd,cde}: intersect 1, union 3
+    assert(math.abs(row.getAs[Double]("j") - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("identical texts share minhash signature; disjoint texts do not") {
+    val df = Seq(("x y z w", "x y z w", "p q r s")).toDF("a", "b", "c")
+      .select(
+        Dedup.minhashSignature(Dedup.shingles(split(col("a"), " "))).as("sa"),
+        Dedup.minhashSignature(Dedup.shingles(split(col("b"), " "))).as("sb"),
+        Dedup.minhashSignature(Dedup.shingles(split(col("c"), " "))).as("sc"))
+    val r = df.head()
+    def sig(n: String) = r.getAs[collection.Seq[String]](n).toSeq
+    assert(sig("sa") == sig("sb"))
+    assert(sig("sa") != sig("sc"))
+  }
+
+  test("simhash: identical token multisets agree; range fits 16 bits") {
+    val df = Seq(("spark fast table", "spark fast table", "zzz qqq"))
+      .toDF("a", "b", "c").select(
+        Dedup.simhash(split(col("a"), " ")).as("ha"),
+        Dedup.simhash(split(col("b"), " ")).as("hb"),
+        Dedup.simhash(split(col("c"), " ")).as("hc"))
+    val r = df.head()
+    assert(r.getAs[Long]("ha") == r.getAs[Long]("hb"))
+    assert(r.getAs[Long]("ha") >= 0L && r.getAs[Long]("ha") < (1L << 16))
+    assert(r.getAs[Long]("hc") >= 0L && r.getAs[Long]("hc") < (1L << 16))
+  }
+}
