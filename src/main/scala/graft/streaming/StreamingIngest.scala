@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.operators.{Incremental, Merge, Transform}
+
+/** Structured-Streaming restatement of the reference's hidden streaming
+  * model (SURVEY.md §1.4 / §2.6): the Airflow DAG is a daily
+  * one-batch-at-a-time incremental ingest with a self-managed watermark
+  * (sink MAX(created_datetime), reference `dags/dag.py:144-170`), bounded
+  * out-of-order tolerance (`extra_check=6`, `dags/dag.py:186,253-268`),
+  * and an idempotent keyed upsert sink (`dags/dag.py:389-403`).
+  *
+  * Two equivalent shapes are provided:
+  *  - `incrementalBatch`: the reference's actual semantics — a driver-
+  *    scheduled batch loop with a stored high-water mark. This is the
+  *    100 TB-friendly default (each run reads only the new range; a
+  *    date-partitioned sink prunes the HWM read to ~30 partitions).
+  *  - `readStream`-based helpers: watermarked windowed aggregation,
+  *    streaming dedup, stateful sessionization, and a foreachBatch
+  *    upsert sink whose per-batch work is exactly `Merge.upsert` —
+  *    at-least-once delivery + idempotent merge ⇒ effectively-once (ST4).
+  */
+object StreamingIngest {
+
+  /** One reference "DAG run": resume from the sink's high-water mark,
+    * range-filter the source, run the full transform, upsert. `now` is a
+    * pinned batch boundary for reproducibility (SURVEY.md §7.5.4). */
+  def incrementalBatch(source: DataFrame, sink: DataFrame, now: Column,
+                       tsCol: String = "created_datetime",
+                       orderCol: String = "post_id"): DataFrame = {
+    val hwm = Incremental.highWaterMark(sink, tsCol, now).head().getTimestamp(0)
+    val fresh = Incremental.rangeFilter(source, tsCol, lit(hwm), now)
+    Merge.upsert(sink, Transform(fresh, orderCol)
+      .select(sink.columns.map(col).toSeq: _*), Seq("post_id"))
+  }
+
+  /** Watermarked tumbling-window counts per event type (ST2/ST3: the
+    * watermark slack generalizes the reference's 6-record lookahead). */
+  def windowedEventCounts(events: DataFrame, tsCol: String = "ts",
+                          windowLen: String = "10 minutes",
+                          slack: String = "5 minutes"): DataFrame =
+    events.withWatermark(tsCol, slack)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Streaming keyed dedup (D2): drop repeats of a key within the
+    * watermark horizon — state is bounded by the watermark, which is
+    * what makes it safe on an unbounded stream. */
+  def dedupStream(df: DataFrame, tsCol: String, keys: Seq[String],
+                  slack: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, slack)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class SessionState(start: Long, end: Long, n: Int)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Stateful sessionization with an EVENT-time gap timeout — the
+    * `flatMapGroupsWithState` path for custom state the built-in windows
+    * can't express. Event-time (not processing-time) timeouts keep the
+    * stream batch-driven and deterministic: quiescent sessions close when
+    * the watermark passes session_end + gap, and a session also closes
+    * eagerly when a later event for the same key exceeds the gap. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 slack: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", slack)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire when the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** foreachBatch upsert into a parquet target: each micro-batch is one
+    * `Merge.upsert` (idempotent ⇒ effectively-once under retries). */
+  def upsertEachBatch(stream: DataFrame, targetPath: String, keys: Seq[String],
+                      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = Transform.dedupFirst(batch, keys, keys)
+        val merged =
+          if (new java.io.File(targetPath).exists()) {
+            val target = spark.read.schema(batch.schema).parquet(targetPath)
+            Merge.upsert(target, deduped, keys).persist()
+          } else deduped.persist()
+        merged.count() // materialize before overwriting the input path
+        merged.write.mode("overwrite").parquet(targetPath + ".tmp")
+        merged.unpersist()
+        val tmp = new java.io.File(targetPath + ".tmp")
+        val dst = new java.io.File(targetPath)
+        org.apache.commons.io.FileUtils.deleteQuietly(dst)
+        org.apache.commons.io.FileUtils.moveDirectory(tmp, dst)
+      }
+      .start()
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.Event
+
+/** Structured-Streaming specs driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts aggregate per tumbling window and event type") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingIngest.windowedEventCounts(df, "ts")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "click", 1.0),
+        (ts("2024-01-01 00:02:00"), "click", 2.0),
+        (ts("2024-01-01 00:15:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("window_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 00:00:00"), "click", 2L),
+        (ts("2024-01-01 00:10:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "post_id", "v")
+    val q = StreamingIngest.dedupStream(df, "ts", Seq("post_id"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "a", 1L),
+        (ts("2024-01-01 00:02:00"), "a", 2L),
+        (ts("2024-01-01 00:03:00"), "b", 3L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:04:00"), "a", 4L))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("post_id").as[String].collect().sorted
+      assert(ids.toSeq == Seq("a", "b")) // the later 'a's are dropped
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session when the gap is exceeded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingIngest.sessionize(input.toDS(), gapMs = 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), "click"),
+        Event(1L, ts("2024-01-01 00:00:30"), "view"))
+      q.processAllAvailable()
+      // 2 hours later: far beyond the 60s gap → first session closes
+      input.addData(Event(1L, ts("2024-01-01 02:00:00"), "click"))
+      q.processAllAvailable()
+      val sessions = spark.table("sess")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Int)].collect().toSeq
+      assert(sessions == Seq(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:30"), 2)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink is idempotent across replays") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-upsert").toString
+    val target = s"$base/posts"
+    def runBatch(rows: (String, String)*): Unit = {
+      val input = MemoryStream[(String, String)]
+      val df = input.toDF().toDF("post_id", "title")
+      input.addData(rows: _*)
+      val q = StreamingIngest.upsertEachBatch(df, target, Seq("post_id"),
+        Files.createTempDirectory(java.nio.file.Paths.get(base), "ckpt").toString)
+      q.awaitTermination()
+    }
+    runBatch(("p1", "v1"), ("p2", "v1"))
+    runBatch(("p2", "v2"), ("p3", "v1")) // update p2, insert p3
+    runBatch(("p2", "v2"), ("p3", "v1")) // exact replay — must be a no-op
+    val out = spark.read.parquet(target)
+      .as[(String, String)].collect().toSeq.sorted
+    assert(out == Seq(("p1", "v1"), ("p2", "v2"), ("p3", "v1")))
+  }
+}
