@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.sources.Tables
+
+/** Multimodal extension queries (q60–q62) over a media table synthesized
+  * from `documents` (text bytes stand in for image/audio payloads — see
+  * Multimodal's stub-codec note).
+  *
+  * q61 has NO oracle entry on purpose: its feature vectors come from the
+  * partition-wise stub codec (mapPartitions), which is not
+  * SQL-expressible — the driver records the weaker rows-only check.
+  */
+object MultimodalQueries {
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Binary payload + typed metadata projection.
+    "q60_media_meta" -> ((s, dir) =>
+      media(s, dir).select(
+          col("media_id"),
+          octet_length(col("content")).as("n_bytes"),
+          md5(col("content")).as("content_md5"),
+          col("meta.mime").as("mime"),
+          col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")),
+
+    // Partition-wise stub-codec feature extraction (rows-only check).
+    "q61_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val ds = media(s, dir).as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(ds, dim = 8).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          // deterministic scalar digest of the vector for a stable dump
+          aggregate(col("features"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")).as("feature_sum"))
+        .orderBy("media_id")
+    }),
+
+    // Metadata-driven frame sampling: one row per 100ms frame offset.
+    "q62_frame_offsets" -> ((s, dir) =>
+      Multimodal.frameOffsets(media(s, dir), everyMs = 100L)
+        .select(col("media_id"), col("frame_ms"))
+        .orderBy("media_id", "frame_ms")))
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_media_meta" ->
+      """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5, 'text/plain' AS mime,
+        |  CAST(len(text) AS BIGINT) * 10 AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q61_media_features intentionally omitted (stub codec, not SQL)
+
+    "q62_frame_offsets" ->
+      """SELECT doc_id AS media_id, unnest(range(0, CAST(len(text) AS BIGINT) * 10 + 1, 100)) AS frame_ms
+        |FROM documents ORDER BY media_id, frame_ms""".stripMargin)
+}
