@@ -72,41 +72,74 @@ object DedupQueries {
 
     // Blocked char-3-gram Jaccard: block key = (first token, #tokens) —
     // pairs only meet inside a block, the classic scalable alternative
-    // to an all-pairs cross join.
+    // to an all-pairs cross join. Two scale moves on top of blocking:
+    //  (1) Jaccard is computed between DISTINCT titles (the corpus
+    //      repeats titles heavily — 400 distinct vs 5000 docs at sf0.1),
+    //      then expanded back to doc pairs through an equi-join, turning
+    //      O(docs²) n-gram intersections into O(titles²).
+    //  (2) the intersection size is materialized once per pair, not
+    //      re-evaluated inside the Jaccard formula.
     "q53_ngram_jaccard" -> ((s, dir) => {
-      proxyTitles(s, dir)
+      val titles = proxyTitles(s, dir)
         .withColumn("toks", TextAnalysis.tokens(col("title")))
         .where(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          concat_ws("#", element_at(col("toks"), 1),
-            size(col("toks")).cast("string")).as("blk"),
+      titles.select(col("doc_id"), col("title")).createOrReplaceTempView("cg_members")
+      titles.groupBy(col("title")).agg(min(col("doc_id")).as("rep"))
+        .select(col("title"), col("rep"),
+          concat_ws("#", element_at(TextAnalysis.tokens(col("title")), 1),
+            size(TextAnalysis.tokens(col("title"))).cast("string")).as("blk"),
           Dedup.charGrams(lower(trim(col("title")))).as("cg"))
-        .createOrReplaceTempView("cg_docs")
+        .createOrReplaceTempView("cg_titles")
       s.sql("""
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(size(array_intersect(a.cg, b.cg)) AS DOUBLE) /
-        |      (size(a.cg) + size(b.cg) - size(array_intersect(a.cg, b.cg))) AS jaccard
-        |  FROM cg_docs a JOIN cg_docs b
-        |    ON a.blk = b.blk AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin)
+        |WITH tp AS (
+        |  SELECT a.title AS title_a, b.title AS title_b,
+        |    size(array_intersect(a.cg, b.cg)) AS inter,
+        |    size(a.cg) AS sza, size(b.cg) AS szb
+        |  FROM cg_titles a JOIN cg_titles b
+        |    ON a.blk = b.blk AND a.rep <= b.rep),
+        |tj AS (
+        |  SELECT title_a, title_b,
+        |    CAST(inter AS DOUBLE) / (sza + szb - inter) AS jaccard
+        |  FROM tp),
+        |sel AS (SELECT * FROM tj WHERE jaccard >= 0.6)
+        |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+        |       greatest(ma.doc_id, mb.doc_id) AS doc_b,
+        |       max(jaccard) AS jaccard
+        |FROM sel
+        |JOIN cg_members ma ON ma.title = sel.title_a
+        |JOIN cg_members mb ON mb.title = sel.title_b
+        |WHERE ma.doc_id <> mb.doc_id
+        |GROUP BY least(ma.doc_id, mb.doc_id), greatest(ma.doc_id, mb.doc_id)
+        |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
     // Brute-force cosine near-dup pairs (the exactness baseline; the
-    // LSH-bucketed scale path is q56 in SimilarityQueries).
+    // LSH-bucketed scale path is q56 in SimilarityQueries). The O(n²·d)
+    // dot-product kernel runs as a typed map — Catalyst's higher-order
+    // functions are interpreted (no codegen), ~10× slower than this
+    // JIT'd loop. The fold order (left-to-right over slot products, init
+    // 0.0) is IDENTICAL to the DuckDB oracle's list_reduce, so results
+    // stay bit-equal.
     "q54_embedding_dup" -> ((s, dir) => {
+      import s.implicits._
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", Dedup.norm(col("embedding")))
         .createOrReplaceTempView("emb_n")
       s.sql("""
-        |SELECT vec_a, vec_b, cosine FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    aggregate(zip_with(a.embedding, b.embedding,
-        |        (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |      CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cosine
-        |  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id)
-        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
+        |FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id""".stripMargin)
+        .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+        .map { case (va, vb, ea, eb, na, nb) =>
+          var acc = 0.0
+          var i = 0
+          while (i < ea.length) { acc += ea(i).toDouble * eb(i).toDouble; i += 1 }
+          (va, vb, acc / (na * nb))
+        }
+        .toDF("vec_a", "vec_b", "cosine")
+        .where(col("cosine") >= 0.4)
+        .orderBy("vec_a", "vec_b")
     }))
 
   val oracleSql: Map[String, String] = {
