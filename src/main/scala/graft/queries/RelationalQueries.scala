@@ -224,7 +224,66 @@ object RelationalQueries {
       t(s, dir, "orders").groupBy("o_orderpriority")
         .pivot("o_orderstatus", Seq("O", "F", "P"))
         .agg(count(lit(1)))
-        .orderBy("o_orderpriority")))
+        .orderBy("o_orderpriority")),
+
+    // F2 offset-skip (reference dags/dag.py:208-209: drop the pinned
+    // first element of the scan order). Global row_number is a
+    // single-partition sort — fine for presentation-layer semantics,
+    // never for a 100 TB relation (there you'd skip per-partition).
+    "q35_offset_skip" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") > 1)
+        .select("event_id", "ts", "event_type", "rn")
+        .orderBy("rn")
+    }),
+
+    // GROUPING SETS (beyond rollup/cube: explicit set list).
+    "q36_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+              |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST,
+              |         o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Deterministic median without percentile_cont: both middle ranks
+    // averaged through exact decimal sums (engine-internal interpolation
+    // arithmetic never runs, so engines can't diverge).
+    "q37_median_manual" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        |WITH r AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2 THEN p END) AS DOUBLE) /
+        |    count(CASE WHEN rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2 THEN 1 END) AS median_price
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Array-function suite: construction, reverse, slice, membership,
+    // exact integer fold.
+    "q38_array_funcs" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("arr", sequence(lit(1L), col("event_id") % 5 + 1))
+        .select(
+          col("event_id"),
+          col("arr"),
+          size(col("arr")).as("n"),
+          reverse(col("arr")).as("rev"),
+          slice(col("arr"), 1, 2).as("head2"),
+          array_contains(col("arr"), 3L).as("has3"),
+          aggregate(col("arr"), lit(0L), (a, x) => a + x).as("arr_sum"))
+        .orderBy("event_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q20_pricing_summary" ->
@@ -341,5 +400,41 @@ object RelationalQueries {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q35_offset_skip" ->
+      """SELECT event_id, ts, event_type, rn FROM (
+        |  SELECT event_id, ts, event_type,
+        |    row_number() OVER (ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn > 1 ORDER BY rn""".stripMargin,
+
+    "q36_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q37_median_manual" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS p,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN p END) AS DOUBLE) /
+        |    count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN 1 END) AS median_price
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q38_array_funcs" ->
+      """SELECT event_id,
+        |  range(1, event_id % 5 + 2) AS arr,
+        |  len(range(1, event_id % 5 + 2)) AS n,
+        |  list_reverse(range(1, event_id % 5 + 2)) AS rev,
+        |  list_slice(range(1, event_id % 5 + 2), 1, 2) AS head2,
+        |  list_contains(range(1, event_id % 5 + 2), 3) AS has3,
+        |  list_reduce(list_concat([CAST(0 AS BIGINT)], range(1, event_id % 5 + 2)), (a, x) -> a + x) AS arr_sum
+        |FROM events ORDER BY event_id""".stripMargin)
 }
