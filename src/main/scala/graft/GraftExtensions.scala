@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point — enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
+  * it with others, comma-separated). Injects the engine's native SQL
+  * functions so they are usable from `spark.sql` text as well as the
+  * Column API. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arr1, arr2) takes two arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

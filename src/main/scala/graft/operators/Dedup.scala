@@ -114,10 +114,14 @@ object Dedup {
 
   /** Sequential left-fold dot product — bit-identical to the DuckDB
     * rendering because both evaluate the same IEEE ops in the same
-    * order (zip → per-slot double multiply → left-to-right sum). */
+    * order (per-slot double multiply → left-to-right sum).
+    *
+    * Resolves to the native codegen'd [[graft.functions.DotProduct]]
+    * expression — the session must load `graft.GraftExtensions` (all
+    * engine entry points do). The interpreted-HOF equivalent
+    * (`aggregate(zip_with(...))`) computes the same bits ~10× slower. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   def dotProductSql(aE: String, bE: String): String =
     s"list_reduce(list_concat([CAST(0 AS DOUBLE)], list_transform(range(1, len($aE) + 1), i -> CAST($aE[i] AS DOUBLE) * CAST($bE[i] AS DOUBLE))), (acc, x) -> acc + x)"

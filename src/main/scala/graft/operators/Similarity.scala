@@ -28,7 +28,10 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(Dim)((next() % 11).toInt - 5))
   }
 
-  private def planeLit(p: Seq[Int]): Column = array(p.map(c => lit(c.toDouble)): _*)
+  // float literals: graft_dot takes array<float>; the small-int
+  // components are exact in float, so values match the SQL rendering's
+  // CAST(c AS DOUBLE).
+  private def planeLit(p: Seq[Int]): Column = array(p.map(c => lit(c.toFloat)): _*)
 
   private def planeLitSql(p: Seq[Int]): String =
     p.map(c => s"CAST($c AS DOUBLE)").mkString("[", ", ", "]")

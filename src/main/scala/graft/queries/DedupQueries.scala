@@ -115,31 +115,21 @@ object DedupQueries {
 
     // Brute-force cosine near-dup pairs (the exactness baseline; the
     // LSH-bucketed scale path is q56 in SimilarityQueries). The O(n²·d)
-    // dot-product kernel runs as a typed map — Catalyst's higher-order
-    // functions are interpreted (no codegen), ~10× slower than this
-    // JIT'd loop. The fold order (left-to-right over slot products, init
-    // 0.0) is IDENTICAL to the DuckDB oracle's list_reduce, so results
-    // stay bit-equal.
+    // dot-product kernel is the native codegen'd graft_dot expression
+    // (GraftExtensions) — same left-to-right fold as the DuckDB oracle's
+    // list_reduce, so results stay bit-equal, but JIT'd instead of the
+    // ~10×-slower interpreted higher-order functions.
     "q54_embedding_dup" -> ((s, dir) => {
-      import s.implicits._
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", Dedup.norm(col("embedding")))
         .createOrReplaceTempView("emb_n")
       s.sql("""
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |       a.embedding AS ea, b.embedding AS eb, a.nrm AS na, b.nrm AS nb
-        |FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id""".stripMargin)
-        .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
-        .map { case (va, vb, ea, eb, na, nb) =>
-          var acc = 0.0
-          var i = 0
-          while (i < ea.length) { acc += ea(i).toDouble * eb(i).toDouble; i += 1 }
-          (va, vb, acc / (na * nb))
-        }
-        .toDF("vec_a", "vec_b", "cosine")
-        .where(col("cosine") >= 0.4)
-        .orderBy("vec_a", "vec_b")
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cosine
+        |  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = {

@@ -33,9 +33,7 @@ object SimilarityQueries {
         |                       ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM (
         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-        |      aggregate(zip_with(q.embedding, c.embedding,
-        |          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |        CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+        |      graft_dot(q.embedding, c.embedding) / (q.nrm * c.nrm) AS cosine
         |    FROM emb_knn q JOIN emb_knn c ON q.vec_id < $NumQueries
         |      AND c.vec_id <> q.vec_id))
         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
@@ -53,9 +51,7 @@ object SimilarityQueries {
         |                       ORDER BY cosine DESC, vec_id ASC) AS rank
         |  FROM (
         |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.bucket AS bucket,
-        |      aggregate(zip_with(q.embedding, c.embedding,
-        |          (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |        CAST(0 AS DOUBLE), (acc, x) -> acc + x) / (q.nrm * c.nrm) AS cosine
+        |      graft_dot(q.embedding, c.embedding) / (q.nrm * c.nrm) AS cosine
         |    FROM emb_lsh q JOIN emb_lsh c ON q.bucket = c.bucket
         |      AND q.vec_id < $NumQueries AND c.vec_id <> q.vec_id))
         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)

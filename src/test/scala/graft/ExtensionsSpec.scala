@@ -57,6 +57,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(bs(0) >= 0 && bs(0) < 256)
   }
 
+  test("graft_dot native expression: SQL-registered, codegen == interpreted == HOF") {
+    val df = Seq((Array(1.5f, -2.0f, 3.25f), Array(0.5f, 4.0f, -1.0f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("dp")
+    val native = spark.sql("SELECT graft_dot(a, b) AS d FROM dp").head().getDouble(0)
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x).as("d")).head().getDouble(0)
+    val expected = 1.5 * 0.5 + (-2.0) * 4.0 + 3.25 * (-1.0)
+    assert(native == expected) // bit-exact: same fold order
+    assert(native == hof)
+    // null propagation
+    val n = spark.sql("SELECT graft_dot(NULL, a) AS d FROM dp").head()
+    assert(n.isNullAt(0))
+  }
+
   test("planes are reproducible across invocations (fixed LCG seed)") {
     assert(Similarity.planes == Similarity.planes)
     assert(Similarity.planes.length == Similarity.NumPlanes)
