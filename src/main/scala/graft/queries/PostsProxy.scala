@@ -24,6 +24,21 @@ object PostsProxy {
   case object SparkSql extends Dialect
   case object DuckSql extends Dialect
 
+  /** The 12 title templates (index = doc_id % 400 % 12). */
+  private val titleBranches: Seq[String] = Seq(
+    "'Hiring Senior Data Engineer | Remote | $' || (80 + doc_id % 400 % 37) || 'k - ' || (120 + doc_id % 400 % 53) || 'k | Python, AWS, Kubernetes'",
+    "'Job opening: Machine Learning Engineer in New York (USD ' || (90 + doc_id % 400 % 11) || '.5k - ' || (120 + doc_id % 400 % 31) || 'k) - PyTorch/SQL'",
+    "'Hiring backend engineer ' || (70 + doc_id % 400 % 19) || 'k-' || (95 + doc_id % 400 % 23) || 'k london'",
+    "'Question about data engineering careers'",
+    "'Networking opportunity for cloud folks'",
+    "'Discussion: C++ vs C# for hiring managers'",
+    "'€' || (55 + doc_id % 400 % 13) || 'k-' || (75 + doc_id % 400 % 17) || 'k DevOps position, Berlin/Hybrid'",
+    "'Vacancy: Research Scientist, NLP, Zurich ' || (120 + doc_id % 400 % 29) || 'k - ' || (150 + doc_id % 400 % 41) || 'k'",
+    "'Data analyst role (remote, US) — sql, python, tableau'",
+    "''",
+    "'Work from home: fullstack developer position with react and typescript'",
+    "text")
+
   /** SELECT producing: doc_id, post_id, title, url, author,
     * created_datetime, upvotes, comments_text, subreddit FROM documents. */
   def sql(d: Dialect): String = {
@@ -32,23 +47,24 @@ object PostsProxy {
       case SparkSql => "timestampadd(MINUTE, CAST(doc_id * 7 % 40320 AS INT), TIMESTAMP '2024-01-01 00:00:00')"
       case DuckSql  => "(TIMESTAMP '2024-01-01 00:00:00' + (doc_id * 7 % 40320) * INTERVAL 1 MINUTE)"
     }
+    // Spark renders the branch dispatch as element_at(array(...)):
+    // whole-stage codegen can split array children into separate methods,
+    // while one monolithic CASE blows janino's 64 KB method limit and
+    // forces interpreted fallback. DuckDB keeps the CASE — identical
+    // values either way.
+    val title = d match {
+      case SparkSql =>
+        titleBranches.mkString(
+          "element_at(array(", ", ", "), CAST(doc_id % 400 % 12 AS INT) + 1)")
+      case DuckSql =>
+        titleBranches.init.zipWithIndex
+          .map { case (b, i) => s"WHEN $i THEN $b" }
+          .mkString("CASE doc_id % 400 % 12 ", " ", s" ELSE ${titleBranches.last} END")
+    }
     s"""SELECT
        |  doc_id,
        |  'p' || (doc_id % 400) AS post_id,
-       |  CASE doc_id % 400 % 12
-       |    WHEN 0 THEN 'Hiring Senior Data Engineer | Remote | $$' || (80 + doc_id % 400 % 37) || 'k - ' || (120 + doc_id % 400 % 53) || 'k | Python, AWS, Kubernetes'
-       |    WHEN 1 THEN 'Job opening: Machine Learning Engineer in New York (USD ' || (90 + doc_id % 400 % 11) || '.5k - ' || (120 + doc_id % 400 % 31) || 'k) - PyTorch/SQL'
-       |    WHEN 2 THEN 'Hiring backend engineer ' || (70 + doc_id % 400 % 19) || 'k-' || (95 + doc_id % 400 % 23) || 'k london'
-       |    WHEN 3 THEN 'Question about data engineering careers'
-       |    WHEN 4 THEN 'Networking opportunity for cloud folks'
-       |    WHEN 5 THEN 'Discussion: C++ vs C# for hiring managers'
-       |    WHEN 6 THEN '€' || (55 + doc_id % 400 % 13) || 'k-' || (75 + doc_id % 400 % 17) || 'k DevOps position, Berlin/Hybrid'
-       |    WHEN 7 THEN 'Vacancy: Research Scientist, NLP, Zurich ' || (120 + doc_id % 400 % 29) || 'k - ' || (150 + doc_id % 400 % 41) || 'k'
-       |    WHEN 8 THEN 'Data analyst role (remote, US) — sql, python, tableau'
-       |    WHEN 9 THEN ''
-       |    WHEN 10 THEN 'Work from home: fullstack developer position with react and typescript'
-       |    ELSE text
-       |  END AS title,
+       |  $title AS title,
        |  CASE WHEN doc_id % 400 % 10 = 0 THEN NULL ELSE 'https://example.com/post/' || (doc_id % 400) END AS url,
        |  'user' || (doc_id % 400 % 50) AS author,
        |  $ts AS created_datetime,
