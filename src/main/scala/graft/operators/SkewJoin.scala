@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (builder-prompt scale toolkit). AQE's
+  * skew-join handles most cases at runtime; explicit salting is the
+  * deterministic fallback when one key dominates so heavily that even
+  * split shuffle blocks hot-spot a single executor (the classic 100 TB
+  * failure mode: one viral post_id / null-bucket key).
+  *
+  * Shape: the LEFT (large, skewed) side gets a deterministic salt in
+  * [0, n) derived from non-key columns; the RIGHT side is exploded n× so
+  * every (key, salt) pair finds its match. The join key becomes
+  * (key, salt) — the shuffle spreads each hot key over n partitions.
+  * Result equals the unsalted inner join exactly (verified in spec).
+  *
+  * The salt must be deterministic (hash of a row-unique column, not
+  * rand()) or retried tasks would re-salt differently — correctness
+  * under speculative execution and AQE re-optimization.
+  */
+object SkewJoin {
+
+  /** Inner-join `left` (skewed) with `right` (small) on `key`,
+    * spreading each left key across `salts` shuffle partitions.
+    * `saltBy` must be a deterministic per-row expression (e.g. a
+    * row-unique id column). */
+  def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
+                      saltBy: Column, salts: Int = 8): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(hash(saltBy), lit(salts)))
+    val exploded = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(exploded, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+}

@@ -17,6 +17,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
