@@ -107,6 +107,25 @@ object TextAnalysis {
   def bpeTokenCountSql(e: String): String =
     s"len(regexp_extract_all(lower($e), '$bpePattern'))"
 
+  // ---- PII / URL scrubbing (training-data hygiene) ----
+
+  /** (pattern, replacement) chain applied in order — order matters:
+    * emails before bare domains would, e.g., double-redact. Patterns are
+    * RE2-safe (no backrefs/lookarounds) so Java regex and DuckDB agree. */
+  val scrubRules: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\+?\\d[\\d -]{7,}\\d\\b" -> "<PHONE>")
+
+  def scrub(text: Column): Column =
+    scrubRules.foldLeft(text) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+
+  def scrubSql(e: String): String =
+    scrubRules.foldLeft(e) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '${p.replace("\\", "\\")}', '$r', 'g')"
+    }
+
   // ---- document fingerprinting ----
 
   val fpMod = 1000000007L

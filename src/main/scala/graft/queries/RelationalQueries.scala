@@ -270,6 +270,30 @@ object RelationalQueries {
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // TPC-H Q5-shaped 5-way join: local-supplier revenue per nation in
+    // one region/year. Facts sort-merge on their keys; all three
+    // dimension joins broadcast — on 100 TB only lineitem⋈orders
+    // shuffles, everything else rides the broadcast.
+    "q39_local_supplier_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation");   val r = t(s, dir, "region")
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val oneMinusD = (lit(1.0) - col("l_discount")).cast("decimal(3,2)")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "EUROPE" &&
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .groupBy("n_name")
+        .agg(sum(price * oneMinusD).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
     // Array-function suite: construction, reverse, slice, membership,
     // exact integer fold.
     "q38_array_funcs" -> ((s, dir) =>
@@ -427,6 +451,21 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN p END) AS DOUBLE) /
         |    count(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN 1 END) AS median_price
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q39_local_supplier_revenue" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "q38_array_funcs" ->
       """SELECT event_id,

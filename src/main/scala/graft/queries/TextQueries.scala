@@ -58,7 +58,35 @@ object TextQueries {
       docs(s, dir).select(
           col("doc_id"),
           fingerprint(tokens(col("text"))).as("fp"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // PII scrubbing: fixture docs carry no PII, so deterministic PII is
+    // injected per row, then redacted — the query checks the full
+    // pattern chain end-to-end.
+    "q44_scrub_pii" -> ((s, dir) =>
+      docs(s, dir).select(
+          col("doc_id"),
+          scrub(concat(
+            col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or http://site"), col("doc_id"),
+            lit(".io/page at 10.0.0."), (col("doc_id") % 255).cast("string")))
+            .as("clean_text"))
+        .orderBy("doc_id")),
+
+    // Corpus stats: top-5 tokens per language by frequency (explode →
+    // two-level aggregation → windowed top-k; at 100 TB the token count
+    // is a classic map-side-combine shape).
+    "q45_top_tokens" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("token").asc)
+      docs(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .orderBy("lang", "rank")
+    }))
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
@@ -89,6 +117,21 @@ object TextQueries {
 
       "q43_fingerprint" ->
         s"""SELECT doc_id, ${fingerprintSql(toksE)} AS fp
-           |FROM documents ORDER BY doc_id""".stripMargin)
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q44_scrub_pii" -> {
+        val injected = "text || ' contact user' || doc_id || '@example.com or http://site' || doc_id || '.io/page at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)"
+        s"""SELECT doc_id, ${scrubSql(s"($injected)")} AS clean_text
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "q45_top_tokens" ->
+        s"""WITH tok AS (SELECT lang, unnest($toksE) AS token FROM documents),
+           |cnt AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+           |rnk AS (SELECT lang, token, n,
+           |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+           |  FROM cnt)
+           |SELECT lang, token, n, rank FROM rnk WHERE rank <= 5
+           |ORDER BY lang, rank""".stripMargin)
   }
 }
