@@ -55,6 +55,40 @@ object SimilarityQueries {
         |    FROM emb_lsh q JOIN emb_lsh c ON q.bucket = c.bucket
         |      AND q.vec_id < $NumQueries AND c.vec_id <> q.vec_id))
         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+    }),
+
+    // IVF-style ANN: "train" 8 centroids (deterministically: the first 8
+    // vectors), assign every vector to its nearest centroid cell, search
+    // only the query's cell. Assignment is a broadcast cross join against
+    // 8 centroids (8·n dots); search is a cell equi-join — at 100 TB
+    // both stay shuffle-light, and more cells + multi-probe trade recall
+    // for cost.
+    "q57_ann_ivf" -> ((s, dir) => {
+      emb(s, dir).createOrReplaceTempView("emb_ivf")
+      s.sql(s"""
+        |WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+        |  FROM emb_ivf WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT v.vec_id, cid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY graft_dot(v.embedding, cemb) / (v.nrm * cnrm) DESC, cid ASC) AS rk
+        |  FROM emb_ivf v CROSS JOIN cent),
+        |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, cq.cell AS cell,
+        |    graft_dot(q.embedding, c.embedding) / (q.nrm * c.nrm) AS cosine
+        |  FROM emb_ivf q
+        |  JOIN cells cq ON cq.vec_id = q.vec_id AND q.vec_id < $NumQueries
+        |  JOIN cells cc ON cc.cell = cq.cell
+        |  JOIN emb_ivf c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cell, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cell, cosine, rank FROM ranked
+        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = {
@@ -86,6 +120,31 @@ object SimilarityQueries {
            |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
            |  FROM scored)
            |SELECT query_id, vec_id, bucket, cosine, rank FROM ranked
-           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+      "q57_ann_ivf" -> {
+        val cdot = Dedup.dotProductSql("v.embedding", "cemb")
+        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings),
+           |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 8),
+           |asg AS (
+           |  SELECT v.vec_id, cid,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY $cdot / (v.nrm * cnrm) DESC, cid ASC) AS rk
+           |  FROM e v CROSS JOIN cent),
+           |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rk = 1),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, cq.cell AS cell,
+           |    $dot / (q.nrm * c.nrm) AS cosine
+           |  FROM e q
+           |  JOIN cells cq ON cq.vec_id = q.vec_id AND q.vec_id < $NumQueries
+           |  JOIN cells cc ON cc.cell = cq.cell
+           |  JOIN e c ON c.vec_id = cc.vec_id AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cell, cosine,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id, cell, cosine, rank FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+      })
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Sink
+import graft.sources.Tables
+
+/** Golden-plan assertions (SURVEY.md §7.3 step 7): the physical plans
+  * must be the ones a 100 TB deployment needs — pushdown reaching the
+  * scan, broadcast on dimensions, sort-merge on facts, no object-level
+  * operators in the reference transform, partition pruning on the
+  * date-partitioned sink. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q20: filter and column pruning reach the parquet scan") {
+    val p = plan("q20_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string," +
+      "l_shipdate:timestamp>")) // 7 of 11 columns — the rest pruned
+  }
+
+  test("q21: dimension join is broadcast") {
+    assert(plan("q21_top_customers").contains("BroadcastHashJoin"))
+  }
+
+  test("q30: fact-fact join is sort-merge, dimension join is broadcast") {
+    // kill the size-based auto broadcast (sf0.001 facts are tiny): the
+    // plan must still broadcast the dimension via the explicit hint and
+    // sort-merge the fact-fact join — the shapes that hold at 100 TB.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q30_segment_revenue")
+      assert(p.contains("SortMergeJoin"))
+      assert(p.contains("BroadcastHashJoin"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q05 transform: pure expressions — no object-level operators") {
+    val p = plan("q05_transform")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"))
+    assert(p.contains("[codegen id :")) // whole-stage codegen spans exist
+  }
+
+  test("time-partitioned sink prunes partitions for high-water-mark reads") {
+    val out = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "sink").toString + "/events"
+    Sink.writeTimePartitioned(Tables.load(spark, dir, "events"), out, "ts")
+    val read = spark.read.parquet(out)
+      .where(col("dt") >= lit("2024-01-10"))
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(dt"), p)
+    // pruning is real: fewer input files than the full scan
+    val all = spark.read.parquet(out)
+    assert(read.count() < all.count())
+    assert(read.count() > 0)
+  }
+}
