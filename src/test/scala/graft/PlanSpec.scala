@@ -43,9 +43,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q05 transform: pure expressions — no object-level operators") {
-    val p = plan("q05_transform")
+    val df = SparkEntry.queries("q05_transform")(spark, dir)
+    df.count() // finalize the adaptive plan so codegen spans are assigned
+    val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"))
-    assert(p.contains("[codegen id :")) // whole-stage codegen spans exist
+    assert(p.contains("*(")) // whole-stage codegen spans exist
   }
 
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
