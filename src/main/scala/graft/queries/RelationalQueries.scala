@@ -294,6 +294,18 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // Approximate aggregates (HLL++ distinct sketch, quantile summary).
+    // NO oracle entries on purpose: sketch internals are engine-specific,
+    // so the driver records the weaker rows-only check; AggregatesSpec
+    // bounds the error vs the exact answers instead. At 100 TB these are
+    // the constant-memory substitutes for exact distinct/percentile.
+    "q46_approx_aggs" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type").agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // Array-function suite: construction, reverse, slice, membership,
     // exact integer fold.
     "q38_array_funcs" -> ((s, dir) =>
