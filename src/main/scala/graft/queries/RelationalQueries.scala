@@ -306,6 +306,41 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // ANALYZE-style one-pass column statistics (what a CBO or data-quality
+    // monitor collects): count / ndv / min / max per profiled column.
+    "q47_column_stats" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def statsFor(c: String) = o.agg(
+        lit(c).as("column"), count(lit(1)).as("n_rows"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("double").as("min_value"),
+        max(col(c)).cast("double").as("max_value"))
+      statsFor("o_totalprice").unionByName(statsFor("o_custkey"))
+        .orderBy("column")
+    }),
+
+    // Batch sessionization (gaps-and-islands): the batch twin of
+    // streaming sessionize — new session when the gap exceeds 30 min,
+    // island id = running sum of session-start markers.
+    "q48_sessions_batch" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        |WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, sess_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin)
+    }),
+
     // Array-function suite: construction, reverse, slice, membership,
     // exact integer fold.
     "q38_array_funcs" -> ((s, dir) =>
@@ -478,6 +513,32 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q47_column_stats" ->
+      """SELECT 'o_totalprice' AS "column", count(*) AS n_rows,
+        |  count(DISTINCT o_totalprice) AS ndv,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS min_value,
+        |  CAST(max(o_totalprice) AS DOUBLE) AS max_value FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE) FROM orders
+        |ORDER BY "column"""".stripMargin,
+
+    "q48_sessions_batch" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+        |  FROM events),
+        |numbered AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM marked)
+        |SELECT user_id, sess_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events
+        |FROM numbered GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin,
 
     "q38_array_funcs" ->
       """SELECT event_id,
