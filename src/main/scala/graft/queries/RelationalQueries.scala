@@ -306,6 +306,18 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // Same semantics as q23 but through the custom TopKPerKey logical/
+    // physical operator (graft.plans) instead of window+filter — the
+    // oracle equivalence proves the custom operator end-to-end.
+    "q49_topk_native" -> ((s, dir) =>
+      graft.operators.TopK.perKey(
+          t(s, dir, "orders"),
+          keys = Seq("o_custkey"),
+          order = Seq("o_totalprice" -> false, "o_orderkey" -> true),
+          k = 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+        .orderBy("o_custkey", "rank")),
+
     // ANALYZE-style one-pass column statistics (what a CBO or data-quality
     // monitor collects): count / ndv / min / max per profiled column.
     "q47_column_stats" -> ((s, dir) => {
@@ -513,6 +525,12 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q49_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
 
     "q47_column_stats" ->
       """SELECT 'o_totalprice' AS "column", count(*) AS n_rows,

@@ -50,6 +50,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(")) // whole-stage codegen spans exist
   }
 
+  test("q49: custom TopKPerKeyExec replaces Window, results identical to q23") {
+    val native = SparkEntry.queries("q49_topk_native")(spark, dir)
+    val p = native.queryExecution.sparkPlan.toString // pre-AQE physical plan
+    assert(p.contains("TopKPerKey"))
+    assert(!p.contains("Window"))
+    val window = SparkEntry.queries("q23_window_topk")(spark, dir)
+      .withColumnRenamed("rn", "rank")
+    assert(native.collect().toSeq == window.collect().toSeq)
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"
