@@ -35,28 +35,43 @@ object DedupQueries {
 
     // MinHash + LSH: shingle → 12-slot signature → 4 band keys →
     // band-bucket self-join for candidates → exact-Jaccard verify ≥ 0.5.
+    // Signatures are computed per DISTINCT title and candidate pairs
+    // expanded back to doc pairs afterwards (the q53 trick: 400 distinct
+    // titles vs 5000 docs at sf0.1 — 12× fewer md5 folds and a far
+    // smaller band join).
     "q51_minhash_lsh" -> ((s, dir) => {
-      val withSh = proxyTitles(s, dir)
+      val members = proxyTitles(s, dir)
+      members.createOrReplaceTempView("mh_members")
+      val tit = members.groupBy("title").agg(min(col("doc_id")).as("rep"))
         .withColumn("sh", Dedup.shingles(TextAnalysis.tokens(col("title"))))
-      val sig = withSh.withColumn("sig", Dedup.minhashSignature(col("sh")))
-      sig.select(col("doc_id"), explode(array((0 until Dedup.Bands).map(b =>
+      val sig = tit.withColumn("sig", Dedup.minhashSignature(col("sh")))
+      sig.select("title", "rep", "sh").createOrReplaceTempView("mh_sh")
+      sig.select(col("title"), col("rep"), explode(array((0 until Dedup.Bands).map(b =>
           struct(lit(b).as("band"), Dedup.bandKey(col("sig"), b).as("bkey"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+        .select(col("title"), col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         .createOrReplaceTempView("mh_bands")
-      withSh.select("doc_id", "sh").createOrReplaceTempView("mh_sh")
       s.sql("""
         |WITH cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  SELECT DISTINCT a.title AS title_a, b.title AS title_b
         |  FROM mh_bands a JOIN mh_bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT doc_a, doc_b,
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep <= b.rep),
+        |tj AS (
+        |  SELECT title_a, title_b,
         |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
         |      (size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))) AS jaccard
         |  FROM cand
-        |  JOIN mh_sh sa ON sa.doc_id = doc_a
-        |  JOIN mh_sh sb ON sb.doc_id = doc_b)
-        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)
+        |  JOIN mh_sh sa ON sa.title = title_a
+        |  JOIN mh_sh sb ON sb.title = title_b),
+        |sel AS (SELECT * FROM tj WHERE jaccard >= 0.5)
+        |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+        |       greatest(ma.doc_id, mb.doc_id) AS doc_b,
+        |       max(jaccard) AS jaccard
+        |FROM sel
+        |JOIN mh_members ma ON ma.title = sel.title_a
+        |JOIN mh_members mb ON mb.title = sel.title_b
+        |WHERE ma.doc_id <> mb.doc_id
+        |GROUP BY least(ma.doc_id, mb.doc_id), greatest(ma.doc_id, mb.doc_id)
+        |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
     // SimHash: 16-bit signature per doc + bucket size (identical
