@@ -318,6 +318,21 @@ object RelationalQueries {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
         .orderBy("o_custkey", "rank")),
 
+    // As-of join (graft.operators.AsOfJoin union+window algorithm) — for
+    // each click, the user's latest prior purchase. The oracle is
+    // DuckDB's NATIVE ASOF JOIN, so the algorithm is differentially
+    // proven against an independent implementation.
+    "q58_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin
+        .leftAsOf(clicks, purchases, "user_id", "ts", "ts", Seq("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // ANALYZE-style one-pass column statistics (what a CBO or data-quality
     // monitor collects): count / ndv / min / max per profiled column.
     "q47_column_stats" -> ((s, dir) => {
@@ -525,6 +540,17 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q58_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS pts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT c.event_id, c.user_id, c.ts, p.pts AS matched_ts, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.pts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q49_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

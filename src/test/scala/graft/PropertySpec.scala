@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.JobText
+import graft.operators.{Merge, Transform}
+
+/** Property tests (SURVEY.md §5.3): generated-input invariants for the
+  * extraction semantics and the dedup/merge algebra. Generators are
+  * driven with fixed seeds (pureApply) so failures reproduce exactly. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(8))
+
+  test("salary extraction: lower==g2*1000 and upper==g3*1000 for generated ranges") {
+    val cases = samples(Gen.zip(Gen.choose(1, 999), Gen.choose(1, 999), word), 20)
+    val df = cases.map { case (lo, hi, w) => (s"$w hiring ${lo}k - ${hi}k", lo, hi) }
+      .toDF("title", "lo", "hi")
+      .select(col("lo"), col("hi"), JobText.salaryStruct(col("title")).as("s"))
+      .select("lo", "hi", "s.*")
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("lower_salary") == r.getAs[Int]("lo") * 1000.0)
+      assert(r.getAs[Double]("upper_salary") == r.getAs[Int]("hi") * 1000.0)
+      assert(r.getAs[String]("salary_currency") != null) // word or 'None', never NULL on match
+    }
+  }
+
+  test("dedup idempotence and keeper-minimality on generated multisets") {
+    samples(Gen.listOfN(30, Gen.zip(Gen.choose(1, 5), Gen.choose(1L, 1000L))), 5)
+      .foreach { rows =>
+        val df = rows.zipWithIndex
+          .map { case ((k, v), i) => (s"k$k", v, i.toLong) }.toDF("k", "v", "ord")
+        val once = Transform.dedupFirst(df, Seq("k"), Seq("ord"))
+        val twice = Transform.dedupFirst(once, Seq("k"), Seq("ord"))
+        val got = once.select("k", "ord").as[(String, Long)].collect().toMap
+        val expected = rows.zipWithIndex
+          .groupBy { case ((k, _), _) => s"k$k" }
+          .view.mapValues(_.map(_._2.toLong).min).toMap
+        assert(got == expected) // keeper is the minimal ord per key
+        assert(once.collect().toSet == twice.collect().toSet)
+      }
+  }
+
+  test("merge algebra: idempotent, updates win, non-conflicting target survives") {
+    val gen = Gen.zip(
+      Gen.listOfN(15, Gen.zip(Gen.choose(1, 10), Gen.choose(1L, 100L))),
+      Gen.listOfN(8, Gen.zip(Gen.choose(5, 15), Gen.choose(101L, 200L))))
+    samples(gen, 5).foreach { case (t, u) =>
+      val tPairs = t.map { case (k, v) => (s"k$k", v) }.distinctBy(_._1)
+      val uPairs = u.map { case (k, v) => (s"k$k", v) }.distinctBy(_._1)
+      val once = Merge.upsert(tPairs.toDF("k", "v"), uPairs.toDF("k", "v"), Seq("k"))
+        .as[(String, Long)].collect().toMap
+      val twice = Merge.upsert(
+        Merge.upsert(tPairs.toDF("k", "v"), uPairs.toDF("k", "v"), Seq("k")),
+        uPairs.toDF("k", "v"), Seq("k"))
+        .as[(String, Long)].collect().toMap
+      assert(once == tPairs.toMap ++ uPairs.toMap)
+      assert(once == twice)
+    }
+  }
+}
