@@ -333,6 +333,24 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Range join (graft.operators.RangeJoin): every event inside an
+    // "incident window" — intervals derived from every 97th event, with
+    // a 0–4 h duration from its value. The oracle is DuckDB's native
+    // inequality join, so the bucketization is differentially proven.
+    // floor(value*7) (not CAST) because Spark truncates double→int while
+    // DuckDB rounds.
+    "q59_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val minutes = pmod(floor(col("value") * 7).cast("int"), lit(240))
+      val incidents = e.where(col("event_id") % 97 === 0)
+        .select(col("event_id").as("incident_id"), col("ts").as("start_ts"),
+          (col("ts") + minutes.cast("string").cast("interval minute")).as("end_ts"))
+      graft.operators.RangeJoin.containmentJoin(
+          e.select("event_id", "ts"), "ts", incidents, "start_ts", "end_ts")
+        .select("event_id", "incident_id", "ts", "start_ts", "end_ts")
+        .orderBy("event_id", "incident_id")
+    }),
+
     // ANALYZE-style one-pass column statistics (what a CBO or data-quality
     // monitor collects): count / ndv / min / max per profiled column.
     "q47_column_stats" -> ((s, dir) => {
@@ -540,6 +558,15 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q59_range_join" ->
+      """WITH inc AS (
+        |  SELECT event_id AS incident_id, ts AS start_ts,
+        |    ts + (((CAST(floor(value * 7) AS INT) % 240) + 240) % 240) * INTERVAL 1 MINUTE AS end_ts
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT e.event_id, incident_id, e.ts, start_ts, end_ts
+        |FROM events e JOIN inc ON e.ts >= start_ts AND e.ts <= end_ts
+        |ORDER BY event_id, incident_id""".stripMargin,
 
     "q58_asof_join" ->
       """WITH clicks AS (
