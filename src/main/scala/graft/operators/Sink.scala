@@ -20,4 +20,34 @@ object Sink {
       .write.mode("overwrite")
       .partitionBy("dt")
       .parquet(path)
+
+  /** SNK1 at scale: keyed upsert against a date-partitioned target that
+    * reads and rewrites ONLY the partitions the batch touches (dynamic
+    * partition overwrite). A day's micro-batch against a years-deep
+    * 100 TB sink costs O(touched days), not O(history) — the reference's
+    * ON CONFLICT upsert restated for object storage. Updates must carry
+    * `tsCol`; rows may move partitions only if their own timestamp
+    * changed, which a keyed upsert forbids by construction. */
+  def upsertTimePartitioned(spark: org.apache.spark.sql.SparkSession,
+                            targetPath: String, updates: DataFrame,
+                            keys: Seq[String], tsCol: String): Unit = {
+    val up = updates.withColumn("dt", to_date(col(tsCol)))
+    val touched = up.select("dt").distinct().collect().map(_.getDate(0)).toSeq
+    val existing = spark.read.parquet(targetPath)
+      .where(col("dt").isin(touched: _*))
+    val merged = Merge.upsert(existing, up.select(existing.columns.map(col).toSeq: _*), keys)
+      .persist()
+    merged.count() // materialize before overwriting source partitions
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      merged.write.mode("overwrite").partitionBy("dt").parquet(targetPath)
+    finally {
+      merged.unpersist()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
 }

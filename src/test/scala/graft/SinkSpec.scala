@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Quarantine, Sink}
+
+/** Partition-aware upsert + quarantine specs. */
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("upsertTimePartitioned rewrites only touched partitions") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "psink").toString + "/posts"
+    val seed = Seq(
+      ("p1", ts("2024-01-01 10:00:00"), "v1"),
+      ("p2", ts("2024-01-02 10:00:00"), "v1"),
+      ("p3", ts("2024-01-03 10:00:00"), "v1")).toDF("post_id", "ts", "v")
+    Sink.writeTimePartitioned(seed, base, "ts")
+
+    def filesOf(day: String) =
+      new java.io.File(s"$base/dt=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val day1Before = filesOf("2024-01-01")
+    val day2Before = filesOf("2024-01-02")
+
+    // batch touches only Jan-2: update p2, insert p4
+    val batch = Seq(
+      ("p2", ts("2024-01-02 10:00:00"), "v2"),
+      ("p4", ts("2024-01-02 18:00:00"), "v1")).toDF("post_id", "ts", "v")
+    Sink.upsertTimePartitioned(spark, base, batch, Seq("post_id"), "ts")
+
+    assert(filesOf("2024-01-01") == day1Before) // untouched partition: same files
+    assert(filesOf("2024-01-02") != day2Before) // touched partition rewritten
+    val all = spark.read.parquet(base)
+      .select("post_id", "v").as[(String, String)].collect().toMap
+    assert(all == Map("p1" -> "v1", "p2" -> "v2", "p3" -> "v1", "p4" -> "v1"))
+  }
+
+  test("quarantine splits rows by named rules, nulls count as violations") {
+    val df = Seq(
+      (1L, Some("ok"), 5),
+      (2L, None, 5),        // null title
+      (3L, Some("ok"), -1), // negative count
+      (4L, Some(""), -2)    // both
+    ).toDF("id", "title", "n")
+    val (valid, rejects) = Quarantine.split(df, Seq(
+      "title_nonempty" -> (col("title").isNotNull && col("title") =!= ""),
+      "n_nonnegative" -> (col("n") >= 0)))
+    assert(valid.select("id").as[Long].collect().toSeq == Seq(1L))
+    val r = rejects.select(col("id"), col("reject_reasons"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (2L, Seq("title_nonempty")),
+      (3L, Seq("n_nonnegative")),
+      (4L, Seq("title_nonempty", "n_nonnegative"))))
+  }
+}
