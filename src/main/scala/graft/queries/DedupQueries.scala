@@ -128,6 +128,22 @@ object DedupQueries {
         |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
+    // Incremental dedup: a new batch (doc_id >= 250) checked against the
+    // already-ingested corpus (doc_id < 250) by content hash — the D2
+    // pattern a continuously-fed training pipeline runs every batch. The
+    // anti-join broadcasts the batch's hashes; the historical corpus is
+    // scanned once, never shuffled.
+    "q67_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val history = d.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("h"))
+      val batch = d.where(col("doc_id") >= 250)
+        .withColumn("h", md5(col("text")))
+      batch.join(history, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h").as("text_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine near-dup pairs (the exactness baseline; the
     // LSH-bucketed scale path is q56 in SimilarityQueries). The O(n²·d)
     // dot-product kernel is the native codegen'd graft_dot expression
@@ -193,6 +209,12 @@ object DedupQueries {
            |    ${Dedup.jaccardSql("a.cg", "b.cg")} AS jaccard
            |  FROM cg a JOIN cg b ON a.blk = b.blk AND a.doc_id < b.doc_id)
            |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+      "q67_incremental_dedup" ->
+        """SELECT doc_id, md5(text) AS text_hash FROM documents b
+          |WHERE doc_id >= 250 AND NOT EXISTS (
+          |  SELECT 1 FROM documents h WHERE h.doc_id < 250 AND md5(h.text) = md5(b.text))
+          |ORDER BY doc_id""".stripMargin,
 
       "q54_embedding_dup" ->
         s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings)

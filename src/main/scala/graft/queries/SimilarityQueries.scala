@@ -57,6 +57,34 @@ object SimilarityQueries {
         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
     }),
 
+    // Multi-probe LSH: same bucket structure as q56, but each query also
+    // probes the 8 buckets at Hamming distance 1 (bucket XOR each bit) —
+    // the standard recall-vs-cost lever when a neighbor lands across a
+    // hyperplane. Probes explode 9× on the tiny query side only; the
+    // corpus is still touched through one bucket equi-join.
+    "q66_ann_multiprobe" -> ((s, dir) => {
+      emb(s, dir).withColumn("bucket", Similarity.bucket(col("embedding")))
+        .createOrReplaceTempView("emb_mp")
+      val xors = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
+        .map(i => s"bucket ^ ${1 << i}")).mkString("array(", ", ", ")")
+      s.sql(s"""
+        |WITH probes AS (
+        |  SELECT vec_id, embedding, nrm, explode($xors) AS probe
+        |  FROM emb_mp WHERE vec_id < $NumQueries),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.bucket AS bucket,
+        |    graft_dot(q.embedding, c.embedding) / (q.nrm * c.nrm) AS cosine
+        |  FROM probes q JOIN emb_mp c ON c.bucket = q.probe
+        |    AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, vec_id, bucket, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, bucket, cosine, rank FROM ranked
+        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+    }),
+
     // IVF-style ANN: "train" 8 centroids (deterministically: the first 8
     // vectors), assign every vector to its nearest centroid cell, search
     // only the query's cell. Assignment is a broadcast cross join against
@@ -121,6 +149,26 @@ object SimilarityQueries {
            |  FROM scored)
            |SELECT query_id, vec_id, bucket, cosine, rank FROM ranked
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+
+      "q66_ann_multiprobe" -> {
+        val probesList = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
+          .map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm,
+           |    ${Similarity.bucketSql("embedding")} AS bucket FROM embeddings),
+           |probes AS (
+           |  SELECT vec_id, embedding, nrm, unnest($probesList) AS probe
+           |  FROM e WHERE vec_id < $NumQueries),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.bucket AS bucket,
+           |    $dot / (q.nrm * c.nrm) AS cosine
+           |  FROM probes q JOIN e c ON c.bucket = q.probe AND c.vec_id <> q.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, bucket, cosine,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT query_id, vec_id, bucket, cosine, rank FROM ranked
+           |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+      },
 
       "q57_ann_ivf" -> {
         val cdot = Dedup.dotProductSql("v.embedding", "cemb")
