@@ -333,6 +333,18 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Batch twin of the streaming windowed aggregation: 10-minute
+    // tumbling windows (Spark window() vs DuckDB time_bucket — both
+    // align to multiples of the width from a common origin).
+    "q68_tumbling_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).as("total"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("window_start", "event_type")),
+
     // Range join (graft.operators.RangeJoin): every event inside an
     // "incident window" — intervals derived from every 97th event, with
     // a 0–4 h duration from its value. The oracle is DuckDB's native
@@ -558,6 +570,12 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q68_tumbling_windows" ->
+      """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, event_type,
+        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS total
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q59_range_join" ->
       """WITH inc AS (
