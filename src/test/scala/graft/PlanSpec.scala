@@ -60,6 +60,27 @@ class PlanSpec extends SparkSpec {
     assert(native.collect().toSeq == window.collect().toSeq)
   }
 
+  test("TopKFilterPushdown: key filter crosses the custom operator to the scan") {
+    import graft.operators.TopK
+    val base = TopK.perKey(
+      graft.sources.Tables.load(spark, dir, "orders"),
+      keys = Seq("o_custkey"),
+      order = Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 2)
+    val filtered = base.where(col("o_custkey") < 50)
+    val p = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // pushed through TopKPerKey all the way into the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,50)]"), p)
+    // a non-key filter must NOT be pushed (it would change ranking)
+    val rankFiltered = base.where(col("rank") === 1)
+    val p2 = rankFiltered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p2.contains("PushedFilters: [IsNotNull(rank)"))
+    // semantics: pushdown result == filter-after-the-fact
+    val expected = base.collect().filter(_.getAs[Long]("o_custkey") < 50).toSet
+    assert(filtered.collect().toSet == expected)
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"
