@@ -333,6 +333,27 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Ranking-function suite: rank/dense_rank/ntile/percent_rank/
+    // cume_dist/lead/first_value over one window definition. The ratio
+    // functions are exact-int divisions → engine-portable.
+    "q69_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 100) // keep the result set bounded
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first_value(col("o_orderkey")).over(w).as("top_key"))
+        .orderBy("o_orderstatus", "rnk", "o_orderkey")
+    }),
+
     // Batch twin of the streaming windowed aggregation: 10-minute
     // tumbling windows (Spark window() vs DuckDB time_bucket — both
     // align to multiples of the width from a common origin).
@@ -570,6 +591,17 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q69_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile, percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  first_value(o_orderkey) OVER w AS top_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin,
 
     "q68_tumbling_windows" ->
       """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, event_type,

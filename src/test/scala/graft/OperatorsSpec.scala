@@ -80,6 +80,20 @@ class OperatorsSpec extends SparkSpec {
     assert(sig("sa") != sig("sc"))
   }
 
+  test("transform output conforms to the reference posts DDL schema") {
+    val out = graft.queries.ReferenceQueries
+      .queries("q05_transform")(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.types.{ArrayType, DataType}
+    def norm(t: DataType): DataType = t match {
+      case ArrayType(e, _) => ArrayType(e) // containsNull is immaterial here
+      case other => other
+    }
+    val expected = graft.sources.Tables.posts.fields
+      .map(f => f.name -> norm(f.dataType)).toSeq
+    val got = out.schema.fields.map(f => f.name -> norm(f.dataType)).toSeq
+    assert(got == expected) // same 15 columns, same order, same types
+  }
+
   test("simhash: identical token multisets agree; range fits 16 bits") {
     val df = Seq(("spark fast table", "spark fast table", "zzz qqq"))
       .toDF("a", "b", "c").select(
