@@ -76,6 +76,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FailureListener captures failed actions (ST5 alert callback)") {
+    val listener = new graft.streaming.FailureListener
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      intercept[Exception] {
+        Seq(0L).toDF("id")
+          .select(expr("assert_true(id > 0)")).collect()
+      }
+      // listener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.failures.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.failures.nonEmpty)
+      assert(listener.failures.head._1 == "collect")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("foreachBatch upsert sink is idempotent across replays") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
