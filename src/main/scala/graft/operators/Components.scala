@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by smallest-label propagation — the step after
+  * near-dup pair mining that decides WHICH document survives: every doc
+  * in a duplicate cluster maps to the cluster's minimal doc id.
+  *
+  * Iterative driver loop (the Pregel-style shape for algorithms one
+  * Catalyst plan can't express): each round joins labels to the
+  * symmetrized edge list, takes the per-node min over neighbor labels,
+  * and stops when no label changed. `localCheckpoint` truncates lineage
+  * every round — without it the plan doubles per iteration and the
+  * optimizer, not the data, becomes the bottleneck. Rounds needed =
+  * graph diameter ≤ maxIter; each round is one shuffle-join + one
+  * aggregation over the edge list, so 100 TB-scale components cost
+  * O(diameter) passes, not O(n²).
+  */
+object Components {
+
+  /** @param edges undirected edges; first two columns are the node pair
+    * @return (node, component) — component = min reachable node id */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Seq(a, b) = edges.columns.take(2).toSeq
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct().localCheckpoint()
+
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.where(col("label") =!= col("old_label")).count()
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.Dedup
+import graft.operators.{Components, Dedup}
 import graft.sources.Tables
 
 /** Deduplication extension queries (q50–q54): exact hash dedup, MinHash
@@ -128,6 +128,17 @@ object DedupQueries {
         |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
+    // Duplicate-cluster assignment: connected components over the q51
+    // near-dup pair graph — every doc in a cluster maps to the minimal
+    // doc id, i.e. the row that survives dedup. Oracle: DuckDB recursive
+    // CTE transitive closure over the SAME pair list.
+    "q70_dup_clusters" -> ((s, dir) => {
+      val pairs = queries("q51_minhash_lsh")(s, dir).select("doc_a", "doc_b")
+      Components.connectedComponents(pairs)
+        .orderBy("node")
+        .select(col("node").as("doc_id"), col("component").as("cluster"))
+    }),
+
     // Incremental dedup: a new batch (doc_id >= 250) checked against the
     // already-ingested corpus (doc_id < 250) by content hash — the D2
     // pattern a continuously-fed training pipeline runs every batch. The
@@ -163,6 +174,28 @@ object DedupQueries {
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     }))
 
+  /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle. */
+  private lazy val q51OracleSql: String = {
+    val cte = PostsProxy.duckCte
+    val toksE = TextAnalysis.tokensSql("title")
+    val docsCte = s"docs AS (SELECT doc_id, title FROM posts_proxy WHERE title <> '')"
+    val bandRows = (0 until Dedup.Bands).map(b =>
+      s"SELECT doc_id, $b AS band, ${Dedup.bandKeySql("sig", b)} AS bkey FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""$cte, $docsCte,
+       |sh AS (SELECT doc_id, ${Dedup.shinglesSql(toksE)} AS sh FROM docs),
+       |sigs AS (SELECT doc_id, sh, ${Dedup.minhashSignatureSql("sh")} AS sig FROM sh),
+       |bands AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = {
     val cte = PostsProxy.duckCte
     val toksE = TextAnalysis.tokensSql("title")
@@ -172,23 +205,22 @@ object DedupQueries {
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
 
-      "q51_minhash_lsh" -> {
-        val bandRows = (0 until Dedup.Bands).map(b =>
-          s"SELECT doc_id, $b AS band, ${Dedup.bandKeySql("sig", b)} AS bkey FROM sigs")
-          .mkString(" UNION ALL ")
-        s"""$cte, $docsCte,
-           |sh AS (SELECT doc_id, ${Dedup.shinglesSql(toksE)} AS sh FROM docs),
-           |sigs AS (SELECT doc_id, sh, ${Dedup.minhashSignatureSql("sh")} AS sig FROM sh),
-           |bands AS ($bandRows),
-           |cand AS (
-           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-           |SELECT doc_a, doc_b, jaccard FROM (
-           |  SELECT doc_a, doc_b, ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS jaccard
-           |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-           |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-      },
+      "q51_minhash_lsh" -> q51OracleSql,
+
+      "q70_dup_clusters" ->
+        s"""WITH RECURSIVE pairs AS (
+           |$q51OracleSql
+           |),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION
+           |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+           |SELECT node AS doc_id, min(r) AS cluster
+           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
 
       "q52_simhash" ->
         s"""$cte, $docsCte,
