@@ -333,6 +333,47 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Sliding windows (width 10 min, slide 5 min): each event lands in
+    // two overlapping windows. Spark's window() emits both natively; the
+    // oracle reconstructs them by exploding the two candidate starts.
+    "q71_sliding_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")),
+
+    // Funnel: users who completed view → click → purchase in strict
+    // temporal order (min event time per stage, ordered).
+    "q72_funnel" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+        .where(col("first_view") < col("first_click") &&
+               col("first_click") < col("first_purchase"))
+        .orderBy("user_id")),
+
+    // Cohort retention: users grouped by first-activity week, counted by
+    // weeks-since-cohort for each later activity week.
+    "q73_cohort_retention" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql("""
+        |WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    CAST(datediff(CAST(date_trunc('week', e.ts) AS DATE),
+        |         CAST(f.cohort_week AS DATE)) / 7 AS INT) AS weeks_since
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        |SELECT cohort_week, weeks_since, count(*) AS n_users
+        |FROM activity GROUP BY cohort_week, weeks_since
+        |ORDER BY cohort_week, weeks_since""".stripMargin)
+    }),
+
     // Ranking-function suite: rank/dense_rank/ntile/percent_rank/
     // cume_dist/lead/first_value over one window definition. The ratio
     // functions are exact-int divisions → engine-portable.
@@ -591,6 +632,39 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q71_sliding_windows" ->
+      """WITH exploded AS (
+        |  SELECT event_type,
+        |    unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+        |            time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM exploded GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q72_funnel" ->
+      """SELECT user_id, first_view, first_click, first_purchase FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |WHERE first_view < first_click AND first_click < first_purchase
+        |ORDER BY user_id""".stripMargin,
+
+    "q73_cohort_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    CAST(datediff('day', CAST(f.cohort_week AS DATE),
+        |         CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS weeks_since
+        |  FROM events e JOIN firsts f ON e.user_id = f.user_id)
+        |SELECT cohort_week, weeks_since, count(*) AS n_users
+        |FROM activity GROUP BY cohort_week, weeks_since
+        |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "q69_window_suite" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
