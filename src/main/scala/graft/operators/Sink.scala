@@ -21,6 +21,23 @@ object Sink {
       .partitionBy("dt")
       .parquet(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Streaming/incremental sinks accrete
+    * tiny files (one per micro-batch per partition); at 100 TB the
+    * resulting footer/task overhead dominates scans, so periodic
+    * compaction is part of the sink contract, not an afterthought. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / BigInt(targetBytes)).toInt)
+    val tmp = path + ".compacting"
+    df.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    val fs = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(tmp), fs)
+  }
+
   /** SNK1 at scale: keyed upsert against a date-partitioned target that
     * reads and rewrites ONLY the partitions the batch touches (dynamic
     * partition overwrite). A day's micro-batch against a years-deep
