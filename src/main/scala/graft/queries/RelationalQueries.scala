@@ -333,6 +333,30 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Generator suite: posexplode (index-preserving explode) over a
+    // derived array; the oracle reconstructs positions via range+index.
+    "q74_generators" -> ((s, dir) =>
+      t(s, dir, "events")
+        .where(col("event_id") < 1000)
+        .withColumn("arr", sequence(lit(1L), col("event_id") % 4 + 1))
+        .select(col("event_id"), posexplode(col("arr")).as(Seq("pos", "val")))
+        .orderBy("event_id", "pos")),
+
+    // Fuzzy matching: Levenshtein distance between part names within a
+    // brand block (blocking keeps the pair space linear-ish; the classic
+    // entity-resolution shape).
+    "q75_levenshtein" -> ((s, dir) => {
+      t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+        .createOrReplaceTempView("parts_lev")
+      s.sql("""
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM parts_lev a JOIN parts_lev b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY key_a, key_b""".stripMargin)
+    }),
+
     // Sliding windows (width 10 min, slide 5 min): each event lands in
     // two overlapping windows. Spark's window() emits both natively; the
     // oracle reconstructs them by exploding the two candidate starts.
@@ -632,6 +656,22 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q74_generators" ->
+      """WITH arrs AS (
+        |  SELECT event_id, range(1, event_id % 4 + 2) AS arr
+        |  FROM events WHERE event_id < 1000),
+        |ix AS (SELECT event_id, arr, unnest(range(0, len(arr))) AS pos FROM arrs)
+        |SELECT event_id, pos, arr[pos + 1] AS val
+        |FROM ix ORDER BY event_id, pos""".stripMargin,
+
+    "q75_levenshtein" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |ORDER BY key_a, key_b""".stripMargin,
 
     "q71_sliding_windows" ->
       """WITH exploded AS (
