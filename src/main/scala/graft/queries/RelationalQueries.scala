@@ -343,16 +343,19 @@ object RelationalQueries {
         .orderBy("event_id", "pos")),
 
     // Fuzzy matching: Levenshtein distance between part names within a
-    // brand block (blocking keeps the pair space linear-ish; the classic
-    // entity-resolution shape).
+    // (brand, type, first name token) block — the entity-resolution
+    // shape; tighter blocking keys are THE lever that keeps the pair
+    // space (and Spark's per-call levenshtein overhead) from exploding.
     "q75_levenshtein" -> ((s, dir) => {
-      t(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+      t(s, dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
         .createOrReplaceTempView("parts_lev")
       s.sql("""
         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  levenshtein(a.p_name, b.p_name) AS dist
         |FROM parts_lev a JOIN parts_lev b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |  AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY key_a, key_b""".stripMargin)
     }),
@@ -669,7 +672,9 @@ object RelationalQueries {
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  levenshtein(a.p_name, b.p_name) AS dist
         |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |  AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY key_a, key_b""".stripMargin,
 
