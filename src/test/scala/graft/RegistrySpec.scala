@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Registry consistency: Map ++ silently overrides duplicate keys, so a
+  * name collision between query modules would drop coverage without any
+  * failure — pin the arithmetic here. */
+class RegistrySpec extends AnyFunSuite {
+
+  private val modules = Seq(
+    "reference" -> ReferenceQueries.queries.keySet,
+    "relational" -> RelationalQueries.queries.keySet,
+    "text" -> TextQueries.queries.keySet,
+    "dedup" -> DedupQueries.queries.keySet,
+    "similarity" -> SimilarityQueries.queries.keySet,
+    "multimodal" -> MultimodalQueries.queries.keySet,
+    "sampling" -> SamplingQueries.queries.keySet)
+
+  test("no query-name collisions across modules") {
+    val total = modules.map(_._2.size).sum
+    assert(total == SparkEntry.queries.size,
+      s"collision: modules sum to $total but merged registry has ${SparkEntry.queries.size}")
+  }
+
+  test("every oracle refers to a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("rows-only queries (no oracle) are the documented exceptions only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q46_approx_aggs", "q61_media_features"),
+      s"undocumented rows-only queries: $noOracle")
+  }
+}
