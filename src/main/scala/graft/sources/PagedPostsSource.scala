@@ -99,6 +99,7 @@ private class PagedPostsReader(dir: String, first: String, required: StructType)
 
   private val mapper = new ObjectMapper()
   private var nextPage: Option[String] = Some(first)
+  private val visited = mutable.Set.empty[String] // cyclic next-links must terminate
   private val buffer = mutable.Queue.empty[InternalRow]
   private val fieldNames = required.fields.map(_.name)
 
@@ -138,6 +139,7 @@ private class PagedPostsReader(dir: String, first: String, required: StructType)
   private def loadPage(name: String): Unit = {
     val file = new java.io.File(dir, name)
     nextPage = None
+    if (!visited.add(name)) return // already scanned: a link cycle, stop
     if (file.exists()) {
       val src = scala.io.Source.fromFile(file, "UTF-8")
       try src.getLines().foreach { line =>

@@ -44,6 +44,17 @@ class PagedPostsSourceSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("cyclic next-links terminate instead of looping forever") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "cyc").toString
+    Files.writeString(Paths.get(dir, "page-0.json"),
+      """{"post_id":"p1","title":"t","url":"u","author":"a","created_utc_ms":1,"upvotes":1,"comments_text":"c","subreddit":"r"}
+        |{"next":"page-1.json"}""".stripMargin)
+    Files.writeString(Paths.get(dir, "page-1.json"),
+      """{"post_id":"p2","title":"t","url":"u","author":"a","created_utc_ms":2,"upvotes":1,"comments_text":"c","subreddit":"r"}
+        |{"next":"page-0.json"}""".stripMargin) // cycle back
+    assert(read(dir).count() == 2) // each page read exactly once
+  }
+
   test("feeds the reference transform chain end-to-end") {
     val raw = read(writePages())
       .withColumn("created_datetime", timestamp_millis(col("created_utc_ms")))
