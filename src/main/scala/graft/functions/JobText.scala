@@ -44,7 +44,9 @@ object JobText {
   /** DuckDB rendering of salaryStruct's three fields, given a lowered-title
     * SQL expression. regexp_extract returns '' on no-match in both engines. */
   def salarySqlFields(titleExpr: String): (String, String, String) = {
-    val p = salaryPattern.replace("\\", "\\") // same pattern text in RE2
+    // same pattern text works in RE2: DuckDB single-quoted strings do not
+    // process backslash escapes, so NO re-escaping may be applied here
+    val p = salaryPattern
     val lo = s"regexp_extract(lower($titleExpr), '$p', 2)"
     val hi = s"regexp_extract(lower($titleExpr), '$p', 3)"
     val cur = s"regexp_extract(lower($titleExpr), '$p', 1)"

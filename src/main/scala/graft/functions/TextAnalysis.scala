@@ -123,7 +123,9 @@ object TextAnalysis {
 
   def scrubSql(e: String): String =
     scrubRules.foldLeft(e) { case (acc, (p, r)) =>
-      s"regexp_replace($acc, '${p.replace("\\", "\\")}', '$r', 'g')"
+      // pattern used verbatim: DuckDB single-quoted strings don't process
+      // backslash escapes, so no re-escaping may be applied
+      s"regexp_replace($acc, '$p', '$r', 'g')"
     }
 
   // ---- document fingerprinting ----

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges undirected edges; first two columns are the node pair
-    * @return (node, component) — component = min reachable node id */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * @return (node, component) — component = min reachable node id
+    * @throws IllegalStateException if labels have not converged after
+    *         `maxIter` rounds (rounds needed = graph diameter) — a
+    *         silent partial result would fail the differential oracle
+    *         with no hint of the cause. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val Seq(a, b) = edges.columns.take(2).toSeq
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
@@ -46,6 +50,10 @@ object Components {
       labels = next.select("node", "label")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($changed labels still changing) — graph diameter exceeds maxIter")
     labels.withColumnRenamed("label", "component")
   }
 }

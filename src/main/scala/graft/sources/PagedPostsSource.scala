@@ -125,14 +125,18 @@ private class PagedPostsReader(dir: String, first: String, required: StructType)
     case other => throw new IllegalArgumentException(other)
   }
 
+  private val allFieldNames = PagedPostsSource.schema.fields.map(_.name)
+  private val requiredIdx = fieldNames.map(f => allFieldNames.indexOf(f))
+
   private def toRow(n: JsonNode): Option[InternalRow] = {
     // Per-row quarantine, like the reference's try/except per element.
-    // Validity is a property of the WHOLE record — validate every field
-    // even when the projection pruned it (otherwise `count()`, whose
-    // required schema is empty, would count rows a full read drops).
+    // Validity is a property of the WHOLE record — every field is parsed
+    // (once) even when the projection pruned it (otherwise `count()`,
+    // whose required schema is empty, would count rows a full read
+    // drops); the pruned row then projects the parsed values.
     try {
-      PagedPostsSource.schema.fields.foreach(f => parseField(n, f.name))
-      Some(InternalRow.fromSeq(fieldNames.map(parseField(n, _)).toIndexedSeq))
+      val parsed = allFieldNames.map(parseField(n, _))
+      Some(InternalRow.fromSeq(requiredIdx.map(parsed).toIndexedSeq))
     } catch { case _: Exception => None }
   }
 
