@@ -74,6 +74,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("graft_dot nulls the result on a null array ELEMENT (oracle parity)") {
+    // DuckDB's rendering propagates NULL through the fold; the native
+    // expression must agree — in both eval and codegen paths.
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .withColumn("a_null", array(lit(1.0f), lit(null).cast("float")))
+    df.createOrReplaceTempView("dpn")
+    val r = spark.sql("SELECT graft_dot(a_null, b) AS d, graft_dot(a, b) AS ok FROM dpn").head()
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("planes are reproducible across invocations (fixed LCG seed)") {
     assert(Similarity.planes == Similarity.planes)
     assert(Similarity.planes.length == Similarity.NumPlanes)
