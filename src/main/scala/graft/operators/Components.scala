@@ -27,9 +27,19 @@ object Components {
     *         with no hint of the cause. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val Seq(a, b) = edges.columns.take(2).toSeq
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+    val symRaw = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct().localCheckpoint()
+
+    // Size the per-round shuffle to the graph, not the session default:
+    // each round is several stages, and on a small edge list 32-partition
+    // shuffles are pure scheduling overhead. ~500k edges per partition,
+    // capped at the session parallelism for genuinely large graphs.
+    val spark = edges.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.min(sessionParts,
+      math.max(1, (symRaw.count() / 500000L).toInt + 1))
+    val sym = symRaw.repartition(parts, col("src")).localCheckpoint()
 
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
