@@ -9,7 +9,7 @@ import graft.sources.Tables
   * SURVEY.md §1.3) and identical query results. */
 class SourceFormatsSpec extends SparkSpec {
 
-  test("events round-trips identically through csv, json, and parquet") {
+  test("events round-trips identically through csv, json, parquet, and orc") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "formats").toString
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
@@ -18,6 +18,7 @@ class SourceFormatsSpec extends SparkSpec {
     events.write.option("header", "true").csv(s"$dir/csv")
     events.write.json(s"$dir/json")
     events.write.parquet(s"$dir/parquet")
+    events.write.orc(s"$dir/orc")
 
     val schema = events.schema
     def result(df: org.apache.spark.sql.DataFrame) =
@@ -29,11 +30,13 @@ class SourceFormatsSpec extends SparkSpec {
     val fromCsv = spark.read.schema(schema).option("header", "true").csv(s"$dir/csv")
     val fromJson = spark.read.schema(schema).json(s"$dir/json")
     val fromParquet = spark.read.schema(schema).parquet(s"$dir/parquet")
+    val fromOrc = spark.read.schema(schema).orc(s"$dir/orc")
 
     val expected = result(events)
     assert(result(fromCsv) == expected)
     assert(result(fromJson) == expected)
     assert(result(fromParquet) == expected)
+    assert(result(fromOrc) == expected)
   }
 
   test("PERMISSIVE json read quarantines corrupt records (SRC2 semantics)") {
