@@ -46,6 +46,51 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("asof join equals the naive per-row latest-prior computation") {
+    import java.sql.Timestamp
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 1000L))),  // left (k, t)
+      Gen.listOfN(15, Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 1000L))))  // right (k, t)
+    samples(gen, 5).foreach { case (l, r) =>
+      val rightRows = r.distinctBy(p => (p._1, p._2)) // unique per (key, ts)
+      val left = l.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k.toLong, new Timestamp(t)) }.toDF("id", "k", "ts")
+      val right = rightRows.map { case (k, t) =>
+        (k.toLong, new Timestamp(t), t.toDouble) }.toDF("k", "ts", "v")
+      val got = graft.operators.AsOfJoin
+        .leftAsOf(left, right, "k", "ts", "ts", Seq("v"))
+        .select("id", "v").as[(Long, Option[Double])].collect().toMap
+      l.zipWithIndex.foreach { case ((k, t), i) =>
+        val expected = rightRows.filter(p => p._1 == k && p._2 <= t)
+          .sortBy(_._2).lastOption.map(_._2.toDouble)
+        assert(got(i.toLong) == expected, s"row $i key $k ts $t")
+      }
+    }
+  }
+
+  test("bucketized range join equals the naive containment filter") {
+    import java.sql.Timestamp
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.choose(0L, 100000L)),                       // event seconds
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 90000L), Gen.choose(0L, 20000L)))) // (start, len)
+    samples(gen, 5).foreach { case (ts, ivs) =>
+      val events = ts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new Timestamp(t * 1000)) }.toDF("event_id", "ts")
+      val intervals = ivs.zipWithIndex.map { case ((s, len), i) =>
+        (i.toLong, new Timestamp(s * 1000), new Timestamp((s + len) * 1000)) }
+        .toDF("iid", "start_ts", "end_ts")
+      val got = graft.operators.RangeJoin
+        .containmentJoin(events, "ts", intervals, "start_ts", "end_ts")
+        .select("event_id", "iid").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (t, ei) <- ts.zipWithIndex
+        ((s, len), ii) <- ivs.zipWithIndex
+        if t >= s && t <= s + len
+      } yield (ei.toLong, ii.toLong)).toSet
+      assert(got == expected)
+    }
+  }
+
   test("merge algebra: idempotent, updates win, non-conflicting target survives") {
     val gen = Gen.zip(
       Gen.listOfN(15, Gen.zip(Gen.choose(1, 10), Gen.choose(1L, 100L))),
