@@ -35,7 +35,13 @@ object Multimodal {
 
   /** STUB for the codec boundary. A real implementation would decode
     * `content` with an image/audio library; here features are a
-    * deterministic byte-derived fake so tests and plumbing are exact. */
+    * deterministic byte-derived fake so tests and plumbing are exact.
+    *
+    * The scale is 1/256 (not 1/255) deliberately: byte/256 = byte·2⁻⁸ and
+    * every partial sum k·2⁻⁸ (k < 2²⁴ for any realistic payload) is
+    * exactly representable in float32, so accumulation order is
+    * irrelevant and the q61 digest can be differentially verified
+    * against a DuckDB SQL rendering of the same byte fold. */
   final class StubCodec(dim: Int) {
     // stands in for expensive codec/model initialization
     private val initialized = true
@@ -45,7 +51,7 @@ object Multimodal {
       val out = new Array[Float](dim)
       var i = 0
       while (i < bytes.length) {
-        out(i % dim) += (bytes(i) & 0xff).toFloat / 255f
+        out(i % dim) += (bytes(i) & 0xff).toFloat / 256f
         i += 1
       }
       out

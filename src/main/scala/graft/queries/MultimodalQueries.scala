@@ -9,9 +9,11 @@ import graft.sources.Tables
   * from `documents` (text bytes stand in for image/audio payloads — see
   * Multimodal's stub-codec note).
   *
-  * q61 has NO oracle entry on purpose: its feature vectors come from the
-  * partition-wise stub codec (mapPartitions), which is not
-  * SQL-expressible — the driver records the weaker rows-only check.
+  * q61's feature vectors come from the partition-wise stub codec
+  * (mapPartitions, not SQL-expressible), but its dumped digest IS: the
+  * stub fold is Σ bytes / 256 with every partial sum exact in float32
+  * (StubCodec scaladoc), so the oracle re-renders the byte fold in
+  * DuckDB via hex(encode(text)) and a list comprehension.
   */
 object MultimodalQueries {
 
@@ -30,7 +32,7 @@ object MultimodalQueries {
           col("meta.duration_ms").as("duration_ms"))
         .orderBy("media_id")),
 
-    // Partition-wise stub-codec feature extraction (rows-only check).
+    // Partition-wise stub-codec feature extraction; digest oracled below.
     "q61_media_features" -> ((s, dir) => {
       import s.implicits._
       val ds = media(s, dir).as[Multimodal.MediaRow]
@@ -55,7 +57,18 @@ object MultimodalQueries {
         |  CAST(len(text) AS BIGINT) * 10 AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // q61_media_features intentionally omitted (stub codec, not SQL)
+    // The stub byte fold, re-expressed: per-slot float32 sums are exact
+    // multiples of 2⁻⁸ (StubCodec scaladoc), so feature_sum ≡ Σ bytes/256
+    // with one exact double division — engine-portable. Bytes are read
+    // from hex(encode(text)) two chars at a time.
+    "q61_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(coalesce(list_sum(
+        |    [CAST('0x' || substr(hex(encode(text)), 2*i - 1, 2) AS INT)
+        |     for i in range(1, octet_length(encode(text)) + 1)]), 0) AS DOUBLE)
+        |    / 256.0 AS feature_sum
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q62_frame_offsets" ->
       """SELECT doc_id AS media_id, unnest(range(0, CAST(len(text) AS BIGINT) * 10 + 1, 100)) AS frame_ms

@@ -36,11 +36,16 @@ object ReferenceQueries {
         .select(col("doc_id"), col("sal.*"))
         .orderBy("doc_id")),
 
-    // S2–S5 job details (priority-ordered regex chains + tech intersect)
+    // S2–S5 job details (priority-ordered regex chains + tech intersect).
+    // `technologies` stays an array internally; the DUMP joins it with '|'
+    // (array_sort'ed → canonical) because the driver's pandas lexsort
+    // cannot hash ndarray cells.
     "q03_job_details" -> ((s, dir) =>
       PostsProxy.df(s, dir)
         .select(col("doc_id"), JobText.jobDetailsStruct(col("title")).as("d"))
-        .select(col("doc_id"), col("d.*"))
+        .select(col("doc_id"), col("d.job_position"), col("d.location"),
+          col("d.field"),
+          array_join(col("d.technologies"), "|").as("technologies"))
         .orderBy("doc_id")),
 
     // F4 keyword predicate (substring semantics)
@@ -50,13 +55,16 @@ object ReferenceQueries {
           JobText.isJobPost(col("title")).as("is_job"))
         .orderBy("doc_id")),
 
-    // full transform chain: D1 → S1 → S2-S5 → F4/F5 → posts relation
+    // full transform chain: D1 → S1 → S2-S5 → F4/F5 → posts relation.
+    // Same array-dump rule as q03: join `technologies` for the driver.
     "q05_transform" -> ((s, dir) =>
       Transform(PostsProxy.df(s, dir), "doc_id")
-        .select("post_id", "title", "url", "author", "created_datetime",
-          "upvotes", "comments_count", "subreddit", "salary_currency",
-          "lower_salary", "upper_salary", "job_position", "location",
-          "field", "technologies")
+        .select(col("post_id"), col("title"), col("url"), col("author"),
+          col("created_datetime"), col("upvotes"), col("comments_count"),
+          col("subreddit"), col("salary_currency"), col("lower_salary"),
+          col("upper_salary"), col("job_position"), col("location"),
+          col("field"),
+          array_join(col("technologies"), "|").as("technologies"))
         .orderBy("post_id")),
 
     // F1 inclusive time-range filter
@@ -112,7 +120,7 @@ object ReferenceQueries {
            |  ${JobText.jobPositionSql("title")} AS job_position,
            |  ${JobText.locationSql("title")} AS location,
            |  ${JobText.fieldSql("title")} AS field,
-           |  ${JobText.technologiesSql("title")} AS technologies
+           |  array_to_string(${JobText.technologiesSql("title")}, '|') AS technologies
            |FROM posts_proxy ORDER BY doc_id""".stripMargin,
 
       "q04_is_job_post" ->
@@ -130,7 +138,7 @@ object ReferenceQueries {
            |  ${JobText.jobPositionSql("title")} AS job_position,
            |  ${JobText.locationSql("title")} AS location,
            |  ${JobText.fieldSql("title")} AS field,
-           |  ${JobText.technologiesSql("title")} AS technologies
+           |  array_to_string(${JobText.technologiesSql("title")}, '|') AS technologies
            |FROM deduped
            |WHERE ${JobText.isJobPostSql("title")} OR ($loS) IS NOT NULL OR ($hiS) IS NOT NULL
            |ORDER BY post_id""".stripMargin,

@@ -49,10 +49,14 @@ object RelationalQueries {
       l.where(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
-          sum(price).as("sum_base_price"),
-          sum(price * oneMinusD).as("sum_disc_price"),
-          sum(price * oneMinusD * onePlusT).as("sum_charge"),
+          // decimal sums internally (order-free exactness), DOUBLE in the
+          // dumped projection — the driver hashes canonical strings, and
+          // decimal('137869.00') ≠ double('137869.0') even when equal.
+          // All values < 2^53 so the final cast is lossless in both engines.
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * oneMinusD).cast("double").as("sum_disc_price"),
+          sum(price * oneMinusD * onePlusT).cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -65,7 +69,7 @@ object RelationalQueries {
       val c = t(s, dir, "customer")
       o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
              count(lit(1)).as("n_orders"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(100)
@@ -79,7 +83,7 @@ object RelationalQueries {
       t(s, dir, "region").createOrReplaceTempView("region")
       s.sql("""SELECT /*+ BROADCAST(nation), BROADCAST(region) */
               |  r_name, n_name, count(*) AS n_customers,
-              |  sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_acctbal
+              |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
               |FROM customer JOIN nation ON c_nationkey = n_nationkey
               |  JOIN region ON n_regionkey = r_regionkey
               |GROUP BY ROLLUP(r_name, n_name)
@@ -108,7 +112,7 @@ object RelationalQueries {
       val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events").select(
           col("event_id"), col("user_id"), col("ts"), col("value"),
-          sum(dec(col("value"))).over(frame).as("running_value"),
+          sum(dec(col("value"))).over(frame).cast("double").as("running_value"),
           lag(col("value"), 1).over(order).as("prev_value"))
         .orderBy("event_id")
     }),
@@ -171,7 +175,7 @@ object RelationalQueries {
           countDistinct(col("user_id")).as("n_users"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"),
-          sum(dec(col("value"))).as("total_value"))
+          sum(dec(col("value"))).cast("double").as("total_value"))
         .orderBy("event_type")),
 
     // 3-way join: fact⋈fact sort-merge (lineitem⋈orders on orderkey) +
@@ -183,7 +187,7 @@ object RelationalQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"), date_trunc("month", col("o_orderdate")).as("mon"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
              countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy("c_mktsegment", "mon")
     }),
@@ -192,7 +196,7 @@ object RelationalQueries {
     "q31_cube_orders" -> ((s, dir) =>
       t(s, dir, "orders").cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"),
-             sum(dec(col("o_totalprice"))).as("total"))
+             sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
                  col("o_orderpriority").asc_nulls_first)),
 
@@ -244,7 +248,7 @@ object RelationalQueries {
     "q36_grouping_sets" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-              |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
               |FROM orders
               |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
               |ORDER BY o_orderstatus ASC NULLS FIRST,
@@ -290,20 +294,31 @@ object RelationalQueries {
           col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
           col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
         .groupBy("n_name")
-        .agg(sum(price * oneMinusD).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(price * oneMinusD).cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
     // Approximate aggregates (HLL++ distinct sketch, quantile summary).
-    // NO oracle entries on purpose: sketch internals are engine-specific,
-    // so the driver records the weaker rows-only check; AggregatesSpec
-    // bounds the error vs the exact answers instead. At 100 TB these are
-    // the constant-memory substitutes for exact distinct/percentile.
+    // Sketch internals are engine-specific, so the raw sketch values can't
+    // be oracled — instead the dump carries the EXACT companions (hash-
+    // compared against DuckDB) plus deterministic within-bound booleans
+    // for the sketches (oracled as literal TRUE): HLL++ and the quantile
+    // summary are order-independent over fixed data, so the booleans are
+    // stable across runs. At 100 TB these sketches are the constant-memory
+    // substitutes for exact distinct/percentile; AggregatesSpec
+    // additionally bounds the raw sketch error.
     "q46_approx_aggs" -> ((s, dir) =>
       t(s, dir, "events").groupBy("event_type").agg(
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
+          expr("percentile(value, 0.45)").as("p45"),
+          expr("percentile(value, 0.55)").as("p55"))
+        .select(col("event_type"), col("n"), col("n_users_exact"),
+          (abs(col("au") - col("n_users_exact"))
+            <= col("n_users_exact") * lit(0.1)).as("approx_users_ok"),
+          (col("am") >= col("p45") && col("am") <= col("p55")).as("approx_median_ok"))
         .orderBy("event_type")),
 
     // Same semantics as q23 but through the custom TopKPerKey logical/
@@ -429,7 +444,7 @@ object RelationalQueries {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).as("total"))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("total"))
         .orderBy("window_start", "event_type")),
@@ -478,8 +493,8 @@ object RelationalQueries {
         |  FROM events),
         |numbered AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM marked)
         |SELECT user_id, sess_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
@@ -488,27 +503,31 @@ object RelationalQueries {
     }),
 
     // Array-function suite: construction, reverse, slice, membership,
-    // exact integer fold.
-    "q38_array_funcs" -> ((s, dir) =>
+    // exact integer fold. Array columns are dumped as '|'-joined strings:
+    // the driver's pandas lexsort cannot hash ndarray cells, and the
+    // joined form is canonical (construction order is deterministic).
+    "q38_array_funcs" -> ((s, dir) => {
+      def joined(c: Column) = array_join(c.cast("array<string>"), "|")
       t(s, dir, "events")
-        .withColumn("arr", sequence(lit(1L), col("event_id") % 5 + 1))
+        .withColumn("arr0", sequence(lit(1L), col("event_id") % 5 + 1))
         .select(
           col("event_id"),
-          col("arr"),
-          size(col("arr")).as("n"),
-          reverse(col("arr")).as("rev"),
-          slice(col("arr"), 1, 2).as("head2"),
-          array_contains(col("arr"), 3L).as("has3"),
-          aggregate(col("arr"), lit(0L), (a, x) => a + x).as("arr_sum"))
-        .orderBy("event_id")))
+          joined(col("arr0")).as("arr"),
+          size(col("arr0")).as("n"),
+          joined(reverse(col("arr0"))).as("rev"),
+          joined(slice(col("arr0"), 1, 2)).as("head2"),
+          array_contains(col("arr0"), 3L).as("has3"),
+          aggregate(col("arr0"), lit(0L), (a, x) => a + x).as("arr_sum"))
+        .orderBy("event_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS sum_disc_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2)) * CAST(1.0 + l_tax AS DECIMAL(3,2))) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2)) * CAST(1.0 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -516,13 +535,13 @@ object RelationalQueries {
 
     "q21_top_customers" ->
       """SELECT c_custkey, c_name,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue, count(*) AS n_orders
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue, count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 100""".stripMargin,
 
     "q22_rollup_region" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,4))) AS total_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
@@ -536,9 +555,9 @@ object RelationalQueries {
 
     "q24_window_running" ->
       """SELECT event_id, user_id, ts, value,
-        |  sum(CAST(value AS DECIMAL(18,4))) OVER
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER
         |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
         |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
         |FROM events ORDER BY event_id""".stripMargin,
 
@@ -581,12 +600,12 @@ object RelationalQueries {
     "q29_distinct_agg" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  min(value) AS min_value, max(value) AS max_value,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q30_segment_revenue" ->
       """SELECT c_mktsegment, date_trunc('month', o_orderdate) AS mon,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         |  count(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
@@ -594,7 +613,7 @@ object RelationalQueries {
 
     "q31_cube_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
@@ -627,7 +646,7 @@ object RelationalQueries {
 
     "q36_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -647,7 +666,7 @@ object RelationalQueries {
 
     "q39_local_supplier_revenue" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -724,7 +743,7 @@ object RelationalQueries {
 
     "q68_tumbling_windows" ->
       """SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS window_start, event_type,
-        |  count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS total
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
 
@@ -754,6 +773,11 @@ object RelationalQueries {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
         |  FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
 
+    "q46_approx_aggs" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users_exact,
+        |  TRUE AS approx_users_ok, TRUE AS approx_median_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q47_column_stats" ->
       """SELECT 'o_totalprice' AS "column", count(*) AS n_rows,
         |  count(DISTINCT o_totalprice) AS ndv,
@@ -772,8 +796,8 @@ object RelationalQueries {
         |  FROM events),
         |numbered AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM marked)
         |SELECT user_id, sess_id, min(ts) AS session_start,
         |  max(ts) AS session_end, count(*) AS n_events
@@ -782,10 +806,10 @@ object RelationalQueries {
 
     "q38_array_funcs" ->
       """SELECT event_id,
-        |  range(1, event_id % 5 + 2) AS arr,
+        |  array_to_string(CAST(range(1, event_id % 5 + 2) AS VARCHAR[]), '|') AS arr,
         |  len(range(1, event_id % 5 + 2)) AS n,
-        |  list_reverse(range(1, event_id % 5 + 2)) AS rev,
-        |  list_slice(range(1, event_id % 5 + 2), 1, 2) AS head2,
+        |  array_to_string(CAST(list_reverse(range(1, event_id % 5 + 2)) AS VARCHAR[]), '|') AS rev,
+        |  array_to_string(CAST(list_slice(range(1, event_id % 5 + 2), 1, 2) AS VARCHAR[]), '|') AS head2,
         |  list_contains(range(1, event_id % 5 + 2), 3) AS has3,
         |  list_reduce(list_concat([CAST(0 AS BIGINT)], range(1, event_id % 5 + 2)), (a, x) -> a + x) AS arr_sum
         |FROM events ORDER BY event_id""".stripMargin)

@@ -39,17 +39,25 @@ object SamplingQueries {
           when(b < 80, "train").when(b < 90, "val").otherwise("test"))
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"))
+          // BIGINT on both sides: DuckDB's sum(int) is HUGEINT, whose
+          // canonical string the driver hashes differently from int64.
+          sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("split")
     }),
 
     // Inverse-frequency class weights over the embeddings labels.
+    // Single pass: one groupBy scan, then total/n_labels via a global
+    // window over the |labels|-row aggregate (tiny by construction, so
+    // the unpartitioned window never sees more than a handful of rows).
     "q65_label_weights" -> ((s, dir) => {
-      val e = Tables.load(s, dir, "embeddings")
-      val total = e.count() // scalar boundary, like the reference's A2 counts
-      val nLabels = e.select(countDistinct(col("label"))).head().getLong(0)
-      e.groupBy("label").agg(count(lit(1)).as("n"))
-        .withColumn("weight", lit(total.toDouble) / (lit(nLabels) * col("n")))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      Tables.load(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+        .withColumn("weight",
+          sum(col("n")).over(w).cast("double") /
+            (count(lit(1)).over(w) * col("n")))
+        .select("label", "n", "weight")
         .orderBy("label")
     }))
 
@@ -62,7 +70,7 @@ object SamplingQueries {
     "q64_dataset_split" -> {
       val b = hashBucketSql("doc_id", "split:", 100)
       s"""SELECT CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
-         |  count(*) AS n_docs, sum(n_chars) AS total_chars
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
     },
 

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Error bounds for the sketch-based aggregates (q46 has no SQL oracle —
-  * this spec is its correctness check). */
+/** Error bounds for the sketch-based aggregates: q46's oracle hash-checks
+  * the exact companions + within-bound booleans; this spec additionally
+  * bounds the RAW sketch values against the exact answers. */
 class AggregatesSpec extends SparkSpec {
   import spark.implicits._
 

@@ -21,10 +21,10 @@ class MultimodalSpec extends SparkSpec {
     assert(a.map(_.features.toSeq).toSeq == b.map(_.features.toSeq).toSeq)
     assert(a.map(_.n_bytes).toSeq == Seq(5, 4, 0))
     assert(a(2).features.toSeq == Seq(0f, 0f, 0f, 0f))
-    // stub decode definition: byte i adds (b & 0xff)/255 to slot i % dim
+    // stub decode definition: byte i adds (b & 0xff)/256 to slot i % dim
     val expected0 = "hello".getBytes("UTF-8").zipWithIndex
       .foldLeft(new Array[Float](4)) { case (acc, (by, i)) =>
-        acc(i % 4) += (by & 0xff).toFloat / 255f; acc }
+        acc(i % 4) += (by & 0xff).toFloat / 256f; acc }
     assert(a(0).features.toSeq == expected0.toSeq)
   }
 

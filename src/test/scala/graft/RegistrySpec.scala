@@ -28,9 +28,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries (no oracle) are the documented exceptions only") {
+  test("every query has an oracle (no rows-only checks left)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q46_approx_aggs", "q61_media_features"),
-      s"undocumented rows-only queries: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracles: $noOracle")
   }
 }
