@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, FingerprintExpr, MinHashSignatureExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -11,6 +11,14 @@ import graft.functions.DotProduct
   * functions so they are usable from `spark.sql` text as well as the
   * Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, build: Expression => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, s"$name(arr) takes one argument")
+      build(children.head)
+    })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
@@ -22,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot(arr1, arr2) takes two arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction(unary("graft_minhash", MinHashSignatureExpr))
+    ext.injectFunction(unary("graft_simhash", SimHashExpr))
+    ext.injectFunction(unary("graft_fingerprint", FingerprintExpr))
   }
 }

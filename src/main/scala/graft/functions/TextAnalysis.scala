@@ -139,9 +139,14 @@ object TextAnalysis {
   def tokenHashSql(tE: String): String =
     s"CAST('0x' || substr(md5($tE), 1, 12) AS BIGINT)"
 
-  /** Order-sensitive rolling-hash fingerprint of the token sequence. */
+  /** Order-sensitive rolling-hash fingerprint of the token sequence.
+    *
+    * Resolves to the native codegen'd
+    * [[graft.functions.FingerprintExpr]] — a JIT'd fold instead of the
+    * interpreted `aggregate` HOF (bit-identical contract in that
+    * kernel's scaladoc). */
   def fingerprint(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => (acc * 31L + tokenHash(t)) % fpMod)
+    call_function("graft_fingerprint", toks)
 
   def fingerprintSql(toksE: String): String =
     s"list_reduce(list_concat([CAST(0 AS BIGINT)], list_transform($toksE, t -> ${tokenHashSql("t")})), (acc, x) -> (acc * 31 + x) % $fpMod)"

@@ -1,0 +1,204 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the text-hash hot loops (MinHash
+  * signatures, SimHash, rolling-hash fingerprint).
+  *
+  * Why custom Expressions (builder-prompt preference ladder (b)): the
+  * composable renderings in [[graft.operators.Dedup]] /
+  * [[TextAnalysis]] are higher-order functions
+  * (`transform`/`aggregate`/`array_min`), which Catalyst evaluates
+  * INTERPRETED — per-element lambda dispatch, boxed accumulators, one
+  * md5 Expression eval per (slot, element). These kernels sit on the
+  * per-document hot path of q43/q51/q52/q53 (at 100 TB: every document
+  * ever ingested), so each becomes a single JIT'd loop with a
+  * thread-local MessageDigest and no intermediate ArrayData.
+  *
+  * Numeric/semantic contract — each kernel is BIT-IDENTICAL to both the
+  * HOF Column form it replaces and the DuckDB oracle rendering derived
+  * from the same constants (see the *Sql twins in Dedup/TextAnalysis):
+  *  - minhash slot i = lexicographic MIN over lowercase-hex
+  *    `md5("i:" ++ element)`; hex order == unsigned digest-byte order,
+  *    so the kernel compares raw digests and hexifies winners only.
+  *    Null elements are skipped (array_min semantics); an empty or
+  *    all-null input yields all-null slots (array_min of empty = null).
+  *  - simhash bit i = sign of Σ votes, vote = +1 iff 48-bit token hash
+  *    has bit i set else -1; a null element votes -1 on every bit
+  *    (CASE WHEN null THEN .. ELSE -1 falls to the ELSE branch).
+  *  - fingerprint = left fold `(acc*31 + h48) % 1e9+7` from 0; a null
+  *    element nulls the result (null propagates through the +).
+  *  - h48 (token hash) = first 12 hex digits of md5 as a long — i.e.
+  *    the first 6 digest bytes big-endian.
+  */
+object TextHashKernels {
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private val slotPrefixes: Array[Array[Byte]] =
+    Array.tabulate(graft.operators.Dedup.NumHashes)(i => s"$i:".getBytes(UTF_8))
+
+  private def hex(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def digest(prefix: Array[Byte], tok: Array[Byte]): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    if (prefix != null) d.update(prefix)
+    d.update(tok)
+    d.digest()
+  }
+
+  /** 48-bit md5-derived token hash (TextAnalysis.tokenHash semantics). */
+  private def h48(tok: UTF8String): Long = {
+    val dig = digest(null, tok.getBytes)
+    ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
+      ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
+      ((dig(4) & 0xffL) << 8) | (dig(5) & 0xffL)
+  }
+
+  def minhash(sh: ArrayData): ArrayData = {
+    val slots = slotPrefixes.length
+    val mins = new Array[Array[Byte]](slots)
+    val n = sh.numElements()
+    var j = 0
+    while (j < n) {
+      if (!sh.isNullAt(j)) {
+        val tok = sh.getUTF8String(j).getBytes
+        var i = 0
+        while (i < slots) {
+          val dig = digest(slotPrefixes(i), tok)
+          if (mins(i) == null || unsignedLess(dig, mins(i))) mins(i) = dig
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val out = new Array[Any](slots)
+    var i = 0
+    while (i < slots) {
+      if (mins(i) != null) out(i) = UTF8String.fromString(hex(mins(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def simhash(toks: ArrayData): Long = {
+    val bits = graft.operators.Dedup.SimHashBits
+    val votes = new Array[Int](bits)
+    val n = toks.numElements()
+    var j = 0
+    while (j < n) {
+      var h = -1L // null-token sentinel (real hashes are 48-bit, ≥ 0)
+      if (!toks.isNullAt(j)) h = h48(toks.getUTF8String(j))
+      var i = 0
+      while (i < bits) {
+        if (h >= 0 && (h & (1L << i)) != 0) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var acc = 0L
+    var i = 0
+    while (i < bits) {
+      if (votes(i) > 0) acc |= 1L << i
+      i += 1
+    }
+    acc
+  }
+
+  def fingerprint(toks: ArrayData): java.lang.Long = {
+    val n = toks.numElements()
+    var acc = 0L
+    var j = 0
+    while (j < n) {
+      if (toks.isNullAt(j)) return null
+      acc = (acc * 31L + h48(toks.getUTF8String(j))) % TextAnalysis.fpMod
+      j += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+/** Base for the array<string> → T kernels: resolves only on
+  * array<string> (or bare NULL), evaluates null-safe. */
+abstract class TextHashExpr extends UnaryExpression {
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(StringType, _) => true
+    case NullType => true
+    case _ => false
+  }
+  override lazy val resolved: Boolean = childrenResolved && ok(child.dataType)
+}
+
+/** `graft_minhash(array<string>) -> array<string>` — 12-slot MinHash
+  * signature, one pass over the shingle set. */
+case class MinHashSignatureExpr(child: Expression) extends TextHashExpr {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+  override protected def nullSafeEval(in: Any): Any =
+    TextHashKernels.minhash(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.minhash($c)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignatureExpr =
+    copy(child = c)
+}
+
+/** `graft_simhash(array<string>) -> bigint` — 16-bit SimHash over the
+  * token multiset. */
+case class SimHashExpr(child: Expression) extends TextHashExpr {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(in: Any): Any =
+    TextHashKernels.simhash(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+}
+
+/** `graft_fingerprint(array<string>) -> bigint` — rolling-hash document
+  * fingerprint; null on null input OR null element (the fold's null
+  * propagation). */
+case class FingerprintExpr(child: Expression) extends TextHashExpr {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_fingerprint"
+  override protected def nullSafeEval(in: Any): Any =
+    TextHashKernels.fingerprint(in.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long r = graft.functions.TextHashKernels.fingerprint($c);
+       |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+     """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): FingerprintExpr =
+    copy(child = c)
+}

@@ -55,17 +55,23 @@ object Components {
       val stepped = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
       // Pointer jumping (path compression): label := label(label). One
       // self-join on the |nodes|-row label table collapses label chains
       // exponentially, so rounds needed ≈ log₂(diameter) instead of
       // diameter — on a chain-y dup graph this is the difference between
       // 20+ shuffle rounds and ~5. Labels only decrease, so the jumped
       // label is always ≤ the stepped one and needs no `least`.
-      val ptr = stepped.select(col("node").as("pj_node"), col("label").as("pj_label"))
-      val next = stepped.join(ptr, stepped("label") === ptr("pj_node"), "left")
-        .select(stepped("node"), stepped("old_label"),
-          coalesce(col("pj_label"), stepped("label")).as("label"))
+      //
+      // The jump self-joins `stepped` WITHOUT materializing it first
+      // (alias-based resolution keeps the shared-lineage join
+      // unambiguous), so each round runs exactly ONE eager job — the
+      // round-end localCheckpoint — instead of two. The convergence
+      // count afterwards scans the checkpointed result only (cheap, and
+      // it's what truncates the lineage for the next round).
+      val next = stepped.alias("s")
+        .join(stepped.alias("p"), col("s.label") === col("p.node"), "left")
+        .select(col("s.node").as("node"), col("s.old_label").as("old_label"),
+          coalesce(col("p.label"), col("s.label")).as("label"))
         .localCheckpoint()
       changed = next.where(col("label") =!= col("old_label")).count()
       labels = next.select("node", "label")

@@ -45,10 +45,15 @@ object Dedup {
 
   // ---- MinHash ----
 
-  /** NumHashes-element signature: element i = min md5("i:"+shingle). */
+  /** NumHashes-element signature: element i = min md5("i:"+shingle).
+    *
+    * Resolves to the native codegen'd
+    * [[graft.functions.MinHashSignatureExpr]] — one JIT'd pass over the
+    * shingle set instead of NumHashes interpreted
+    * `array_min(transform(...))` HOF evaluations (bit-identical contract
+    * in that kernel's scaladoc). */
   def minhashSignature(sh: Column): Column =
-    array((0 until NumHashes).map(i =>
-      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x))))): _*)
+    call_function("graft_minhash", sh)
 
   def minhashSignatureSql(shE: String): String =
     (0 until NumHashes).map(i =>
@@ -92,15 +97,13 @@ object Dedup {
 
   /** Per-bit balance vote: +1 when the token hash has bit i set, else -1;
     * simhash bit i = 1 iff the balance is positive. Exact int folds, so
-    * fully order-free and engine-portable. */
-  def simhash(toks: Column): Column = {
-    val hs = transform(toks, t => TextAnalysis.tokenHash(t))
-    (0 until SimHashBits).map { i =>
-      val bal = aggregate(hs, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
-      when(bal > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * fully order-free and engine-portable.
+    *
+    * Resolves to the native codegen'd [[graft.functions.SimHashExpr]] —
+    * one JIT'd pass with one md5 per token instead of SimHashBits
+    * interpreted `aggregate` folds. */
+  def simhash(toks: Column): Column =
+    call_function("graft_simhash", toks)
 
   def simhashSql(toksE: String): String = {
     val hsE = s"list_transform($toksE, t -> ${TextAnalysis.tokenHashSql("t")})"

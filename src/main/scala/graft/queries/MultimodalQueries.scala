@@ -61,6 +61,12 @@ object MultimodalQueries {
     // multiples of 2⁻⁸ (StubCodec scaladoc), so feature_sum ≡ Σ bytes/256
     // with one exact double division — engine-portable. Bytes are read
     // from hex(encode(text)) two chars at a time.
+    //
+    // HARD PRECONDITION: exactness holds only while each slot's byte sum
+    // stays < 2²⁴ (float32 integer range), i.e. payloads ≲ 0.5 MB at
+    // dim = 8. The fixture documents are well under that; a real codec
+    // replacing the stub must either keep payloads bounded or accumulate
+    // in double before this oracle is trusted.
     "q61_media_features" ->
       """SELECT doc_id AS media_id,
         |  octet_length(encode(text)) AS n_bytes,

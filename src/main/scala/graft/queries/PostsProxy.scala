@@ -88,13 +88,20 @@ object PostsProxy {
   private val cached =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Spark-side proxy DataFrame (registers `documents` as a temp view). */
-  def df(spark: SparkSession, sfDir: String): DataFrame =
+  /** Spark-side proxy DataFrame (registers `documents` as a temp view).
+    * Entries for stopped sessions are dropped on every access so a
+    * long-lived JVM cycling through sessions (test suites, notebooks)
+    * never pins a dead SparkContext or its cached plan. */
+  def df(spark: SparkSession, sfDir: String): DataFrame = {
+    cached.keys.foreach { case k @ (s, _) =>
+      if (s.sparkContext.isStopped) cached.remove(k)
+    }
     cached.getOrElseUpdate((spark, sfDir), {
       Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
       spark.sql(sql(SparkSql))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** DuckDB CTE prefix for oracle queries needing the proxy. */
   val duckCte: String = s"WITH posts_proxy AS (${sql(DuckSql)})"

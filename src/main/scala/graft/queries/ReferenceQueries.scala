@@ -24,6 +24,13 @@ object ReferenceQueries {
   private def commentsCountSql(raw: String): String =
     s"CASE WHEN regexp_matches(split_part($raw, ' ', 1), '^[0-9]+$$') THEN CAST(split_part($raw, ' ', 1) AS INT) ELSE 0 END"
 
+  /** DuckDB-version-independent rendering of Spark's `array_join(x, '|')`:
+    * older DuckDB (≤1.0) returns NULL for `array_to_string([], sep)`
+    * where Spark (and newer DuckDB) return '' — pin the empty-list case
+    * explicitly so the oracle hashes identically on any driver version. */
+  private def emptySafeJoin(listE: String): String =
+    s"CASE WHEN len($listE) = 0 THEN '' ELSE array_to_string($listE, '|') END"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // proxy parity gate: validates the shared corpus derivation itself
     "q01_posts_proxy" -> ((s, dir) =>
@@ -120,7 +127,7 @@ object ReferenceQueries {
            |  ${JobText.jobPositionSql("title")} AS job_position,
            |  ${JobText.locationSql("title")} AS location,
            |  ${JobText.fieldSql("title")} AS field,
-           |  array_to_string(${JobText.technologiesSql("title")}, '|') AS technologies
+           |  ${emptySafeJoin(JobText.technologiesSql("title"))} AS technologies
            |FROM posts_proxy ORDER BY doc_id""".stripMargin,
 
       "q04_is_job_post" ->
@@ -138,7 +145,7 @@ object ReferenceQueries {
            |  ${JobText.jobPositionSql("title")} AS job_position,
            |  ${JobText.locationSql("title")} AS location,
            |  ${JobText.fieldSql("title")} AS field,
-           |  array_to_string(${JobText.technologiesSql("title")}, '|') AS technologies
+           |  ${emptySafeJoin(JobText.technologiesSql("title"))} AS technologies
            |FROM deduped
            |WHERE ${JobText.isJobPostSql("title")} OR ($loS) IS NOT NULL OR ($hiS) IS NOT NULL
            |ORDER BY post_id""".stripMargin,

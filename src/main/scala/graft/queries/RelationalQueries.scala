@@ -301,25 +301,40 @@ object RelationalQueries {
     // Approximate aggregates (HLL++ distinct sketch, quantile summary).
     // Sketch internals are engine-specific, so the raw sketch values can't
     // be oracled — instead the dump carries the EXACT companions (hash-
-    // compared against DuckDB) plus deterministic within-bound booleans
-    // for the sketches (oracled as literal TRUE): HLL++ and the quantile
-    // summary are order-independent over fixed data, so the booleans are
-    // stable across runs. At 100 TB these sketches are the constant-memory
-    // substitutes for exact distinct/percentile; AggregatesSpec
-    // additionally bounds the raw sketch error.
-    "q46_approx_aggs" -> ((s, dir) =>
-      t(s, dir, "events").groupBy("event_type").agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users_exact"),
-          approx_count_distinct(col("user_id"), rsd = 0.02).as("au"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
-          expr("percentile(value, 0.45)").as("p45"),
-          expr("percentile(value, 0.55)").as("p55"))
+    // compared against DuckDB) plus within-bound booleans for the
+    // sketches (oracled as literal TRUE). The booleans are stable across
+    // runs/parallelism because the bounds absorb the sketches' variation:
+    // HLL++ is merge-order-independent over fixed data outright, and
+    // while percentile_approx's QuantileSummaries output CAN shift with
+    // partitioning/merge order, the generous [p45, p55] window dwarfs its
+    // 1/accuracy rank error. At 100 TB these sketches are the
+    // constant-memory substitutes for exact distinct/percentile;
+    // AggregatesSpec additionally bounds the raw sketch error.
+    //
+    // Two aggregations joined on the tiny group key, NOT one: mixing the
+    // expand-planned countDistinct with TypedImperativeAggregates (exact
+    // percentile) in a single agg forces every `value` through the
+    // 2×-row expand and a sort-based fallback (measured 5× slower). Split,
+    // each side keeps its natural plan — hash-agg for the counts,
+    // object-hash-agg for the percentile buffers — and the join is a
+    // broadcast over |event_type| rows.
+    "q46_approx_aggs" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val counts = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("au"))
+      val quants = ev.groupBy("event_type").agg(
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      counts.join(broadcast(quants), Seq("event_type"))
         .select(col("event_type"), col("n"), col("n_users_exact"),
           (abs(col("au") - col("n_users_exact"))
             <= col("n_users_exact") * lit(0.1)).as("approx_users_ok"),
           (col("am") >= col("p45") && col("am") <= col("p55")).as("approx_median_ok"))
-        .orderBy("event_type")),
+        .orderBy("event_type")
+    }),
 
     // Same semantics as q23 but through the custom TopKPerKey logical/
     // physical operator (graft.plans) instead of window+filter — the
@@ -364,14 +379,22 @@ object RelationalQueries {
     "q75_levenshtein" -> ((s, dir) => {
       t(s, dir, "part").select("p_partkey", "p_brand", "p_type", "p_name")
         .createOrReplaceTempView("parts_lev")
+      // The 3-arg THRESHOLD form computes a banded O(len·k) distance
+      // (returning -1 past the bound) instead of the full O(len²) DP —
+      // the per-call lever, which matters because Catalyst substitutes
+      // the `dist` alias when pushing the filter below the projection,
+      // so the call can run twice per surviving pair no matter how the
+      // query is phrased. Values for kept rows (dist ≤ 5) are exact, so
+      // the plain-levenshtein DuckDB oracle is unchanged.
       s.sql("""
-        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-        |  levenshtein(a.p_name, b.p_name) AS dist
-        |FROM parts_lev a JOIN parts_lev b
-        |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-        |  AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-        |  AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 5
+        |SELECT key_a, key_b, dist FROM (
+        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |    levenshtein(a.p_name, b.p_name, 5) AS dist
+        |  FROM parts_lev a JOIN parts_lev b
+        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |    AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+        |    AND a.p_partkey < b.p_partkey)
+        |WHERE dist >= 0
         |ORDER BY key_a, key_b""".stripMargin)
     }),
 

@@ -56,7 +56,10 @@ object SamplingQueries {
         .groupBy("label").agg(count(lit(1)).as("n"))
         .withColumn("weight",
           sum(col("n")).over(w).cast("double") /
-            (count(lit(1)).over(w) * col("n")))
+            // count only non-null label groups: the oracle's
+            // COUNT(DISTINCT label) excludes NULLs, and a bare count of
+            // grouped rows would include a NULL-label group
+            (count(when(col("label").isNotNull, lit(1))).over(w) * col("n")))
         .select("label", "n", "weight")
         .orderBy("label")
     }))

@@ -81,8 +81,14 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("transform output conforms to the reference posts DDL schema") {
-    val out = graft.queries.ReferenceQueries
-      .queries("q05_transform")(spark, "/root/testdata/sf0.001")
+    // the OPERATOR's schema, not q05's dumped projection — the dump
+    // stringifies `technologies` for the driver's hasher by design
+    val out = graft.operators.Transform(
+      graft.queries.PostsProxy.df(spark, "/root/testdata/sf0.001"), "doc_id")
+      .select("post_id", "title", "url", "author", "created_datetime",
+        "upvotes", "comments_count", "subreddit", "salary_currency",
+        "lower_salary", "upper_salary", "job_position", "location",
+        "field", "technologies")
     import org.apache.spark.sql.types.{ArrayType, DataType}
     def norm(t: DataType): DataType = t match {
       case ArrayType(e, _) => ArrayType(e) // containsNull is immaterial here

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Differential spec for the native text-hash kernels
+  * (graft.functions.TextHashExprs): each codegen'd expression must be
+  * BIT-IDENTICAL to the interpreted higher-order-function form it
+  * replaced — the HOF forms are re-stated here verbatim (as they stood
+  * before the kernel swap) and compared row-by-row over the fixture
+  * corpus plus adversarial edge rows.
+  */
+class TextHashExprsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- the pre-kernel HOF renderings, kept as the spec's oracle ----
+
+  private def minhashHof(sh: Column): Column =
+    array((0 until Dedup.NumHashes).map(i =>
+      array_min(transform(sh, x => md5(concat(lit(s"$i:"), x))))): _*)
+
+  private def simhashHof(toks: Column): Column = {
+    val hs = transform(toks, t => TextAnalysis.tokenHash(t))
+    (0 until Dedup.SimHashBits).map { i =>
+      val bal = aggregate(hs, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1))
+      when(bal > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  private def fingerprintHof(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => (acc * 31L + TextAnalysis.tokenHash(t)) % TextAnalysis.fpMod)
+
+  // corpus rows + edge rows: empty text, single token, repeated tokens,
+  // unicode, whitespace-only (tokens() yields an empty array for it)
+  private def corpus = {
+    val docs = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+    val edges = Seq("", "one", "a a a a", "späck überfall 日本語 テスト", "   ",
+      "x y z w v u t s r q p o n m").toDF("text")
+    docs.unionByName(edges).withColumn("toks", TextAnalysis.tokens(col("text")))
+  }
+
+  test("graft_minhash ≡ interpreted HOF signature over corpus + edges") {
+    val df = corpus.withColumn("sh", Dedup.shingles(col("toks")))
+      .select(
+        Dedup.minhashSignature(col("sh")).as("fast"),
+        minhashHof(col("sh")).as("slow"))
+    assert(df.where(not(col("fast") <=> col("slow"))).count() == 0)
+  }
+
+  test("graft_simhash ≡ interpreted HOF simhash over corpus + edges") {
+    val df = corpus.select(
+      Dedup.simhash(col("toks")).as("fast"),
+      simhashHof(col("toks")).as("slow"))
+    assert(df.where(not(col("fast") <=> col("slow"))).count() == 0)
+  }
+
+  test("graft_fingerprint ≡ interpreted HOF fingerprint over corpus + edges") {
+    val df = corpus.select(
+      TextAnalysis.fingerprint(col("toks")).as("fast"),
+      fingerprintHof(col("toks")).as("slow"))
+    assert(df.where(not(col("fast") <=> col("slow"))).count() == 0)
+  }
+
+  test("kernel null semantics: null array → null/skip; null element rules") {
+    val df = Seq(1).toDF("i").select(
+      Dedup.minhashSignature(lit(null).cast("array<string>")).as("mh_null"),
+      Dedup.simhash(lit(null).cast("array<string>")).as("sh_null"),
+      TextAnalysis.fingerprint(lit(null).cast("array<string>")).as("fp_null"),
+      // null ELEMENT: minhash skips it (array_min semantics),
+      // fingerprint nulls out (fold propagation), simhash votes -1
+      Dedup.minhashSignature(array(lit("a"), lit(null))).as("mh_mixed"),
+      Dedup.minhashSignature(array(lit("a"))).as("mh_plain"),
+      TextAnalysis.fingerprint(array(lit("a"), lit(null))).as("fp_mixed"),
+      Dedup.simhash(array(lit(null).cast("string"))).as("sh_onenull"),
+      // empty arrays: minhash → all-null slots, simhash → 0, fp → 0
+      Dedup.minhashSignature(array().cast("array<string>")).as("mh_empty"),
+      Dedup.simhash(array().cast("array<string>")).as("sh_empty"),
+      TextAnalysis.fingerprint(array().cast("array<string>")).as("fp_empty"))
+    val r = df.head()
+    assert(r.isNullAt(r.fieldIndex("mh_null")))
+    assert(r.isNullAt(r.fieldIndex("sh_null")))
+    assert(r.isNullAt(r.fieldIndex("fp_null")))
+    assert(r.getAs[collection.Seq[String]]("mh_mixed") ==
+      r.getAs[collection.Seq[String]]("mh_plain"))
+    assert(r.isNullAt(r.fieldIndex("fp_mixed")))
+    assert(r.getAs[Long]("sh_onenull") == 0L) // all votes -1 → all bits 0
+    assert(r.getAs[collection.Seq[String]]("mh_empty").forall(_ == null))
+    assert(r.getAs[Long]("sh_empty") == 0L)
+    assert(r.getAs[Long]("fp_empty") == 0L)
+  }
+}
