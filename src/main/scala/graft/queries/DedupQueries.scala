@@ -23,6 +23,43 @@ object DedupQueries {
     PostsProxy.df(s, dir).where(col("title") =!= "")
       .select(col("doc_id"), col("title"))
 
+  /** Title-level near-dup pairs — the MinHash+LSH candidate pipeline up
+    * to (but not including) the member expansion: registers the
+    * `mh_members` (doc_id, title) and `mh_sh` (title, rep, n_docs, sh)
+    * temp views and returns (title_a, title_b, rep_a, rep_b, jaccard)
+    * for every title pair sharing an LSH band bucket with verified
+    * Jaccard ≥ 0.5 (self-pairs title_a = title_b included — identical
+    * titles are trivially Jaccard 1). `rep` = min member doc_id.
+    * Shared by q51 (expands to doc pairs) and q70 (runs components on
+    * the title graph directly). */
+  private def titlePairs(s: SparkSession, dir: String): DataFrame = {
+    val members = proxyTitles(s, dir)
+    members.createOrReplaceTempView("mh_members")
+    val tit = members.groupBy("title")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .withColumn("sh", Dedup.shingles(TextAnalysis.tokens(col("title"))))
+    val sig = tit.withColumn("sig", Dedup.minhashSignature(col("sh")))
+    sig.select("title", "rep", "n_docs", "sh").createOrReplaceTempView("mh_sh")
+    sig.select(col("title"), col("rep"), explode(array((0 until Dedup.Bands).map(b =>
+        struct(lit(b).as("band"), Dedup.bandKey(col("sig"), b).as("bkey"))): _*)).as("bk"))
+      .select(col("title"), col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .createOrReplaceTempView("mh_bands")
+    s.sql("""
+      |WITH cand AS (
+      |  SELECT DISTINCT a.title AS title_a, b.title AS title_b,
+      |                  a.rep AS rep_a, b.rep AS rep_b
+      |  FROM mh_bands a JOIN mh_bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep <= b.rep),
+      |tj AS (
+      |  SELECT title_a, title_b, rep_a, rep_b,
+      |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+      |      (size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))) AS jaccard
+      |  FROM cand
+      |  JOIN mh_sh sa ON sa.title = title_a
+      |  JOIN mh_sh sb ON sb.title = title_b)
+      |SELECT * FROM tj WHERE jaccard >= 0.5""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy — ONE shuffle on the 128-bit text hash,
@@ -40,35 +77,14 @@ object DedupQueries {
     // titles vs 5000 docs at sf0.1 — 12× fewer md5 folds and a far
     // smaller band join).
     "q51_minhash_lsh" -> ((s, dir) => {
-      val members = proxyTitles(s, dir)
-      members.createOrReplaceTempView("mh_members")
-      val tit = members.groupBy("title").agg(min(col("doc_id")).as("rep"))
-        .withColumn("sh", Dedup.shingles(TextAnalysis.tokens(col("title"))))
-      val sig = tit.withColumn("sig", Dedup.minhashSignature(col("sh")))
-      sig.select("title", "rep", "sh").createOrReplaceTempView("mh_sh")
-      sig.select(col("title"), col("rep"), explode(array((0 until Dedup.Bands).map(b =>
-          struct(lit(b).as("band"), Dedup.bandKey(col("sig"), b).as("bkey"))): _*)).as("bk"))
-        .select(col("title"), col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-        .createOrReplaceTempView("mh_bands")
+      titlePairs(s, dir).createOrReplaceTempView("mh_sel")
       s.sql("""
-        |WITH cand AS (
-        |  SELECT DISTINCT a.title AS title_a, b.title AS title_b
-        |  FROM mh_bands a JOIN mh_bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep <= b.rep),
-        |tj AS (
-        |  SELECT title_a, title_b,
-        |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-        |      (size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))) AS jaccard
-        |  FROM cand
-        |  JOIN mh_sh sa ON sa.title = title_a
-        |  JOIN mh_sh sb ON sb.title = title_b),
-        |sel AS (SELECT * FROM tj WHERE jaccard >= 0.5)
         |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
         |       greatest(ma.doc_id, mb.doc_id) AS doc_b,
         |       max(jaccard) AS jaccard
-        |FROM sel
-        |JOIN mh_members ma ON ma.title = sel.title_a
-        |JOIN mh_members mb ON mb.title = sel.title_b
+        |FROM mh_sel
+        |JOIN mh_members ma ON ma.title = mh_sel.title_a
+        |JOIN mh_members mb ON mb.title = mh_sel.title_b
         |WHERE ma.doc_id <> mb.doc_id
         |GROUP BY least(ma.doc_id, mb.doc_id), greatest(ma.doc_id, mb.doc_id)
         |ORDER BY doc_a, doc_b""".stripMargin)
@@ -131,12 +147,32 @@ object DedupQueries {
     // Duplicate-cluster assignment: connected components over the q51
     // near-dup pair graph — every doc in a cluster maps to the minimal
     // doc id, i.e. the row that survives dedup. Oracle: DuckDB recursive
-    // CTE transitive closure over the SAME pair list.
+    // CTE transitive closure over the SAME (doc-level) pair list.
+    //
+    // Runs on the TITLE graph, not the doc-pair graph: docs sharing a
+    // title are exact duplicates (Jaccard 1, always pairwise connected),
+    // so doc-level components are exactly title-level components
+    // expanded to members — and the iterative loop sees |titles| nodes
+    // instead of the O(cluster²) doc-pair expansion (447k pairs at
+    // sf0.1, ~1k title edges). Cluster label = min member doc id =
+    // min(rep) over the component, since each title's rep IS its
+    // minimal member. Scale shape: the expansion joins run AFTER the
+    // loop, once, keyed on title.
     "q70_dup_clusters" -> ((s, dir) => {
-      val pairs = queries("q51_minhash_lsh")(s, dir).select("doc_a", "doc_b")
-      Components.connectedComponents(pairs)
-        .orderBy("node")
-        .select(col("node").as("doc_id"), col("component").as("cluster"))
+      val tp = titlePairs(s, dir)
+      val cross = tp.where(col("rep_a") =!= col("rep_b"))
+        .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+      // isolated multi-doc titles still cluster among their own members:
+      // inject self-edges so they stay nodes of the graph. Singleton
+      // titles with no cross edge contribute no doc pairs — excluded,
+      // matching the pair-list oracle.
+      val selfEdges = s.table("mh_sh").where(col("n_docs") >= 2)
+        .select(col("rep").as("src"), col("rep").as("dst"))
+      Components.connectedComponents(cross.unionByName(selfEdges))
+        .join(s.table("mh_sh").select(col("title"), col("rep").as("node")), Seq("node"))
+        .join(s.table("mh_members"), Seq("title"))
+        .select(col("doc_id"), col("component").as("cluster"))
+        .orderBy("doc_id")
     }),
 
     // Incremental dedup: a new batch (doc_id >= 250) checked against the
