@@ -20,7 +20,7 @@ object SparkEntry {
     ReferenceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      SamplingQueries.queries
+      SamplingQueries.queries ++ CorpusQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -28,5 +28,5 @@ object SparkEntry {
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      SamplingQueries.oracleSql
+      SamplingQueries.oracleSql ++ CorpusQueries.oracleSql
 }

@@ -29,18 +29,21 @@ object Dedup {
 
   // ---- word shingles (3-grams over the token sequence) ----
 
-  /** Distinct word-3-gram set; a document shorter than 3 tokens
-    * contributes its whole token string as the single shingle. */
-  def shingles(toks: Column): Column =
-    when(size(toks) < 3, array(concat_ws(" ", toks)))
+  /** Distinct word-n-gram set (default 3); a document shorter than n
+    * tokens contributes its whole token string as the single shingle. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
 
-  def shinglesSql(toksE: String): String =
-    s"""CASE WHEN len($toksE) < 3 THEN [array_to_string($toksE, ' ')]
-       | ELSE list_distinct(list_transform(range(0, len($toksE) - 2),
-       |   i -> array_to_string(list_slice($toksE, i + 1, i + 3), ' '))) END"""
+  def shinglesSql(toksE: String, n: Int = 3): String =
+    // the len = 0 arm pins the empty-token-list case to [''] — Spark's
+    // concat_ws gives '' where older DuckDB array_to_string gives NULL
+    s"""CASE WHEN len($toksE) = 0 THEN ['']
+       | WHEN len($toksE) < $n THEN [array_to_string($toksE, ' ')]
+       | ELSE list_distinct(list_transform(range(0, len($toksE) - ${n - 1}),
+       |   i -> array_to_string(list_slice($toksE, i + 1, i + $n), ' '))) END"""
       .stripMargin.replace("\n", "")
 
   // ---- MinHash ----

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Corpus-assembly extension queries (q76–q79): the dataset-curation
+  * operations a 100 TB training-data pipeline runs between raw ingest
+  * and training — stratified sampling, TF-IDF term salience, benchmark
+  * decontamination, and inter-document boilerplate measurement.
+  *
+  * Portability invariants (hash-compared against DuckDB):
+  *  - sampling ranks order by md5 hex strings (identical byte order in
+  *    both engines) with doc_id tie-breaks;
+  *  - TF-IDF uses a LOG-FREE salience weight tf·(N+1)/(df+1): libm log
+  *    may differ from java.lang.Math.log in the last ulp, while IEEE
+  *    divide/multiply of exact integer counts is bit-identical;
+  *  - gram machinery reuses Dedup.shingles and its SQL twin.
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Deterministic per-doc sampling rank: md5 over a salted doc id. */
+  private def strataHash = md5(concat(lit("strat:"), col("doc_id").cast("string")))
+  private val strataHashSql = "md5('strat:' || CAST(doc_id AS VARCHAR))"
+
+  /** (doc_id, gram) pairs, one row per DISTINCT word-5-gram per doc. */
+  private def docGrams(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      explode(Dedup.shingles(TextAnalysis.tokens(col("text")), n = 5)).as("gram"))
+
+  private def docGramsSql: String =
+    s"""SELECT doc_id, unnest(${Dedup.shinglesSql(TextAnalysis.tokensSql("text"), n = 5)}) AS gram
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Stratified sample: a fixed quota (10) per language stratum, chosen
+    // by content-addressed hash rank — reproducible across runs, engines
+    // and cluster layouts, unlike rand()-based sampling. Routed through
+    // the custom TopKPerKey operator (streams k rows per group, no full
+    // per-stratum sort buffer), so at 100 TB the per-language pass is
+    // one shuffle on lang + an O(k) heap per group.
+    "q76_stratified_sample" -> ((s, dir) =>
+      graft.operators.TopK.perKey(
+          docs(s, dir).withColumn("h", strataHash),
+          keys = Seq("lang"),
+          order = Seq("h" -> true, "doc_id" -> true),
+          k = 10)
+        .select(col("lang"), col("rank"), col("doc_id"), col("h"))
+        .orderBy("lang", "rank")),
+
+    // TF-IDF term salience: top-3 terms per document. Two-level
+    // aggregation (tf per (doc, term), df per term over the tf rows —
+    // map-side combine on both), then a broadcast of the |vocab|-sized
+    // df table back onto the tf rows and a per-doc top-k window. The
+    // corpus size N joins in as a broadcast scalar, never a driver
+    // collect.
+    "q77_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("token").asc)
+      tf.join(broadcast(df), Seq("token"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") *
+          ((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select("doc_id", "rank", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Benchmark decontamination: flag corpus docs sharing any word-5-gram
+    // with a (deterministically chosen) benchmark holdout — the overlap
+    // check every training run owes its eval suite. Scale shape: the
+    // benchmark gram set is tiny relative to the corpus, so it
+    // BROADCASTS and the corpus-side gram stream never shuffles; output
+    // is per-doc counts via map-side-combinable aggregation.
+    "q78_decontaminate" -> ((s, dir) => {
+      val g = docGrams(s, dir)
+      val bench = g.where(col("doc_id") % 13 === 0)
+        .select(col("gram")).distinct()
+      g.where(col("doc_id") % 13 =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // Inter-document repetition (boilerplate) ratio: fraction of a doc's
+    // distinct word-5-grams that occur in at least one OTHER doc — the
+    // CCNet-style repetition signal that catches template spam. Gram
+    // doc-frequency is a two-level count (map-side combine); the
+    // per-doc ratio is one join back on the gram key and one exact
+    // integer division.
+    "q79_boilerplate" -> ((s, dir) => {
+      val g = docGrams(s, dir)
+      val freq = g.groupBy("gram").agg(count(lit(1)).as("docfreq"))
+      g.join(freq, Seq("gram"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_grams"),
+          count(when(col("docfreq") > 1, lit(1))).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          col("n_boiler").cast("double") / col("n_grams").cast("double"))
+        .orderBy("doc_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q76_stratified_sample" ->
+      s"""SELECT lang, rank, doc_id, h FROM (
+         |  SELECT lang, doc_id, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rank
+         |  FROM (SELECT lang, doc_id, $strataHashSql AS h FROM documents))
+         |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
+    "q77_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${TextAnalysis.tokensSql("text")}) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |    CAST(tf.tf AS DOUBLE) *
+         |      (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score
+         |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc_id, token, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, token, tf, df, score FROM ranked
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q78_decontaminate" ->
+      s"""WITH g AS ($docGramsSql),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0)
+         |SELECT doc_id, count(*) AS n_shared_grams
+         |FROM g JOIN bench USING (gram)
+         |WHERE doc_id % 13 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q79_boilerplate" ->
+      s"""WITH g AS ($docGramsSql),
+         |freq AS (SELECT gram, count(*) AS docfreq FROM g GROUP BY gram)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  count(*) FILTER (docfreq > 1) AS n_boiler,
+         |  CAST(count(*) FILTER (docfreq > 1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio
+         |FROM g JOIN freq USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

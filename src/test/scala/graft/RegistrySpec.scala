@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     "dedup" -> DedupQueries.queries.keySet,
     "similarity" -> SimilarityQueries.queries.keySet,
     "multimodal" -> MultimodalQueries.queries.keySet,
-    "sampling" -> SamplingQueries.queries.keySet)
+    "sampling" -> SamplingQueries.queries.keySet,
+    "corpus" -> CorpusQueries.queries.keySet)
 
   test("no query-name collisions across modules") {
     val total = modules.map(_._2.size).sum
