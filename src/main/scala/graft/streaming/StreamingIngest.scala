@@ -105,6 +105,27 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-stream INTERVAL join: match each right-stream event to
+    * left-stream events of the same key within `[left.ts, left.ts +
+    * horizon]`. Both sides carry watermarks, so Spark bounds the join
+    * state on BOTH streams (left rows expire once the right watermark
+    * passes their horizon and vice versa) — the state-safety contract
+    * that makes a stream-stream join runnable forever. Equi-key plus a
+    * time-range predicate is the attribution-window shape (impression →
+    * conversion within N minutes). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   horizon: String = "10 minutes",
+                   slack: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", slack)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", slack)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"))
+    l.join(r, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("l_key").as(key), col("l_ts"), col("r_ts"))
+  }
+
   /** foreachBatch upsert into a parquet target: each micro-batch is one
     * `Merge.upsert` (idempotent ⇒ effectively-once under retries). */
   def upsertEachBatch(stream: DataFrame, targetPath: String, keys: Seq[String],

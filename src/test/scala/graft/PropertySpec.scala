@@ -108,4 +108,26 @@ class PropertySpec extends SparkSpec {
       assert(once == twice)
     }
   }
+
+  test("connected components equals brute-force union-find on random graphs") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)))
+    samples(gen, 5).foreach { edges =>
+      // reference: driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = graft.operators.Components
+        .connectedComponents(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected)
+    }
+  }
 }

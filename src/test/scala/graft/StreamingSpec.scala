@@ -76,6 +76,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the horizon, state-bounded") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val imp = MemoryStream[(Long, Timestamp)]
+    val conv = MemoryStream[(Long, Timestamp)]
+    val q = StreamingIngest.intervalJoin(
+        imp.toDF().toDF("user_id", "ts"),
+        conv.toDF().toDF("user_id", "ts"),
+        key = "user_id", horizon = "10 minutes")
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      imp.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      conv.addData(
+        (1L, ts("2024-01-01 00:05:00")),  // within horizon → joins
+        (2L, ts("2024-01-01 00:30:00")),  // past horizon → dropped
+        (3L, ts("2024-01-01 00:01:00")))  // no impression → dropped
+      q.processAllAvailable()
+      val rows = spark.table("ivj")
+        .select("user_id", "r_ts").as[(Long, Timestamp)].collect().toSet
+      assert(rows == Set((1L, ts("2024-01-01 00:05:00"))))
+    } finally q.stop()
+  }
+
   test("FailureListener captures failed actions (ST5 alert callback)") {
     val listener = new graft.streaming.FailureListener
     spark.listenerManager.register(listener)
