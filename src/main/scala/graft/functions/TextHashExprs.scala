@@ -135,6 +135,41 @@ object TextHashKernels {
     acc
   }
 
+  /** Word-n-gram shingle set — the kernel twin of the HOF form in
+    * Dedup.shingles: len = 0 → [""], len < n → one whole-string
+    * shingle, else DISTINCT n-token windows in first-occurrence order
+    * (array_distinct semantics); null elements are skipped inside a
+    * window's join but still occupy positions (concat_ws semantics). */
+  def shingles(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    def joined(from: Int, until: Int): UTF8String = {
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var i = from
+      while (i < until) {
+        if (!toks.isNullAt(i)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(i).toString)
+          first = false
+        }
+        i += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+    if (len < n) return new GenericArrayData(Array[Any](joined(0, len)))
+    val seen = new java.util.LinkedHashSet[UTF8String](len * 2)
+    var i = 0
+    while (i <= len - n) {
+      seen.add(joined(i, i + n))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def fingerprint(toks: ArrayData): java.lang.Long = {
     val n = toks.numElements()
     var acc = 0L
@@ -182,6 +217,21 @@ case class SimHashExpr(child: Expression) extends TextHashExpr {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+}
+
+/** `graft_shingles(array<string>, n) -> array<string>` — distinct
+  * word-n-gram shingles in one JIT'd pass (n is a literal, pinned at
+  * plan time). */
+case class ShinglesExpr(child: Expression, n: Int) extends TextHashExpr {
+  require(n >= 1, s"graft_shingles n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+  override protected def nullSafeEval(in: Any): Any =
+    TextHashKernels.shingles(in.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
     copy(child = c)
 }
 

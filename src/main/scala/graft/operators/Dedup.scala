@@ -30,12 +30,15 @@ object Dedup {
   // ---- word shingles (3-grams over the token sequence) ----
 
   /** Distinct word-n-gram set (default 3); a document shorter than n
-    * tokens contributes its whole token string as the single shingle. */
+    * tokens contributes its whole token string as the single shingle.
+    *
+    * Resolves to the native codegen'd
+    * [[graft.functions.ShinglesExpr]] — one JIT'd window pass instead
+    * of the interpreted `transform(sequence → slice → concat_ws)` HOF
+    * chain (~0.7 ms/doc interpreted at 50 tokens; the kernel is the
+    * per-document hot path of the gram queries q78/q79). */
   def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    call_function("graft_shingles", toks, lit(n))
 
   def shinglesSql(toksE: String, n: Int = 3): String =
     // the len = 0 arm pins the empty-token-list case to [''] — Spark's

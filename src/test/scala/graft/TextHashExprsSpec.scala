@@ -35,6 +35,12 @@ class TextHashExprsSpec extends SparkSpec {
     aggregate(toks, lit(0L),
       (acc, t) => (acc * 31L + TextAnalysis.tokenHash(t)) % TextAnalysis.fpMod)
 
+  private def shinglesHof(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+
   // corpus rows + edge rows: empty text, single token, repeated tokens,
   // unicode, whitespace-only (tokens() yields an empty array for it)
   private def corpus = {
@@ -66,6 +72,30 @@ class TextHashExprsSpec extends SparkSpec {
       TextAnalysis.fingerprint(col("toks")).as("fast"),
       fingerprintHof(col("toks")).as("slow"))
     assert(df.where(not(col("fast") <=> col("slow"))).count() == 0)
+  }
+
+  test("graft_shingles ≡ interpreted HOF shingles for n in 2..6") {
+    (2 to 6).foreach { n =>
+      val df = corpus.select(
+        Dedup.shingles(col("toks"), n).as("fast"),
+        shinglesHof(col("toks"), n).as("slow"))
+      assert(df.where(not(col("fast") <=> col("slow"))).count() == 0, s"n=$n")
+    }
+  }
+
+  test("graft_shingles null-element and empty semantics match concat_ws") {
+    val df = Seq(1).toDF("i").select(
+      Dedup.shingles(array(lit("a"), lit(null), lit("b")), 5).as("short_mixed"),
+      Dedup.shingles(array().cast("array<string>"), 3).as("empty"),
+      Dedup.shingles(lit(null).cast("array<string>"), 3).as("null_arr"),
+      Dedup.shingles(array(lit("a"), lit(null), lit("b"), lit("c")), 3).as("win_mixed"),
+      shinglesHof(array(lit("a"), lit(null), lit("b"), lit("c")), 3).as("win_hof"))
+    val r = df.head()
+    assert(r.getAs[collection.Seq[String]]("short_mixed") == Seq("a b"))
+    assert(r.getAs[collection.Seq[String]]("empty") == Seq(""))
+    assert(r.isNullAt(r.fieldIndex("null_arr")))
+    assert(r.getAs[collection.Seq[String]]("win_mixed") ==
+      r.getAs[collection.Seq[String]]("win_hof"))
   }
 
   test("kernel null semantics: null array → null/skip; null element rules") {
