@@ -81,6 +81,21 @@ class PlanSpec extends SparkSpec {
     assert(filtered.collect().toSet == expected)
   }
 
+  test("q76: stratified sample runs through TopKPerKeyExec, not Window") {
+    val p = plan("q76_stratified_sample")
+    assert(p.contains("TopKPerKey"))
+    assert(!p.contains("Window")) // the final ORDER BY is a Sort, not a window
+  }
+
+  test("q77/q78: df table and benchmark gram set are broadcast") {
+    assert(plan("q77_tfidf").contains("BroadcastHashJoin"))
+    val p78 = plan("q78_decontaminate")
+    assert(p78.contains("BroadcastHashJoin"))
+    // the corpus-side gram stream must NOT be exchanged for the semi-join:
+    // only the final per-doc aggregation may shuffle
+    assert(!p78.contains("SortMergeJoin"))
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"
