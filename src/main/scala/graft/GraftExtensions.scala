@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, FingerprintExpr, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
+import graft.functions.{CharGramsExpr, DotProduct, FingerprintExpr, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -11,6 +11,26 @@ import graft.functions.{DotProduct, FingerprintExpr, MinHashSignatureExpr, Shing
   * functions so they are usable from `spark.sql` text as well as the
   * Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** (expr, n) builders where n must be an integer literal — the kernel
+    * bakes n into generated code, so it is pinned at plan time. */
+  private def withLitN(name: String, build: (Expression, Int) => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[GraftExtensions].getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, s"$name(x, n) takes two arguments")
+      val n = children(1) match {
+        case e if e.foldable => e.eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"$name n must be an integer literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"$name n must be a literal (pinned at plan time)")
+      }
+      build(children.head, n)
+    })
 
   private def unary(name: String, build: Expression => Expression) = (
     new FunctionIdentifier(name),
@@ -33,22 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_minhash", MinHashSignatureExpr))
     ext.injectFunction(unary("graft_simhash", SimHashExpr))
     ext.injectFunction(unary("graft_fingerprint", FingerprintExpr))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_shingles"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_shingles"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "graft_shingles(arr, n) takes two arguments")
-        val n = children(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"graft_shingles n must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "graft_shingles n must be a literal (pinned at plan time)")
-        }
-        ShinglesExpr(children.head, n)
-      }))
+    ext.injectFunction(withLitN("graft_shingles", ShinglesExpr))
+    ext.injectFunction(withLitN("graft_chargrams", CharGramsExpr))
   }
 }

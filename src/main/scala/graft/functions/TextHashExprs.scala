@@ -135,6 +135,34 @@ object TextHashKernels {
     acc
   }
 
+  /** Distinct character-n-gram set — kernel twin of the HOF form in
+    * Dedup.charGrams: substrings of length n at every start position
+    * (1-based CODE-POINT semantics, matching Spark `substr` and DuckDB
+    * `substr` on multi-byte text); strings shorter than n contribute
+    * the whole string once. First-occurrence order (array_distinct). */
+  def charGrams(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePointCount(0, s.length)
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(8, cps))
+    if (cps <= n) {
+      seen.add(text)
+    } else {
+      var start = 0 // char index of window start
+      var i = 0     // code-point index
+      while (i <= cps - n) {
+        val end = s.offsetByCodePoints(start, n)
+        seen.add(UTF8String.fromString(s.substring(start, end)))
+        start = s.offsetByCodePoints(start, 1)
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Word-n-gram shingle set — the kernel twin of the HOF form in
     * Dedup.shingles: len = 0 → [""], len < n → one whole-string
     * shingle, else DISTINCT n-token windows in first-occurrence order
@@ -217,6 +245,23 @@ case class SimHashExpr(child: Expression) extends TextHashExpr {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.simhash($c)")
   override protected def withNewChildInternal(c: Expression): SimHashExpr =
+    copy(child = c)
+}
+
+/** `graft_chargrams(string, n) -> array<string>` — distinct
+  * character-n-gram set in one JIT'd pass (n is a literal, pinned at
+  * plan time). */
+case class CharGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"graft_chargrams n must be >= 1, got $n")
+  override lazy val resolved: Boolean = childrenResolved &&
+    (child.dataType == StringType || child.dataType == NullType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chargrams"
+  override protected def nullSafeEval(in: Any): Any =
+    TextHashKernels.charGrams(in.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.charGrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharGramsExpr =
     copy(child = c)
 }
 

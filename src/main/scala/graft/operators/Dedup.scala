@@ -88,11 +88,13 @@ object Dedup {
 
   // ---- character n-grams ----
 
-  /** Distinct character-3-gram set (whole string for length < 3). */
+  /** Distinct character-3-gram set (whole string for length < 3).
+    *
+    * Resolves to the native codegen'd
+    * [[graft.functions.CharGramsExpr]] — one JIT'd substring pass
+    * instead of the interpreted `transform(sequence → substr)` HOF. */
   def charGrams(text: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - 2, lit(1))),
-      i => text.substr(i, lit(3))))
+    call_function("graft_chargrams", text, lit(3))
 
   def charGramsSql(e: String): String =
     s"list_distinct(list_transform(range(1, greatest(len($e) - 2, 1) + 1), i -> substr($e, i, 3)))"

@@ -83,6 +83,21 @@ class TextHashExprsSpec extends SparkSpec {
     }
   }
 
+  test("graft_chargrams ≡ interpreted HOF char grams over corpus + edges") {
+    def charGramsHof(text: Column): Column =
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(text) - 2, lit(1))),
+        i => text.substr(i, lit(3))))
+    val df = corpus.select(
+      Dedup.charGrams(lower(trim(col("text")))).as("fast"),
+      charGramsHof(lower(trim(col("text")))).as("slow"))
+    assert(df.where(not(col("fast") <=> col("slow"))).count() == 0)
+    // edge rows incl. multi-byte text and length < 3
+    val e = Seq("日本語テスト", "ab", "", "ééé").toDF("t").select(
+      Dedup.charGrams(col("t")).as("fast"), charGramsHof(col("t")).as("slow"))
+    assert(e.where(not(col("fast") <=> col("slow"))).count() == 0)
+  }
+
   test("graft_shingles null-element and empty semantics match concat_ws") {
     val df = Seq(1).toDF("i").select(
       Dedup.shingles(array(lit("a"), lit(null), lit("b")), 5).as("short_mixed"),
