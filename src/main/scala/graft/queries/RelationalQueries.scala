@@ -363,6 +363,53 @@ object RelationalQueries {
         .orderBy("event_id")
     }),
 
+    // Time-series gap-fill resample (fill-forward): an hourly spine per
+    // user from the first observation hour to the last, with missing
+    // hours carrying the last observed value forward — the resample →
+    // ffill shape every metrics store needs. Per-slot observation is
+    // max(value) (deterministic under ties); the forward fill is a
+    // last-non-null over an ordered per-user frame. Scale: the spine
+    // explode is per-user-bounded, the fill is one window per user —
+    // no global sort anywhere before the presentation ORDER BY.
+    "q80_fill_forward" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").where(col("user_id") < 20)
+      val bounds = ev.groupBy("user_id").agg(
+        date_trunc("hour", min(col("ts"))).as("t0"), max(col("ts")).as("t1"))
+      val spine = bounds.select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("slot"))
+      val obs = ev.groupBy(col("user_id"), date_trunc("hour", col("ts")).as("slot"))
+        .agg(max(col("value")).as("obs_value"))
+      val w = Window.partitionBy("user_id").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(obs, Seq("user_id", "slot"), "left")
+        .select(col("user_id"), col("slot"),
+          col("obs_value").isNotNull.as("has_obs"),
+          last(col("obs_value"), ignoreNulls = true).over(w).as("filled_value"))
+        .orderBy("user_id", "slot")
+    }),
+
+    // Trailing time-RANGE window: per event, the count and average of
+    // the same user's values in the preceding hour (inclusive). The
+    // range frame is over integer epoch seconds in BOTH engines — tied
+    // timestamps land in the same frame regardless of intra-tie order,
+    // which is what makes a range frame deterministic where a rows
+    // frame would not be. Sum in decimal (segment-tree vs sequential
+    // addition grouping is irrelevant for exact arithmetic), divide
+    // once at the end.
+    "q81_trailing_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3599L, 0L)
+      t(s, dir, "events").select(
+          col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("trailing_n"),
+          (sum(dec(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("trailing_avg"))
+        .orderBy("event_id")
+    }),
+
     // Generator suite: posexplode (index-preserving explode) over a
     // derived array; the oracle reconstructs positions via range+index.
     "q74_generators" -> ((s, dir) =>
@@ -701,6 +748,35 @@ object RelationalQueries {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q80_fill_forward" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+        |bounds AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+        |  FROM ev GROUP BY user_id),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+        |  FROM bounds),
+        |obs AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS slot, max(value) AS obs_value
+        |  FROM ev GROUP BY user_id, date_trunc('hour', ts))
+        |SELECT s.user_id, s.slot,
+        |  obs_value IS NOT NULL AS has_obs,
+        |  last_value(obs_value IGNORE NULLS) OVER
+        |    (PARTITION BY s.user_id ORDER BY s.slot
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.slot = o.slot
+        |ORDER BY s.user_id, s.slot""".stripMargin,
+
+    "q81_trailing_window" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS trailing_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS trailing_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q74_generators" ->
       """WITH arrs AS (
