@@ -10,14 +10,25 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame, side: str, name: str) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize list-likes to tuples for comparability
     for c in df.columns:
+        # The driver hashes canonical string forms: a decimal/hugeint or
+        # array-typed output column hashes differently from (or crashes
+        # against) its float/bigint/string twin even when values are
+        # equal — refuse them here so the local gate is as strict as the
+        # driver, not laxer (round-1 lesson).
+        import decimal
+        bad = df[c].map(lambda v: isinstance(v, decimal.Decimal)).any()
+        if bad:
+            raise AssertionError(
+                f"{name}/{side}.{c}: decimal-typed output column — cast to "
+                f"DOUBLE/BIGINT in the dumped projection (driver hash differs)")
         if df[c].map(lambda v: isinstance(v, (list, tuple)) or
                      type(v).__name__ == 'ndarray').any():
-            df[c] = df[c].map(lambda v: tuple(v) if v is not None and
-                              not (isinstance(v, float)) else v)
+            raise AssertionError(
+                f"{name}/{side}.{c}: array-typed output column — serialize "
+                f"with array_join/array_to_string (driver cannot sort it)")
     return df.reset_index(drop=True)
 
 def main(sf_dir, out_dir):
@@ -33,8 +44,8 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark result"); n_fail += 1; continue
         try:
-            got = canon(con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df())
-            want = canon(con.sql(oracle[name]).df())
+            got = canon(con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df(), "spark", name)
+            want = canon(con.sql(oracle[name]).df(), "oracle", name)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):

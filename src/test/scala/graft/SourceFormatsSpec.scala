@@ -9,7 +9,7 @@ import graft.sources.Tables
   * SURVEY.md §1.3) and identical query results. */
 class SourceFormatsSpec extends SparkSpec {
 
-  test("events round-trips identically through csv, json, parquet, and orc") {
+  test("events round-trips identically through csv, json, parquet, orc, and xml") {
     val dir = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "formats").toString
     val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
@@ -19,6 +19,7 @@ class SourceFormatsSpec extends SparkSpec {
     events.write.json(s"$dir/json")
     events.write.parquet(s"$dir/parquet")
     events.write.orc(s"$dir/orc")
+    events.write.option("rowTag", "event").xml(s"$dir/xml")
 
     val schema = events.schema
     def result(df: org.apache.spark.sql.DataFrame) =
@@ -31,12 +32,14 @@ class SourceFormatsSpec extends SparkSpec {
     val fromJson = spark.read.schema(schema).json(s"$dir/json")
     val fromParquet = spark.read.schema(schema).parquet(s"$dir/parquet")
     val fromOrc = spark.read.schema(schema).orc(s"$dir/orc")
+    val fromXml = spark.read.schema(schema).option("rowTag", "event").xml(s"$dir/xml")
 
     val expected = result(events)
     assert(result(fromCsv) == expected)
     assert(result(fromJson) == expected)
     assert(result(fromParquet) == expected)
     assert(result(fromOrc) == expected)
+    assert(result(fromXml) == expected)
   }
 
   test("PERMISSIVE json read quarantines corrupt records (SRC2 semantics)") {
