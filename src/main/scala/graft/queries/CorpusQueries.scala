@@ -95,6 +95,51 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-vector int8 scalar quantization — the embedding-compression
+    // step before an ANN index ships to serving (4× smaller, and the
+    // dequant bounds travel with the row). Pure per-row expressions, no
+    // shuffle except the presentation sort. Portability: min/max/values
+    // are float32 → double (exact), and the quantizer is one pinned
+    // IEEE expression ((v−mn)/(mx−mn))·255 floored, so both engines
+    // produce identical codes; the dumped code string + exact integer
+    // code-sum hash-compare.
+    "q82_quantize_int8" -> ((s, dir) => {
+      val mn = array_min(col("embedding")).cast("double")
+      val mx = array_max(col("embedding")).cast("double")
+      val codes = transform(col("embedding"), v =>
+        when(col("q_max") === col("q_min"), lit(0L))
+          .otherwise(floor((v.cast("double") - col("q_min")) /
+            (col("q_max") - col("q_min")) * lit(255.0)).cast("long")))
+      Tables.load(s, dir, "embeddings")
+        .withColumn("q_min", mn).withColumn("q_max", mx)
+        .withColumn("codes", codes)
+        .select(col("vec_id"), col("q_min"), col("q_max"),
+          size(col("codes")).as("n_dims"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          concat_ws("|", col("codes").cast("array<string>")).as("codes_str"))
+        .orderBy("vec_id")
+    }),
+
+    // Token-budget sequence packing: assign docs (in deterministic
+    // doc_id order per language) to ~4096-token training bins by
+    // prefix-sum — bin = starting-offset // budget. The window cumsum
+    // is per-language (parallel across partitions); a doc larger than
+    // the budget still lands in exactly one bin, matching greedy
+    // sequential packing. Exact integer arithmetic end-to-end.
+    "q83_token_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("bin", expr("(cum - tokens) div 4096"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "bin")
+    }),
+
     // Inter-document repetition (boilerplate) ratio: fraction of a doc's
     // distinct word-5-grams that occur in at least one OTHER doc — the
     // CCNet-style repetition signal that catches template spam. Gram
@@ -137,6 +182,42 @@ object CorpusQueries {
          |  FROM scored)
          |SELECT doc_id, rank, token, tf, df, score FROM ranked
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q82_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS q_min,
+        |    CAST(list_max(embedding) AS DOUBLE) AS q_max
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, q_min, q_max,
+        |    list_transform(embedding, v -> CASE WHEN q_max = q_min THEN 0
+        |      ELSE CAST(floor((CAST(v AS DOUBLE) - q_min) / (q_max - q_min) * 255.0) AS BIGINT)
+        |      END) AS codes
+        |  FROM q)
+        |SELECT vec_id, q_min, q_max, len(codes) AS n_dims,
+        |  list_reduce(list_concat([CAST(0 AS BIGINT)], codes), (a, x) -> a + x) AS code_sum,
+        |  array_to_string(codes, '|') AS codes_str
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q83_token_packing" -> {
+      val bpe = TextAnalysis.bpeTokenCountSql("text")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST($bpe AS BIGINT) AS tokens FROM documents),
+         |cum AS (
+         |  SELECT doc_id, lang, tokens,
+         |    sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t),
+         |binned AS (
+         |  -- BIGINT casts: DuckDB window/group sums of BIGINT widen to
+         |  -- HUGEINT, whose canonical string the driver hashes apart
+         |  SELECT *, CAST((cum - tokens) // 4096 AS BIGINT) AS bin FROM cum)
+         |SELECT lang, bin, count(*) AS n_docs,
+         |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+    },
 
     "q78_decontaminate" ->
       s"""WITH g AS ($docGramsSql),
