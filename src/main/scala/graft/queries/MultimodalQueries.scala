@@ -48,7 +48,33 @@ object MultimodalQueries {
     "q62_frame_offsets" -> ((s, dir) =>
       Multimodal.frameOffsets(media(s, dir), everyMs = 100L)
         .select(col("media_id"), col("frame_ms"))
-        .orderBy("media_id", "frame_ms")))
+        .orderBy("media_id", "frame_ms")),
+
+    // Stub RESIZE (the remaining codec-boundary op after decode /
+    // features / frame-sample): nearest-neighbor downsample of the raw
+    // payload to 16 "pixels" — pixel i = byte at (i·len) div 16, exact
+    // integer index arithmetic. A real image codec would resample
+    // decoded planes; the Spark-side shape (per-row expressions over
+    // binary, no shuffle) is identical. Both engines read bytes from
+    // the hex rendering two chars at a time, so codes hash-compare.
+    "q84_media_resize" -> ((s, dir) => {
+      val px = 16
+      val len = octet_length(col("content"))
+      val hx = hex(col("content"))
+      // (i·len)/16 stays exact in double (ints ≪ 2^53), so floor ≡ the
+      // oracle's integer division
+      val pixels = transform(sequence(lit(0), lit(px - 1)), i =>
+        conv(hx.substr(
+          (floor((i * len) / lit(px.toDouble)).cast("int") * 2 + 1), lit(2)), 16, 10)
+          .cast("long"))
+      media(s, dir)
+        .where(octet_length(col("content")) > 0)
+        .withColumn("pixels", pixels)
+        .select(col("media_id"), len.as("n_bytes"),
+          aggregate(col("pixels"), lit(0L), (a, x) => a + x).as("pixel_sum"),
+          concat_ws("|", col("pixels").cast("array<string>")).as("pixels_str"))
+        .orderBy("media_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q60_media_meta" ->
@@ -78,5 +104,20 @@ object MultimodalQueries {
 
     "q62_frame_offsets" ->
       """SELECT doc_id AS media_id, unnest(range(0, CAST(len(text) AS BIGINT) * 10 + 1, 100)) AS frame_ms
-        |FROM documents ORDER BY media_id, frame_ms""".stripMargin)
+        |FROM documents ORDER BY media_id, frame_ms""".stripMargin,
+
+    "q84_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |    hex(encode(text)) AS hx
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |p AS (
+        |  SELECT media_id, n_bytes,
+        |    [CAST('0x' || substr(hx, ((i * n_bytes) // 16) * 2 + 1, 2) AS BIGINT)
+        |     for i in range(0, 16)] AS pixels
+        |  FROM m)
+        |SELECT media_id, n_bytes,
+        |  list_reduce(list_concat([CAST(0 AS BIGINT)], pixels), (a, x) -> a + x) AS pixel_sum,
+        |  array_to_string(pixels, '|') AS pixels_str
+        |FROM p ORDER BY media_id""".stripMargin)
 }

@@ -390,13 +390,14 @@ object RelationalQueries {
     }),
 
     // Trailing time-RANGE window: per event, the count and average of
-    // the same user's values in the preceding hour (inclusive). The
-    // range frame is over integer epoch seconds in BOTH engines — tied
-    // timestamps land in the same frame regardless of intra-tie order,
-    // which is what makes a range frame deterministic where a rows
-    // frame would not be. Sum in decimal (segment-tree vs sequential
-    // addition grouping is irrelevant for exact arithmetic), divide
-    // once at the end.
+    // the same user's values in the preceding hour (inclusive), at
+    // whole-second granularity. The range frame is over integer epoch
+    // seconds in BOTH engines (unix_timestamp truncation ≡ the
+    // oracle's floor(epoch)) — tied keys land in the same frame
+    // regardless of intra-tie order, which is what makes a range frame
+    // deterministic where a rows frame would not be. Sum in decimal
+    // (segment-tree vs sequential addition grouping is irrelevant for
+    // exact arithmetic), divide once at the end.
     "q81_trailing_window" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
@@ -774,7 +775,10 @@ object RelationalQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
         |    / count(*) OVER w AS trailing_avg
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+        |-- floor(epoch) pins the SAME whole-second range key as Spark's
+        |-- unix_timestamp: raw epoch(ts) is fractional here, and a row
+        |-- 3599.x s back would be framed differently by the two engines
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
         |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
