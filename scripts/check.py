@@ -10,26 +10,25 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
-def canon(df: pd.DataFrame, side: str, name: str) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        # The driver hashes canonical string forms: a decimal/hugeint or
-        # array-typed output column hashes differently from (or crashes
-        # against) its float/bigint/string twin even when values are
-        # equal — refuse them here so the local gate is as strict as the
-        # driver, not laxer (round-1 lesson).
-        import decimal
-        bad = df[c].map(lambda v: isinstance(v, decimal.Decimal)).any()
-        if bad:
+# DuckDB logical types the driver's canonical-string hasher renders
+# differently from (or cannot sort against) their double/bigint/string
+# twins. Checked on the RELATION type, before .df() silently converts
+# hugeint/decimal to float64 and hides the mismatch (round-1 lesson:
+# the local instrument must never be laxer than the driver).
+def check_types(rel, side: str, name: str):
+    for col, t in zip(rel.columns, rel.types):
+        tid = str(t).upper()
+        if tid.startswith("DECIMAL") or "HUGEINT" in tid:
             raise AssertionError(
-                f"{name}/{side}.{c}: decimal-typed output column — cast to "
-                f"DOUBLE/BIGINT in the dumped projection (driver hash differs)")
-        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
-                     type(v).__name__ == 'ndarray').any():
+                f"{name}: {side}.{col} is {tid} — cast to DOUBLE/BIGINT in "
+                f"the dumped projection (driver hash differs)")
+        if tid.endswith("[]") or tid.startswith(("LIST", "STRUCT", "MAP")):
             raise AssertionError(
-                f"{name}/{side}.{c}: array-typed output column — serialize "
-                f"with array_join/array_to_string (driver cannot sort it)")
-    return df.reset_index(drop=True)
+                f"{name}: {side}.{col} is {tid} — serialize with "
+                f"array_join/array_to_string (driver cannot sort it)")
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    return df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -44,8 +43,15 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark result"); n_fail += 1; continue
         try:
-            got = canon(con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df(), "spark", name)
-            want = canon(con.sql(oracle[name]).df(), "oracle", name)
+            got_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            check_types(got_rel, "spark", name)
+            got = canon(got_rel.df())
+        except Exception as e:
+            print(f"FAIL {name}: spark-side error: {e}"); n_fail += 1; continue
+        try:
+            want_rel = con.sql(oracle[name])
+            check_types(want_rel, "oracle", name)
+            want = canon(want_rel.df())
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
         if list(got.columns) != list(want.columns):

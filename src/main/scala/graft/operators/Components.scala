@@ -45,14 +45,14 @@ object Components {
       .withColumn("label", col("node"))
       .localCheckpoint()
 
-    // The loop's own shuffles (join + groupBy per round) also follow the
-    // session partition count — pin them to `parts` for the loop's
-    // duration (restored in the finally): a 3-round loop over a small
-    // graph otherwise schedules sessionParts tasks per stage, and the
-    // task overhead, not the data, dominates each round.
+    // NOTE on loop shuffle sizing: the per-round join/groupBy shuffles
+    // follow the session partition count; AQE coalesces them to the
+    // data. Pinning spark.sql.shuffle.partitions for the loop was
+    // tried and reverted — it mutates shared session state (races with
+    // concurrent queries / nested calls) and measured no win over AQE.
     var changed = 1L
     var iter = 0
-    def runRounds(): Unit = while (changed > 0 && iter < maxIter) {
+    while (changed > 0 && iter < maxIter) {
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -82,10 +82,6 @@ object Components {
       labels = next.select("node", "label")
       iter += 1
     }
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      runRounds()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter rounds " +

@@ -56,10 +56,11 @@ object CorpusQueries {
 
     // TF-IDF term salience: top-3 terms per document. Two-level
     // aggregation (tf per (doc, term), df per term over the tf rows —
-    // map-side combine on both), then a broadcast of the |vocab|-sized
-    // df table back onto the tf rows and a per-doc top-k window. The
-    // corpus size N joins in as a broadcast scalar, never a driver
-    // collect.
+    // map-side combine on both), then the df table joins back onto the
+    // tf rows on the token key — NOT force-broadcast: vocabulary grows
+    // with the corpus, so the join strategy is left to AQE (broadcast
+    // while df fits, shuffle-on-token beyond). The corpus size N joins
+    // in as a broadcast scalar, never a driver collect.
     "q77_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
       val tf = d.select(col("doc_id"),
@@ -69,7 +70,7 @@ object CorpusQueries {
       val n = d.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("token").asc)
-      tf.join(broadcast(df), Seq("token"))
+      tf.join(df, Seq("token"))
         .crossJoin(broadcast(n))
         .withColumn("score", col("tf").cast("double") *
           ((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")))

@@ -328,7 +328,12 @@ object RelationalQueries {
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
         expr("percentile(value, 0.45)").as("p45"),
         expr("percentile(value, 0.55)").as("p55"))
-      counts.join(broadcast(quants), Seq("event_type"))
+      // null-safe join key (a NULL event_type group exists on BOTH sides
+      // and the oracle keeps it — a plain equi-join would drop it); the
+      // rename sidesteps the shared-lineage ambiguous-self-join check
+      counts.join(
+          broadcast(quants.withColumnRenamed("event_type", "q_event_type")),
+          col("event_type") <=> col("q_event_type"))
         .select(col("event_type"), col("n"), col("n_users_exact"),
           (abs(col("au") - col("n_users_exact"))
             <= col("n_users_exact") * lit(0.1)).as("approx_users_ok"),

@@ -87,8 +87,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window")) // the final ORDER BY is a Sort, not a window
   }
 
-  test("q77/q78: df table and benchmark gram set are broadcast") {
-    assert(plan("q77_tfidf").contains("BroadcastHashJoin"))
+  test("q78: benchmark gram set is broadcast; corpus grams never sort-merge") {
+    // q78's bench set is bounded by the eval suite → safe to force
+    // broadcast. (q77's df table deliberately has NO broadcast hint:
+    // vocabulary grows with the corpus, so its join is AQE's call.)
     val p78 = plan("q78_decontaminate")
     assert(p78.contains("BroadcastHashJoin"))
     // the corpus-side gram stream must NOT be exchanged for the semi-join:
