@@ -113,6 +113,32 @@ class TextHashExprsSpec extends SparkSpec {
       r.getAs[collection.Seq[String]]("win_hof"))
   }
 
+  test("kernels ≡ HOF forms on generated random token arrays (seeded)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.oneOf(
+      Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(6)),
+      Gen.oneOf("the", "a", "x", "längé", "0", "!!"))
+    val arr = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val rows = (0 until 40).map(i =>
+      Tuple1(arr.pureApply(Gen.Parameters.default, Seed(1000L + i))))
+    val df = rows.toDF("toks")
+      .withColumn("sh", Dedup.shingles(col("toks"), 3))
+      .select(
+        Dedup.minhashSignature(col("sh")).as("mh_f"),
+        minhashHof(col("sh")).as("mh_s"),
+        Dedup.simhash(col("toks")).as("sim_f"),
+        simhashHof(col("toks")).as("sim_s"),
+        TextAnalysis.fingerprint(col("toks")).as("fp_f"),
+        fingerprintHof(col("toks")).as("fp_s"),
+        Dedup.shingles(col("toks"), 4).as("sg_f"),
+        shinglesHof(col("toks"), 4).as("sg_s"))
+    assert(df.where(
+      not(col("mh_f") <=> col("mh_s")) || not(col("sim_f") <=> col("sim_s")) ||
+      not(col("fp_f") <=> col("fp_s")) || not(col("sg_f") <=> col("sg_s"))
+    ).count() == 0)
+  }
+
   test("kernel null semantics: null array → null/skip; null element rules") {
     val df = Seq(1).toDF("i").select(
       Dedup.minhashSignature(lit(null).cast("array<string>")).as("mh_null"),
