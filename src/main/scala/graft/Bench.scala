@@ -55,11 +55,16 @@ object Bench {
     // 3-decimal rendering: at full double precision the line exceeds the
     // driver's output tail buffer and BENCH_r{N}.json records parsed:null
     // (observed in r02) — millisecond resolution is all the judge needs.
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT keeps the decimal point a '.' regardless of JVM locale
+    // (a comma-decimal locale would emit invalid JSON).
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Exclude -1 both-runs-failed sentinels from the total (they would
+    // silently shrink it); surface the failure count at the top level.
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val nFailed = results.count(_._2 < 0)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,7 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       val n = children(1) match {
         case e if e.foldable => e.eval() match {
           case i: Int => i
-          case l: Long => l.toInt
+          case l: Long =>
+            require(l == l.toInt, s"$name n out of Int range: $l")
+            l.toInt
           case other => throw new IllegalArgumentException(
             s"$name n must be an integer literal, got $other")
         }

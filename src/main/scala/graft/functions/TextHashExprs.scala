@@ -2,6 +2,7 @@ package graft.functions
 
 import java.nio.charset.StandardCharsets.UTF_8
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -211,15 +212,17 @@ object TextHashKernels {
   }
 }
 
-/** Base for the array<string> → T kernels: resolves only on
-  * array<string> (or bare NULL), evaluates null-safe. */
+/** Base for the array<string> → T kernels: accepts only array<string>
+  * (or bare NULL), evaluates null-safe. Gated via checkInputDataTypes so
+  * a mistyped call (e.g. graft_simhash on array<int>) fails analysis
+  * with a clear data-type-mismatch message rather than an opaque
+  * unresolved-expression error. */
 abstract class TextHashExpr extends UnaryExpression {
-  private def ok(t: DataType): Boolean = t match {
-    case ArrayType(StringType, _) => true
-    case NullType => true
-    case _ => false
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
   }
-  override lazy val resolved: Boolean = childrenResolved && ok(child.dataType)
 }
 
 /** `graft_minhash(array<string>) -> array<string>` — 12-slot MinHash
@@ -253,8 +256,11 @@ case class SimHashExpr(child: Expression) extends TextHashExpr {
   * plan time). */
 case class CharGramsExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"graft_chargrams n must be >= 1, got $n")
-  override lazy val resolved: Boolean = childrenResolved &&
-    (child.dataType == StringType || child.dataType == NullType)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_chargrams"
   override protected def nullSafeEval(in: Any): Any =

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
 
@@ -26,6 +27,32 @@ object Dedup {
   val NumHashes = 12
   val Bands = 4
   val RowsPerBand = 3 // NumHashes / Bands
+
+  /** Per-bucket membership cap for LSH candidate generation (band
+    * buckets in the MinHash path, block keys in the n-gram path). A
+    * bucket of B members emits O(B²) candidate pairs, so one
+    * pathological bucket — a boilerplate title pattern shared by 10⁶
+    * near-identical variants — turns the candidate join quadratic. The
+    * guard keeps the first MaxBucket members per bucket (deterministic:
+    * ordered by the unique representative id), bounding any bucket's
+    * contribution to MaxBucket² regardless of corpus size — the
+    * standard recall-for-boundedness trade in production LSH dedup.
+    * Sized well above every bucket the fixture corpus can produce
+    * (≤400 distinct titles), so results are unchanged below the cap;
+    * the SAME cap is rendered into the DuckDB oracles, so the contract
+    * is capped on both sides, not just where the fixture happens not to
+    * notice. */
+  val MaxBucket = 1000
+
+  /** Keep the first `cap` members of every bucket, ordered by `ordCol`
+    * (must be unique within a bucket for determinism — callers use the
+    * representative doc id). One window pass: shuffles on the bucket
+    * key, which the candidate self-join shuffles on anyway. */
+  def capBuckets(df: DataFrame, bucketCols: Seq[String], ordCol: String,
+                 cap: Int = MaxBucket): DataFrame =
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(col(ordCol))))
+      .where(col("__rk") <= cap).drop("__rk")
 
   // ---- word shingles (3-grams over the token sequence) ----
 

@@ -3,12 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, Similarity}
 import graft.sources.Tables
 
 /** Deduplication extension queries (q50–q54): exact hash dedup, MinHash
-  * + LSH banding, SimHash, blocked char-n-gram Jaccard, and brute-force
-  * embedding-cosine near-dup. q51–q53 run over the PostsProxy corpus,
+  * + LSH banding, SimHash, blocked char-n-gram Jaccard, and
+  * LSH-prefiltered embedding-cosine near-dup. q51–q53 run over the PostsProxy corpus,
   * which contains exact and near duplicates by construction (same title
   * templates with varying parameters); q50 runs over raw `documents`
   * (real duplicate texts at sf0.1); q54 over `embeddings`.
@@ -40,9 +40,12 @@ object DedupQueries {
       .withColumn("sh", Dedup.shingles(TextAnalysis.tokens(col("title"))))
     val sig = tit.withColumn("sig", Dedup.minhashSignature(col("sh")))
     sig.select("title", "rep", "n_docs", "sh").createOrReplaceTempView("mh_sh")
-    sig.select(col("title"), col("rep"), explode(array((0 until Dedup.Bands).map(b =>
+    val banded = sig.select(col("title"), col("rep"), explode(array((0 until Dedup.Bands).map(b =>
         struct(lit(b).as("band"), Dedup.bandKey(col("sig"), b).as("bkey"))): _*)).as("bk"))
       .select(col("title"), col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // skew guard: bound every band bucket to MaxBucket members (see
+    // Dedup.capBuckets — a boilerplate bucket otherwise joins quadratic)
+    Dedup.capBuckets(banded, Seq("band", "bkey"), "rep")
       .createOrReplaceTempView("mh_bands")
     s.sql("""
       |WITH cand AS (
@@ -115,11 +118,13 @@ object DedupQueries {
         .withColumn("toks", TextAnalysis.tokens(col("title")))
         .where(size(col("toks")) > 0)
       titles.select(col("doc_id"), col("title")).createOrReplaceTempView("cg_members")
-      titles.groupBy(col("title")).agg(min(col("doc_id")).as("rep"))
+      val blocked = titles.groupBy(col("title")).agg(min(col("doc_id")).as("rep"))
         .select(col("title"), col("rep"),
           concat_ws("#", element_at(TextAnalysis.tokens(col("title")), 1),
             size(TextAnalysis.tokens(col("title"))).cast("string")).as("blk"),
           Dedup.charGrams(lower(trim(col("title")))).as("cg"))
+      // skew guard: same MaxBucket bound on the block key (Dedup.capBuckets)
+      Dedup.capBuckets(blocked, Seq("blk"), "rep")
         .createOrReplaceTempView("cg_titles")
       s.sql("""
         |WITH tp AS (
@@ -191,45 +196,80 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Brute-force cosine near-dup pairs (the exactness baseline; the
-    // LSH-bucketed scale path is q56 in SimilarityQueries). The O(n²·d)
-    // dot-product kernel is the native codegen'd graft_dot expression
-    // (GraftExtensions) — same left-to-right fold as the DuckDB oracle's
-    // list_reduce, so results stay bit-equal, but JIT'd instead of the
-    // ~10×-slower interpreted higher-order functions.
+    // Embedding-cosine near-dup pairs, LSH-prefiltered: candidates are
+    // pairs whose 8-bit hyperplane buckets (Similarity.bucket) differ in
+    // at most ONE bit, generated by exploding each vector's 9 probe keys
+    // (own bucket + 8 Hamming-1 neighbors) and equi-joining probe =
+    // bucket — a pair at Hamming ≤ 1 meets exactly once, so no DISTINCT
+    // pass is needed. Survivors get an EXACT cosine verify ≥ 0.4 with
+    // the codegen'd graft_dot kernel (same left-to-right fold as the
+    // DuckDB oracle's rendering, so results stay bit-equal).
+    //
+    // This replaced the round-3 all-pairs `a.vec_id < b.vec_id` baseline
+    // — the one O(n²) construct in the suite. The probe join shuffles on
+    // the bucket key instead of crossing: candidate volume scales with
+    // Σ bucket², not n², and NumPlanes grows with the corpus to keep
+    // buckets bounded (8 bits is sized for the fixture; 100 TB wants
+    // 20+ bits plus the q51-style per-bucket cap). Recall < 1 by design
+    // — the semantics (and the oracle) are "near-dup pairs whose buckets
+    // collide within Hamming 1", the production contract for LSH dedup.
     "q54_embedding_dup" -> ((s, dir) => {
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", Dedup.norm(col("embedding")))
+        .withColumn("bucket", Similarity.bucket(col("embedding")))
         .createOrReplaceTempView("emb_n")
-      s.sql("""
+      val probes = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
+        .map(i => s"bucket ^ ${1 << i}")).mkString("array(", ", ", ")")
+      s.sql(s"""
+        |WITH probes AS (
+        |  SELECT vec_id, embedding, nrm, explode($probes) AS probe FROM emb_n)
         |SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cosine
-        |  FROM emb_n a JOIN emb_n b ON a.vec_id < b.vec_id)
+        |  FROM probes a JOIN emb_n b
+        |    ON b.bucket = a.probe AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     }))
 
-  /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle. */
+  /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle.
+    *
+    * Mirrors the Spark pipeline structurally (per-DISTINCT-title
+    * signatures, band buckets capped at [[Dedup.MaxBucket]] members by
+    * rep order, candidate pairs expanded back to doc pairs) so the
+    * capped contract is identical on both sides at ANY corpus size —
+    * a doc-level rendering would diverge from the title-level cap the
+    * moment a bucket crossed the cap. */
   private lazy val q51OracleSql: String = {
     val cte = PostsProxy.duckCte
     val toksE = TextAnalysis.tokensSql("title")
     val docsCte = s"docs AS (SELECT doc_id, title FROM posts_proxy WHERE title <> '')"
     val bandRows = (0 until Dedup.Bands).map(b =>
-      s"SELECT doc_id, $b AS band, ${Dedup.bandKeySql("sig", b)} AS bkey FROM sigs")
+      s"SELECT title, rep, $b AS band, ${Dedup.bandKeySql("sig", b)} AS bkey FROM sigs")
       .mkString(" UNION ALL ")
     s"""$cte, $docsCte,
-       |sh AS (SELECT doc_id, ${Dedup.shinglesSql(toksE)} AS sh FROM docs),
-       |sigs AS (SELECT doc_id, sh, ${Dedup.minhashSignatureSql("sh")} AS sig FROM sh),
+       |tit AS (SELECT title, min(doc_id) AS rep FROM docs GROUP BY title),
+       |sh AS (SELECT title, rep, ${Dedup.shinglesSql(toksE)} AS sh FROM tit),
+       |sigs AS (SELECT title, rep, sh, ${Dedup.minhashSignatureSql("sh")} AS sig FROM sh),
        |bands AS ($bandRows),
+       |capped AS (SELECT title, rep, band, bkey FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY band, bkey ORDER BY rep) AS rk FROM bands)
+       |  WHERE rk <= ${Dedup.MaxBucket}),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b, ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS jaccard
-       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b)
-       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+       |  SELECT DISTINCT a.title AS title_a, b.title AS title_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep <= b.rep),
+       |tj AS (
+       |  SELECT title_a, title_b, ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS jaccard
+       |  FROM cand JOIN sh sa ON sa.title = title_a JOIN sh sb ON sb.title = title_b),
+       |sel AS (SELECT * FROM tj WHERE jaccard >= 0.5)
+       |SELECT doc_a, doc_b, max(jaccard) AS jaccard FROM (
+       |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+       |         greatest(ma.doc_id, mb.doc_id) AS doc_b, jaccard
+       |  FROM sel JOIN docs ma ON ma.title = title_a
+       |           JOIN docs mb ON mb.title = title_b
+       |  WHERE ma.doc_id <> mb.doc_id)
+       |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
   }
 
   val oracleSql: Map[String, String] = {
@@ -267,16 +307,27 @@ object DedupQueries {
 
       "q53_ngram_jaccard" ->
         s"""$cte, $docsCte,
-           |t AS (SELECT doc_id, $toksE AS toks, title FROM docs),
-           |cg AS (SELECT doc_id,
+           |tit AS (SELECT title, min(doc_id) AS rep FROM docs GROUP BY title),
+           |t AS (SELECT title, rep, $toksE AS toks FROM tit),
+           |cg AS (SELECT title, rep,
            |    toks[1] || '#' || CAST(len(toks) AS VARCHAR) AS blk,
            |    ${Dedup.charGramsSql("lower(trim(title))")} AS cg
-           |  FROM t WHERE len(toks) > 0)
-           |SELECT doc_a, doc_b, jaccard FROM (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  FROM t WHERE len(toks) > 0),
+           |capped AS (SELECT title, rep, blk, cg FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY rep) AS rk FROM cg)
+           |  WHERE rk <= ${Dedup.MaxBucket}),
+           |tp AS (
+           |  SELECT a.title AS title_a, b.title AS title_b,
            |    ${Dedup.jaccardSql("a.cg", "b.cg")} AS jaccard
-           |  FROM cg a JOIN cg b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-           |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+           |  FROM capped a JOIN capped b ON a.blk = b.blk AND a.rep <= b.rep),
+           |sel AS (SELECT * FROM tp WHERE jaccard >= 0.6)
+           |SELECT doc_a, doc_b, max(jaccard) AS jaccard FROM (
+           |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+           |         greatest(ma.doc_id, mb.doc_id) AS doc_b, jaccard
+           |  FROM sel JOIN docs ma ON ma.title = title_a
+           |           JOIN docs mb ON mb.title = title_b
+           |  WHERE ma.doc_id <> mb.doc_id)
+           |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
       "q67_incremental_dedup" ->
         """SELECT doc_id, md5(text) AS text_hash FROM documents b
@@ -284,12 +335,17 @@ object DedupQueries {
           |  SELECT 1 FROM documents h WHERE h.doc_id < 250 AND md5(h.text) = md5(b.text))
           |ORDER BY doc_id""".stripMargin,
 
-      "q54_embedding_dup" ->
-        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings)
+      "q54_embedding_dup" -> {
+        val probesList = (Seq("bucket") ++ (0 until graft.operators.Similarity.NumPlanes)
+          .map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm,
+           |    ${graft.operators.Similarity.bucketSql("embedding")} AS bucket FROM embeddings),
+           |probes AS (SELECT vec_id, embedding, nrm, unnest($probesList) AS probe FROM e)
            |SELECT vec_a, vec_b, cosine FROM (
            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |    ${Dedup.dotProductSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-           |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-           |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+           |  FROM probes a JOIN e b ON b.bucket = a.probe AND a.vec_id < b.vec_id)
+           |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
+      })
   }
 }

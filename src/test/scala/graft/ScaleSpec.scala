@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.operators.SkewJoin
+import graft.operators.{Dedup, SkewJoin}
 
 /** Scale-technique specs: salted skew joins and bucketed co-located
   * joins — the explicit 100 TB tools the query inventory leans on. */
@@ -21,6 +21,26 @@ class ScaleSpec extends SparkSpec {
       .select("k", "id", "v").orderBy("k", "id")
     assert(salted.collect().toSeq == plain.collect().toSeq)
     assert(salted.count() == 902) // 900 hot + k950 + k999
+  }
+
+  test("capBuckets bounds an adversarial LSH bucket to cap members (no quadratic join)") {
+    // 10⁴ distinct near-identical titles landing in ONE candidate bucket
+    // — the pathological corpus the q51/q53 cap guards against. Without
+    // the cap the candidate self-join emits ~5·10⁷ pairs; with it, at
+    // most cap·(cap+1)/2.
+    val cap = 100
+    val bucket = (1L to 10000L).map(i => ("blk0", s"title variant $i", i))
+      .toDF("blk", "title", "rep")
+    val capped = Dedup.capBuckets(bucket, Seq("blk"), "rep", cap)
+    assert(capped.count() == cap)
+    // deterministic: keeps the cap smallest reps
+    assert(capped.agg(max("rep")).head.getLong(0) == cap.toLong)
+    val cappedB = capped.select(col("blk"), col("rep").as("rep_b"))
+    val pairs = capped.join(cappedB, "blk").where(col("rep") <= col("rep_b"))
+    assert(pairs.count() == cap.toLong * (cap + 1) / 2)
+    // a bucket below the cap passes through untouched
+    val small = (1L to 50L).map(i => ("blk1", s"t$i", i)).toDF("blk", "title", "rep")
+    assert(Dedup.capBuckets(small, Seq("blk"), "rep", cap).count() == 50)
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
