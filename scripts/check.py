@@ -3,8 +3,9 @@
 against DuckDB oracles on the same fixture tables, compare value-by-value
 with columns sorted by name (the driver's hashing convention).
 
-Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out
-(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+Usage: python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out [skip_csv]
+(run `sbt "runMain graft.Verify <sfDir> <outDir>"` first; skip_csv names
+queries to leave out, e.g. oracle-side quadratic pair expansions at sf1)
 """
 import sys, json, glob, os
 import duckdb
@@ -30,7 +31,7 @@ def check_types(rel, side: str, name: str):
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -38,6 +39,9 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if name in skip:
+            print(f"SKIP {name}")
+            continue
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(res_dir, "*.parquet"))
         if not files:
@@ -69,4 +73,5 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
+    sys.exit(main(sys.argv[1], sys.argv[2], skip))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGramsExpr, DotProduct, FingerprintExpr, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
+import graft.functions.{CharGramsExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot(arr1, arr2) takes two arguments")
         DotProduct(children.head, children(1))
       }))
+    // aggregate: the analyzer wraps a bare AggregateFunction in its
+    // AggregateExpression when it appears in an aggregation context
+    ext.injectFunction(unary("graft_approx_distinct", c => HllSketchAgg(c)))
     ext.injectFunction(unary("graft_minhash", MinHashSignatureExpr))
     ext.injectFunction(unary("graft_simhash", SimHashExpr))
     ext.injectFunction(unary("graft_fingerprint", FingerprintExpr))

@@ -53,6 +53,8 @@ object Components {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // fresh per-round: an Observation can be attached to one query only
+      val obs = org.apache.spark.sql.Observation()
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
@@ -70,15 +72,18 @@ object Components {
       // The jump self-joins `stepped` WITHOUT materializing it first
       // (alias-based resolution keeps the shared-lineage join
       // unambiguous), so each round runs exactly ONE eager job — the
-      // round-end localCheckpoint — instead of two. The convergence
-      // count afterwards scans the checkpointed result only (cheap, and
-      // it's what truncates the lineage for the next round).
+      // round-end localCheckpoint. The convergence signal rides along
+      // as an `observe` metric computed DURING that materialization
+      // (map-side, no extra scan, no second action); Observation.get
+      // returns as soon as the checkpoint job completes.
       val next = stepped.alias("s")
         .join(stepped.alias("p"), col("s.label") === col("p.node"), "left")
         .select(col("s.node").as("node"), col("s.old_label").as("old_label"),
           coalesce(col("p.label"), col("s.label")).as("label"))
+        .observe(obs, coalesce(sum(when(col("label") =!= col("old_label"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
         .localCheckpoint()
-      changed = next.where(col("label") =!= col("old_label")).count()
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("node", "label")
       iter += 1
     }

@@ -74,10 +74,16 @@ object ReferenceQueries {
           array_join(col("technologies"), "|").as("technologies"))
         .orderBy("post_id")),
 
-    // F1 inclusive time-range filter
+    // F1 inclusive time-range filter. Source arm + filter arm: the
+    // bounds are ALSO applied in the raw nanos domain at the scan
+    // (Tables.loadEventsRange — parquet row-group pruning; the µs
+    // conversion expression would otherwise block pushdown), then the
+    // exact F1 µs-domain filter runs over the pruned rows.
     "q06_range_filter" -> ((s, dir) =>
-      Incremental.rangeFilter(events(s, dir), "ts",
-          tsLit("2024-01-10 00:00:00"), tsLit("2024-01-20 00:00:00"))
+      Incremental.rangeFilter(
+          Tables.loadEventsRange(s, dir,
+            tsLit("2024-01-10 00:00:00"), tsLit("2024-01-20 00:00:00")),
+          "ts", tsLit("2024-01-10 00:00:00"), tsLit("2024-01-20 00:00:00"))
         .select("event_id", "ts", "event_type", "value")
         .orderBy("event_id")),
 

@@ -320,10 +320,15 @@ object RelationalQueries {
     // broadcast over |event_type| rows.
     "q46_approx_aggs" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // the distinct sketch is the custom HLL TypedImperativeAggregate
+      // (graft.functions.HllSketchAgg — constant 4 KiB buffer/group,
+      // order-free register-max merge), not the built-in
+      // approx_count_distinct; AggregatesSpec/ExtensionsSpec pin its
+      // accuracy and partitioning-independence
       val counts = ev.groupBy("event_type").agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("n_users_exact"),
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("au"))
+        call_function("graft_approx_distinct", col("user_id")).as("au"))
       val quants = ev.groupBy("event_type").agg(
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
         expr("percentile(value, 0.45)").as("p45"),

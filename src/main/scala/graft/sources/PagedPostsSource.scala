@@ -40,10 +40,29 @@ class PagedPostsSource extends TableProvider {
     PagedPostsSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    def intOpt(k: String, dflt: Int): Int =
+      Option(properties.get(k)).map(_.toInt).getOrElse(dflt)
     new PagedPostsTable(properties.get("path"),
-      Option(properties.get("first")).getOrElse("page-0.json"))
+      Option(properties.get("first")).getOrElse("page-0.json"),
+      RetryConf(
+        retries = intOpt("retries", 0),
+        retryDelayMs = intOpt("retryDelayMs", 2000),
+        pageDelayMs = intOpt("pageDelayMs", 0)))
+  }
 }
+
+/** Source-level retry/pacing semantics (reference `dags/dag.py:199-202,
+  * 279`: fetch failure → sleep 2 s and retry; 1 s pacing between pages).
+  *
+  * `retries = 0` (default) keeps snapshot semantics: an absent page file
+  * ends the chain silently. With `retries > 0`, an absent or unreadable
+  * page is a TRANSIENT fault: the reader re-attempts up to `retries`
+  * times, `retryDelayMs` apart, then throws — a paginated cursor that
+  * silently truncates on a hiccup would under-ingest with no signal.
+  * `pageDelayMs` inserts the reference's politeness delay between page
+  * loads (0 = engine-side no-op). */
+case class RetryConf(retries: Int, retryDelayMs: Int, pageDelayMs: Int)
 
 object PagedPostsSource {
   /** Raw scraped-post shape (reference `dags/dag.py:239-249`). */
@@ -58,16 +77,17 @@ object PagedPostsSource {
     StructField("subreddit", StringType)))
 }
 
-private class PagedPostsTable(path: String, first: String) extends Table with SupportsRead {
+private class PagedPostsTable(path: String, first: String, retry: RetryConf)
+    extends Table with SupportsRead {
   override def name(): String = s"paged_posts($path)"
   override def schema(): StructType = PagedPostsSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(path, first)
+    new PagedScanBuilder(path, first, retry)
 }
 
-private class PagedScanBuilder(path: String, first: String)
+private class PagedScanBuilder(path: String, first: String, retry: RetryConf)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = PagedPostsSource.schema
 
@@ -78,29 +98,32 @@ private class PagedScanBuilder(path: String, first: String)
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      Array(PagedInputPartition(path, first)) // serial page chain → 1 split
+      Array(PagedInputPartition(path, first, retry)) // serial page chain → 1 split
     override def createReaderFactory(): PartitionReaderFactory =
       new PagedReaderFactory(required)
   }
 }
 
-private case class PagedInputPartition(path: String, first: String) extends InputPartition
+private case class PagedInputPartition(path: String, first: String,
+                                       retry: RetryConf) extends InputPartition
 
 private class PagedReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val pp = p.asInstanceOf[PagedInputPartition]
-    new PagedPostsReader(pp.path, pp.first, required)
+    new PagedPostsReader(pp.path, pp.first, required, pp.retry)
   }
 }
 
 /** Serial reader: drains page i, then follows its `next` link. */
-private class PagedPostsReader(dir: String, first: String, required: StructType)
+private class PagedPostsReader(dir: String, first: String, required: StructType,
+                               retry: RetryConf = RetryConf(0, 2000, 0))
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private var nextPage: Option[String] = Some(first)
   private val visited = mutable.Set.empty[String] // cyclic next-links must terminate
   private val buffer = mutable.Queue.empty[InternalRow]
+  private var pagesLoaded = 0
   private val fieldNames = required.fields.map(_.name)
 
   private def parseLine(line: String): Option[AnyRef] =
@@ -140,20 +163,53 @@ private class PagedPostsReader(dir: String, first: String, required: StructType)
     } catch { case _: Exception => None }
   }
 
+  /** One read attempt. Rows are STAGED locally and enqueued only after
+    * the whole page parsed — a mid-page IO failure that gets retried
+    * must not double-enqueue the rows before the failure point. */
+  private def readPageOnce(file: java.io.File): Unit = {
+    val staged = mutable.ArrayBuffer.empty[InternalRow]
+    var next: Option[String] = None
+    val src = scala.io.Source.fromFile(file, "UTF-8")
+    try src.getLines().foreach { line =>
+      if (line.trim.nonEmpty) parseLine(line).foreach { node =>
+        val json = node.asInstanceOf[JsonNode]
+        val nxt = json.get("next")
+        if (nxt != null && !nxt.isNull) next = Some(nxt.asText())
+        else toRow(json).foreach(staged += _)
+      }
+    } finally src.close()
+    nextPage = next
+    staged.foreach(buffer.enqueue(_))
+  }
+
   private def loadPage(name: String): Unit = {
-    val file = new java.io.File(dir, name)
     nextPage = None
     if (!visited.add(name)) return // already scanned: a link cycle, stop
-    if (file.exists()) {
-      val src = scala.io.Source.fromFile(file, "UTF-8")
-      try src.getLines().foreach { line =>
-        if (line.trim.nonEmpty) parseLine(line).foreach { node =>
-          val json = node.asInstanceOf[JsonNode]
-          val nxt = json.get("next")
-          if (nxt != null && !nxt.isNull) nextPage = Some(nxt.asText())
-          else toRow(json).foreach(buffer.enqueue(_))
+    if (retry.pageDelayMs > 0 && pagesLoaded > 0)
+      Thread.sleep(retry.pageDelayMs) // politeness pacing between pages
+    pagesLoaded += 1
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val file = new java.io.File(dir, name)
+      if (file.exists()) {
+        try { readPageOnce(file); done = true }
+        catch { case e: java.io.IOException =>
+          if (attempt >= retry.retries) throw new java.io.IOException(
+            s"page $name unreadable after ${attempt + 1} attempts", e)
+          attempt += 1
+          Thread.sleep(retry.retryDelayMs)
         }
-      } finally src.close()
+      } else if (retry.retries == 0) {
+        done = true // snapshot semantics: absent page ends the chain
+      } else if (attempt >= retry.retries) {
+        throw new java.io.IOException(
+          s"page $name still absent after ${attempt + 1} attempts " +
+            s"(${retry.retries} retries, ${retry.retryDelayMs} ms apart)")
+      } else {
+        attempt += 1
+        Thread.sleep(retry.retryDelayMs)
+      }
     }
   }
 

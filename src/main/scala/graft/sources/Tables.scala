@@ -128,4 +128,26 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** `events` with a ts range applied in the RAW nanos-long domain,
+    * BEFORE the µs conversion. The post-`load` conversion expression
+    * (`timestamp_micros(ts div 1000)`) is a pushdown barrier — a
+    * predicate over it reaches parquet as bare `IsNotNull`, so a range
+    * query scans every row group. Translating the bounds instead of the
+    * column (`floor(n/1000) ∈ [lo_µs, hi_µs] ⟺ n ∈ [lo_µs·1000,
+    * hi_µs·1000 + 999]`, exact for the non-negative fixture domain)
+    * pushes both comparisons into the scan, where parquet min/max stats
+    * skip whole row groups — the difference between a bounded
+    * incremental read and a full-table scan at 100 TB. Callers layer
+    * the exact µs-domain filter on top (cheap, already pruned). */
+  def loadEventsRange(spark: SparkSession, sfDir: String,
+                      from: org.apache.spark.sql.Column,
+                      to: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(events).parquet(s"$sfDir/events.parquet")
+      .where(col("ts") >= unix_micros(from) * lit(1000L) &&
+             col("ts") <= unix_micros(to) * lit(1000L) + lit(999L))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 }

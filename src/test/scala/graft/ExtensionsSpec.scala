@@ -110,6 +110,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(typed(0).toSeq == Seq(2.0, 3.0) && typed(1).toSeq == Seq(10.0, 20.0))
   }
 
+  test("graft_approx_distinct: partial-merge associativity — estimate is partitioning-invariant") {
+    import graft.functions.HllSketchAgg
+    // 40k values, 10k distinct, skewed repeats
+    val df = (1L to 40000L).map(i => i % 10000L).toDF("v")
+    def est(parts: Int): Long =
+      df.repartition(parts).agg(call_function("graft_approx_distinct", col("v")))
+        .head.getLong(0)
+    // register-max merge is order-free: 1, 7, and 32 partitions (hence
+    // different partial-merge trees AND different update orders) must
+    // produce the SAME estimate, not just close ones
+    val e1 = est(1)
+    assert(est(7) == e1 && est(32) == e1)
+    // accuracy: p=12 → σ ≈ 1.6%; assert a generous 5% of exact
+    assert(math.abs(e1 - 10000L) <= 500, s"estimate $e1 off exact 10000")
+    // direct buffer-level associativity: (a⊕b)⊕c == a⊕(b⊕c)
+    val agg = HllSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    def bufOf(vs: Seq[Long]): Array[Byte] = {
+      val b = agg.createAggregationBuffer()
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      vs.foreach { v =>
+        val single = HllSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal(v))
+        single.update(b, row)
+      }
+      b
+    }
+    val (a, b, c) = (bufOf(1L to 100L), bufOf(50L to 150L), bufOf(140L to 300L))
+    def mrg(x: Array[Byte], y: Array[Byte]) = agg.merge(x.clone(), y.clone())
+    assert(java.util.Arrays.equals(mrg(mrg(a, b), c), mrg(a, mrg(b, c))))
+    // and commutativity
+    assert(java.util.Arrays.equals(mrg(a, b), mrg(b, a)))
+  }
+
   test("planes are reproducible across invocations (fixed LCG seed)") {
     assert(Similarity.planes == Similarity.planes)
     assert(Similarity.planes.length == Similarity.NumPlanes)

@@ -55,6 +55,45 @@ class PagedPostsSourceSpec extends SparkSpec {
     assert(read(dir).count() == 2) // each page read exactly once
   }
 
+  test("retry option: absent page appears before retries exhaust → full read") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "retry").toString
+    Files.writeString(Paths.get(dir, "page-0.json"),
+      """{"post_id":"p1","title":"t","url":"u","author":"a","created_utc_ms":1,"upvotes":1,"comments_text":"c","subreddit":"r"}
+        |{"next":"page-late.json"}""".stripMargin)
+    // the linked page materializes mid-retry (a transient fetch fault)
+    val writer = new Thread(() => {
+      Thread.sleep(150)
+      Files.writeString(Paths.get(dir, "page-late.json"),
+        """{"post_id":"p2","title":"t2","url":"u","author":"a","created_utc_ms":2,"upvotes":1,"comments_text":"c","subreddit":"r"}""")
+    })
+    writer.start()
+    try {
+      val n = spark.read.format("graft.sources.PagedPostsSource")
+        .option("path", dir).option("retries", "20").option("retryDelayMs", "50")
+        .load().count()
+      assert(n == 2) // p2 arrived through the retry loop
+    } finally writer.join()
+  }
+
+  test("retry option: retries exhaust on a permanently absent page → loud failure") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "retryx").toString
+    Files.writeString(Paths.get(dir, "page-0.json"),
+      """{"post_id":"p1","title":"t","url":"u","author":"a","created_utc_ms":1,"upvotes":1,"comments_text":"c","subreddit":"r"}
+        |{"next":"page-gone.json"}""".stripMargin)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("graft.sources.PagedPostsSource")
+        .option("path", dir).option("retries", "2").option("retryDelayMs", "10")
+        .load().count()
+    }
+    // the IOException names the page and the attempt count
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(e).exists(c => c.isInstanceOf[java.io.IOException] &&
+      c.getMessage.contains("page-gone.json") && c.getMessage.contains("2 retries")))
+    // default (retries=0) keeps snapshot semantics: absent page = end of chain
+    assert(read(dir).count() == 1)
+  }
+
   test("feeds the reference transform chain end-to-end") {
     val raw = read(writePages())
       .withColumn("created_datetime", timestamp_millis(col("created_utc_ms")))

@@ -42,6 +42,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q06: time-range predicate reaches the parquet scan") {
+    val p = plan("q06_range_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts") &&
+      p.contains("LessThanOrEqual(ts"), p.linesIterator.filter(_.contains("PushedFilters"))
+        .mkString("\n"))
+  }
+
+  test("LSH candidate generation is equi-join everywhere: no cartesian, no nested-loop") {
+    // the scale contract of the dedup/ANN suite — each candidate join
+    // must shuffle on its bucket/block key; a cartesian or
+    // broadcast-nested-loop here is a 100 TB outage, not a slow query.
+    // (q55 is excluded by design: the brute-force kNN baseline
+    // deliberately broadcasts the 5-row query side over the corpus.)
+    for (q <- Seq("q51_minhash_lsh", "q53_ngram_jaccard", "q54_embedding_dup",
+                  "q56_ann_lsh", "q66_ann_multiprobe")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
   test("q05 transform: pure expressions — no object-level operators") {
     val df = SparkEntry.queries("q05_transform")(spark, dir)
     df.count() // finalize the adaptive plan so codegen spans are assigned
