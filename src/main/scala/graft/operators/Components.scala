@@ -20,25 +20,40 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param edges undirected edges; first two columns are the node pair
+    * @param localThreshold edge count at or below which the components
+    *        are solved by DRIVER-LOCAL union-find instead of the
+    *        iterative distributed loop — the same adaptive decision a
+    *        broadcast join makes. The dup-cluster graph this operator
+    *        sees is post-aggregation (one node per distinct title /
+    *        content hash), typically orders of magnitude smaller than
+    *        the corpus; running ~5 shuffle rounds over a 1 000-edge
+    *        graph is pure scheduling overhead (measured: ~1.9 s at
+    *        sf0.1 vs ~0.1 s local). 500 k edges ≈ 8 MB of longs — a
+    *        trivial driver collect; beyond it the Pregel-style loop
+    *        runs unchanged.
     * @return (node, component) — component = min reachable node id
     * @throws IllegalStateException if labels have not converged after
     *         `maxIter` rounds (rounds needed = graph diameter) — a
     *         silent partial result would fail the differential oracle
     *         with no hint of the cause. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+                          localThreshold: Long = 500000L): DataFrame = {
     val Seq(a, b) = edges.columns.take(2).toSeq
     val symRaw = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
       .distinct().localCheckpoint()
 
+    val spark = edges.sparkSession
+    val edgeCount = symRaw.count()
+    if (edgeCount <= localThreshold) return localComponents(spark, symRaw)
+
     // Size the per-round shuffle to the graph, not the session default:
     // each round is several stages, and on a small edge list 32-partition
     // shuffles are pure scheduling overhead. ~500k edges per partition,
     // capped at the session parallelism for genuinely large graphs.
-    val spark = edges.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.min(sessionParts,
-      math.max(1, (symRaw.count() / 500000L).toInt + 1))
+      math.max(1, (edgeCount / 500000L).toInt + 1))
     val sym = symRaw.repartition(parts, col("src")).localCheckpoint()
 
     var labels = sym.select(col("src").as("node")).distinct()
@@ -92,5 +107,30 @@ object Components {
         s"connectedComponents did not converge after $maxIter rounds " +
           s"($changed labels still changing) — graph diameter exceeds maxIter")
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** Driver-local path: union-find with iterative path compression,
+    * union-by-min so every set's root IS its minimal member. Exact same
+    * contract as the distributed loop (PropertySpec runs both paths
+    * against the same reference). */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              sym: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var root = x0
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var x = x0
+      while (parent.getOrElse(x, x) != x) { val nxt = parent(x); parent(x) = root; x = nxt }
+      root
+    }
+    pairs.foreach { case (s, d) =>
+      val (rs, rd) = (find(s), find(d))
+      if (rs != rd) parent(math.max(rs, rd)) = math.min(rs, rd)
+      else parent.getOrElseUpdate(rs, rs) // register isolated self-edge nodes
+    }
+    val labels = pairs.iterator.map(_._1).distinct.map(n => (n, find(n))).toSeq
+    labels.toDF("node", "component")
   }
 }

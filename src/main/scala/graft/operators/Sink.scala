@@ -44,7 +44,18 @@ object Sink {
     * 100 TB sink costs O(touched days), not O(history) — the reference's
     * ON CONFLICT upsert restated for object storage. Updates must carry
     * `tsCol`; rows may move partitions only if their own timestamp
-    * changed, which a keyed upsert forbids by construction. */
+    * changed, which a keyed upsert forbids by construction.
+    *
+    * The existing-side restriction is a collected O(touched-days)
+    * scalar list turned into a STATIC `isin` partition filter — one
+    * driver round-trip over a value set bounded by the batch's calendar
+    * span, never by row count. A broadcast-semi-join alternative (zero
+    * driver round-trips, relying on Dynamic Partition Pruning to reach
+    * the scan) was tried and rejected: Spark's PartitionPruning rule
+    * declines an unfiltered dimension side, so the "cleaner" form
+    * silently degrades to a FULL history scan + post-join filter —
+    * static pruning is deterministic, visible in PartitionFilters
+    * (SinkSpec pins it), and independent of optimizer heuristics. */
   def upsertTimePartitioned(spark: org.apache.spark.sql.SparkSession,
                             targetPath: String, updates: DataFrame,
                             keys: Seq[String], tsCol: String): Unit = {

@@ -52,11 +52,16 @@ object RelationalQueries {
           // decimal sums internally (order-free exactness), DOUBLE in the
           // dumped projection — the driver hashes canonical strings, and
           // decimal('137869.00') ≠ double('137869.0') even when equal.
-          // All values < 2^53 so the final cast is lossless in both engines.
+          // The scale-6 product sums are rounded to cents BEFORE the
+          // double cast: at sf1 the raw sum × 10⁶ exceeds 2⁵³, so the
+          // decimal→double conversion rounds and the two engines can
+          // disagree by 1 ulp (observed at sf1); × 10² stays exact
+          // (hence engine-identical) to ~sf300. Positive sums, so
+          // Spark HALF_UP == DuckDB round-half-away.
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
           sum(price).cast("double").as("sum_base_price"),
-          sum(price * oneMinusD).cast("double").as("sum_disc_price"),
-          sum(price * oneMinusD * onePlusT).cast("double").as("sum_charge"),
+          round(sum(price * oneMinusD), 2).cast("double").as("sum_disc_price"),
+          round(sum(price * oneMinusD * onePlusT), 2).cast("double").as("sum_charge"),
           (sum(col("l_quantity").cast("decimal(12,2)")).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -607,8 +612,8 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2)) * CAST(1.0 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(3,2)) * CAST(1.0 + l_tax AS DECIMAL(3,2))), 2) AS DOUBLE) AS sum_charge,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'

@@ -124,10 +124,17 @@ class PropertySpec extends SparkSpec {
       }
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(n => n -> find(n)).toMap
-      val got = graft.operators.Components
+      // BOTH execution paths must match the reference: the adaptive
+      // driver-local union-find (default threshold) and the distributed
+      // iterative loop (threshold 0 forces it even on a small graph)
+      val gotLocal = graft.operators.Components
         .connectedComponents(edges.toDF("src", "dst"))
         .as[(Long, Long)].collect().toMap
-      assert(got == expected)
+      val gotLoop = graft.operators.Components
+        .connectedComponents(edges.toDF("src", "dst"), localThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotLocal == expected)
+      assert(gotLoop == expected)
     }
   }
 }

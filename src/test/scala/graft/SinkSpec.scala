@@ -39,6 +39,22 @@ class SinkSpec extends SparkSpec {
     assert(all == Map("p1" -> "v1", "p2" -> "v2", "p3" -> "v1", "p4" -> "v1"))
   }
 
+  test("upsert's existing-side read is statically partition-pruned to touched days") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "prunesink").toString + "/posts"
+    val seed = (1 to 10).map(d => (s"p$d", ts(f"2024-01-$d%02d 10:00:00"), "v1"))
+      .toDF("post_id", "ts", "v")
+    Sink.writeTimePartitioned(seed, base, "ts")
+    // the exact existing-side shape upsertTimePartitioned builds
+    val touched = Seq(java.sql.Date.valueOf("2024-01-02"))
+    val pruned = spark.read.parquet(base).where(col("dt").isin(touched: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("dt") && scanLine.contains("2024-01-02"),
+      s"expected the touched-day isin to land in PartitionFilters:\n$plan")
+    assert(pruned.count() == 1) // only the touched day's rows are read
+  }
+
   test("quarantine splits rows by named rules, nulls count as violations") {
     val df = Seq(
       (1L, Some("ok"), 5),
