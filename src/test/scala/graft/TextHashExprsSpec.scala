@@ -139,6 +139,22 @@ class TextHashExprsSpec extends SparkSpec {
     ).count() == 0)
   }
 
+  test("mistyped input fails analysis with a clear type-mismatch message") {
+    // checkInputDataTypes (not a resolved override): the error must name
+    // the expected type, not surface as an opaque unresolved expression
+    val bad = Seq(Tuple1(Array(1, 2, 3))).toDF("xs")
+    bad.createOrReplaceTempView("th_bad")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash(xs) FROM th_bad").collect()
+    }
+    assert(e.getMessage.contains("graft_simhash") &&
+      e.getMessage.toLowerCase.contains("array<string>"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_chargrams(xs, 3) FROM th_bad").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("string"), e2.getMessage)
+  }
+
   test("kernel null semantics: null array → null/skip; null element rules") {
     val df = Seq(1).toDF("i").select(
       Dedup.minhashSignature(lit(null).cast("array<string>")).as("mh_null"),
