@@ -45,7 +45,16 @@ object Components {
 
     val spark = edges.sparkSession
     val edgeCount = symRaw.count()
-    if (edgeCount <= localThreshold) return localComponents(spark, symRaw)
+    // the local path encodes nodes as Long; non-integral node types
+    // (e.g. hash-string ids) always take the distributed loop, so the
+    // operator's behavior never depends on data VOLUME for them
+    val integralNodes = symRaw.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    if (integralNodes && edgeCount <= localThreshold)
+      return localComponents(spark, symRaw)
 
     // Size the per-round shuffle to the graph, not the session default:
     // each round is several stages, and on a small edge list 32-partition
@@ -131,6 +140,11 @@ object Components {
       else parent.getOrElseUpdate(rs, rs) // register isolated self-edge nodes
     }
     val labels = pairs.iterator.map(_._1).distinct.map(n => (n, find(n))).toSeq
+    // cast back so the output schema matches the distributed path even
+    // for IntegerType node ids (the collect upcasts them to Long)
+    val srcType = sym.schema("src").dataType
     labels.toDF("node", "component")
+      .select(col("node").cast(srcType).as("node"),
+        col("component").cast(srcType).as("component"))
   }
 }

@@ -14,8 +14,9 @@ import graft.functions.TextAnalysis
   * explode(bands) → groupBy(band,key) — one shuffle keyed on the band
   * signature, never an all-pairs cross join. Only rows sharing a band
   * bucket meet; the exact-Jaccard verify runs on candidates only. At
-  * 100 TB the hot buckets (boilerplate docs) are the skew risk — salt
-  * the band key or cap bucket size upstream; AQE skew-join handles the
+  * 100 TB the hot buckets (boilerplate docs) are the skew risk —
+  * bounded by [[capBuckets]]/[[MaxBucket]] on every candidate path
+  * (q51 bands, q53 blocks, q75 ER blocks); AQE skew-join handles the
   * verify join.
   *
   * Portability: minhash = lexicographic MIN over hex md5 strings (same

@@ -78,9 +78,12 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Array[Float] = {
       val out = new Array[Float](dim)
       if (bytes == null || bytes.isEmpty) return out
+      // NonFatal, not just IOException: JDK decoders throw runtime
+      // exceptions on corrupt-but-recognized payloads (bogus chunk
+      // dimensions etc.), and one bad file must not kill the partition
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return out
       var y = 0
       while (y < img.getHeight) {
@@ -113,8 +116,10 @@ object Multimodal {
       val in =
         try javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        catch { case _: Exception => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (in == null) return out
+      // same NonFatal quarantine as ImageCodec: a corrupt PCM body must
+      // yield the zero vector, not abort the partition
       try {
         val fmt = in.getFormat
         if (fmt.getSampleSizeInBits != 16) return out
@@ -139,6 +144,10 @@ object Multimodal {
           j += 1
         }
         out
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          java.util.Arrays.fill(out, 0f)
+          out
       } finally in.close()
     }
   }

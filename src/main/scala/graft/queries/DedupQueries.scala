@@ -170,8 +170,13 @@ object DedupQueries {
       // isolated multi-doc titles still cluster among their own members:
       // inject self-edges so they stay nodes of the graph. Singleton
       // titles with no cross edge contribute no doc pairs — excluded,
-      // matching the pair-list oracle.
+      // matching the pair-list oracle. Self-edges come from titles that
+      // SURVIVED the band-bucket cap (mh_bands is the capped view): a
+      // title capped out of every bucket produces no self candidate in
+      // the oracle either, so reading uncapped mh_sh here would diverge
+      // exactly when the MaxBucket guard binds.
       val selfEdges = s.table("mh_sh").where(col("n_docs") >= 2)
+        .join(s.table("mh_bands").select("title").distinct(), Seq("title"))
         .select(col("rep").as("src"), col("rep").as("dst"))
       Components.connectedComponents(cross.unionByName(selfEdges))
         .join(s.table("mh_sh").select(col("title"), col("rep").as("node")), Seq("node"))

@@ -41,10 +41,13 @@ class PagedPostsSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
+    // DSv2 options are case-insensitive by contract; the raw properties
+    // map preserves the user's casing, so wrap before lookup
+    val opts = new CaseInsensitiveStringMap(properties)
     def intOpt(k: String, dflt: Int): Int =
-      Option(properties.get(k)).map(_.toInt).getOrElse(dflt)
-    new PagedPostsTable(properties.get("path"),
-      Option(properties.get("first")).getOrElse("page-0.json"),
+      Option(opts.get(k)).map(_.toInt).getOrElse(dflt)
+    new PagedPostsTable(opts.get("path"),
+      Option(opts.get("first")).getOrElse("page-0.json"),
       RetryConf(
         retries = intOpt("retries", 0),
         retryDelayMs = intOpt("retryDelayMs", 2000),

@@ -11,9 +11,11 @@ class AggregatesSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("approx_count_distinct within 5% of exact on every group") {
+  test("graft_approx_distinct (q46's sketch) within 5% of exact on every group") {
+    // bounds the EXACT aggregate q46 ships — the custom HLL
+    // TypedImperativeAggregate, not the built-in approx_count_distinct
     val rows = Tables.load(spark, dir, "events").groupBy("event_type").agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"),
+        call_function("graft_approx_distinct", col("user_id")).as("approx"),
         countDistinct(col("user_id")).as("exact"))
       .as[(String, Long, Long)].collect()
     assert(rows.nonEmpty)
