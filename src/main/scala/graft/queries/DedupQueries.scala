@@ -218,6 +218,16 @@ object DedupQueries {
     // 20+ bits plus the q51-style per-bucket cap). Recall < 1 by design
     // — the semantics (and the oracle) are "near-dup pairs whose buckets
     // collide within Hamming 1", the production contract for LSH dedup.
+    //
+    // Measured recall on the fixture (numpy cross-check, sf0.1): TRUE
+    // duplicates (identical vectors) are retained with recall 1.0 —
+    // equal vectors share a bucket by construction (ExtensionsSpec pins
+    // this) — while the weak-similarity tail this query's deliberately
+    // low 0.4 threshold admits (≈66° apart; expected bucket Hamming
+    // ≈ 2.9 over 8 planes) is kept at ~15 % for a ~27× candidate
+    // reduction. Production dedup thresholds (≥ 0.9) sit far closer to
+    // the retained end, and multiple independent hash tables are the
+    // standard recall lever when the tail matters.
     "q54_embedding_dup" -> ((s, dir) => {
       Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))

@@ -142,6 +142,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(mrg(a, b), mrg(b, a)))
   }
 
+  test("LSH prefilter retains exact duplicates with recall 1.0 (equal vectors, equal bucket)") {
+    // the deterministic half of the q54 contract: an identical payload
+    // ALWAYS lands in its twin's bucket (Hamming 0), so exact-duplicate
+    // pairs can never be lost to the prefilter, at any corpus size
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(Similarity.Dim)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }
+    val dups = vecs.map { case (id, v) => (id + 100L, v.clone()) } // exact copies
+    val df = (vecs ++ dups).toDF("vec_id", "embedding")
+      .withColumn("bucket", Similarity.bucket(col("embedding")))
+    val buckets = df.select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, _) =>
+      assert(buckets(id) == buckets(id + 100L), s"twin of $id changed bucket")
+    }
+  }
+
   test("planes are reproducible across invocations (fixed LCG seed)") {
     assert(Similarity.planes == Similarity.planes)
     assert(Similarity.planes.length == Similarity.NumPlanes)
