@@ -4,12 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
-/** Dataset-assembly extension queries (q63–q65): reproducible sampling
-  * and splitting — the operations that decide what 100 TB of candidate
-  * text actually enters a training run. All hash-based (content-
-  * addressed md5 buckets), never rand(): the assignment of a document
-  * to train/val/test must survive re-runs, retries, and engine swaps,
-  * which a seeded RNG over a shuffled partitioning does not.
+/** Dataset-assembly extension queries (q63–q65, q85): reproducible
+  * sampling and splitting — the operations that decide what 100 TB of
+  * candidate text actually enters a training run. All hash-based
+  * (content-addressed md5 buckets), never rand(): the assignment of a
+  * document to train/val/test must survive re-runs, retries, and
+  * engine swaps, which a seeded RNG over a shuffled partitioning does
+  * not.
   */
 object SamplingQueries {
 
@@ -30,6 +31,29 @@ object SamplingQueries {
         .where(col("bucket") < 10)
         .select("doc_id", "bucket", "lang")
         .orderBy("doc_id")),
+
+    // Weighted stratified sample — sequential Poisson sampling (the
+    // published order-sampling scheme: Ohlsson 1998): priority
+    // ξ = u / w with u a content-addressed uniform and w = n_chars;
+    // the k SMALLEST ξ per language are the sample, giving inclusion
+    // probability ∝ weight with zero RNG state. u is the exact 48-bit
+    // md5 integer (portable recipe, exact in a double) and w an exact
+    // int, so ξ is ONE IEEE division — engine-identical and
+    // re-run-stable — and the per-stratum selection streams through
+    // the custom TopKPerKey operator instead of a full sort.
+    "q85_weighted_sample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .where(col("n_chars") > 0) // zero-weight rows are unsampleable
+        .withColumn("u", conv(substring(
+            md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+          .cast("double"))
+        .withColumn("priority", col("u") / col("n_chars"))
+        .select("doc_id", "lang", "n_chars", "priority")
+      graft.operators.TopK.perKey(d, Seq("lang"),
+          Seq("priority" -> true, "doc_id" -> true), k = 10)
+        .select("lang", "doc_id", "n_chars", "priority", "rank")
+        .orderBy("lang", "rank")
+    }),
 
     // 80/10/10 train/val/test split + per-split counts as a sanity row.
     "q64_dataset_split" -> ((s, dir) => {
@@ -69,6 +93,16 @@ object SamplingQueries {
       s"""SELECT doc_id, ${hashBucketSql("doc_id", "sample:", 100)} AS bucket, lang
          |FROM documents WHERE ${hashBucketSql("doc_id", "sample:", 100)} < 10
          |ORDER BY doc_id""".stripMargin,
+
+    "q85_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+        |      / n_chars AS priority
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY priority, doc_id) AS rank FROM w)
+        |SELECT lang, doc_id, n_chars, priority, rank FROM r WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
 
     "q64_dataset_split" -> {
       val b = hashBucketSql("doc_id", "split:", 100)

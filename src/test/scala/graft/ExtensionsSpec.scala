@@ -158,6 +158,19 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("q85 weighted sample skews toward heavier documents (inclusion ∝ weight)") {
+    // sequential Poisson sampling: priority u/w falls with weight, so
+    // the sampled mean weight must exceed the corpus mean — a
+    // deterministic check here because u is content-addressed, not RNG
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q85_weighted_sample")(spark, dir)
+    val sampledMean = out.agg(avg("n_chars")).head.getDouble(0)
+    val corpusMean = graft.sources.Tables.load(spark, dir, "documents")
+      .where(col("n_chars") > 0).agg(avg("n_chars")).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"sampled mean $sampledMean should exceed corpus mean $corpusMean")
+  }
+
   test("planes are reproducible across invocations (fixed LCG seed)") {
     assert(Similarity.planes == Similarity.planes)
     assert(Similarity.planes.length == Similarity.NumPlanes)
