@@ -6,9 +6,10 @@ import graft.functions.TextAnalysis._
 import graft.sources.Tables
 
 /** Text-analysis extension queries over the `documents` fixture
-  * (q40–q43). Each is a single narrow projection — no shuffle at all
-  * except the final presentation ORDER BY, so the shape is embarrassingly
-  * parallel at 100 TB: scan → codegen'd expressions → write.
+  * (q40–q45, q86). Each is a single narrow projection — no shuffle at
+  * all except the final presentation ORDER BY (and q45's per-language
+  * count), so the shape is embarrassingly parallel at 100 TB:
+  * scan → codegen'd expressions → write.
   */
 object TextQueries {
 
@@ -86,7 +87,25 @@ object TextQueries {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .orderBy("lang", "rank")
-    }))
+    }),
+
+    // Intra-document repetition ratio — the published Gopher-rules
+    // quality signal (Rae et al. 2021, "repetitive documents"): the
+    // fraction of a document's 3-gram windows that duplicate an
+    // earlier window. Reuses the codegen'd graft_shingles kernel
+    // (distinct windows) against the total window count; exact ints +
+    // one IEEE division keep it oracle-identical. Embarrassingly
+    // parallel: scan → per-row expressions → write.
+    "q86_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_windows", greatest(size(col("toks")) - lit(2), lit(1)))
+        .withColumn("n_distinct", size(graft.operators.Dedup.shingles(col("toks"))))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_windows"))
+        .select(col("doc_id"), col("n_windows"), col("n_distinct"),
+          col("rep_ratio"), (col("rep_ratio") > 0.2).as("is_repetitive"))
+        .orderBy("doc_id")))
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
@@ -132,6 +151,15 @@ object TextQueries {
            |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
            |  FROM cnt)
            |SELECT lang, token, n, rank FROM rnk WHERE rank <= 5
-           |ORDER BY lang, rank""".stripMargin)
+           |ORDER BY lang, rank""".stripMargin,
+
+      "q86_repetition" ->
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |w AS (SELECT doc_id, greatest(len(toks) - 2, 1) AS n_windows,
+           |  len(${graft.operators.Dedup.shinglesSql("toks")}) AS n_distinct FROM t)
+           |SELECT doc_id, n_windows, n_distinct,
+           |  CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_windows AS rep_ratio,
+           |  (CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_windows) > 0.2 AS is_repetitive
+           |FROM w ORDER BY doc_id""".stripMargin)
   }
 }
