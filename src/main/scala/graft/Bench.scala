@@ -56,19 +56,35 @@ object Bench {
       // masquerade as a fast query); both runs failing → sentinel -1
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    // 3-decimal rendering: at full double precision the line exceeds the
-    // driver's output tail buffer and BENCH_r{N}.json records parsed:null
-    // (observed in r02) — millisecond resolution is all the judge needs.
-    // Locale.ROOT keeps the decimal point a '.' regardless of JVM locale
-    // (a comma-decimal locale would emit invalid JSON).
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // The driver captures a ~2.2 KB stdout TAIL, and sbt appends its own
+    // "[success] ..." line after ours, so a long line loses its HEAD
+    // (every recorded round clipped `"metric":"total","value":…` plus
+    // q01 — BENCH_r01–r05 all have parsed:null). Two mitigations:
+    //  (1) field order puts the long per-query map FIRST and the graded
+    //      headline fields (metric/value/unit/sf) LAST, so whatever gets
+    //      clipped is a leading query timing, never the total;
+    //  (2) the complete line is also written to BENCH_LOCAL.json (repo
+    //      root, override via SPARK_GRAFT_BENCH_OUT) as the full record.
+    // 2-decimal rendering (10 ms) keeps the line near the window size;
+    // bench noise on this shared box is ≫ 10 ms (min-of-2 notes in
+    // BASELINE.md). Locale.ROOT keeps the decimal point a '.' regardless
+    // of JVM locale (a comma-decimal locale would emit invalid JSON).
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // Exclude -1 both-runs-failed sentinels from the total (they would
     // silently shrink it); surface the failure count at the top level.
     val total = results.map(_._2).filter(_ >= 0).sum
     val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val line =
+      s"""{"queries":$qs,"n_failed":$nFailed,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(out))
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    println(line)
     spark.stop()
   }
 }
