@@ -6,9 +6,11 @@ import graft.functions.TextAnalysis
 import graft.operators.{Components, Dedup, Similarity}
 import graft.sources.Tables
 
-/** Deduplication extension queries (q50–q54): exact hash dedup, MinHash
-  * + LSH banding, SimHash, blocked char-n-gram Jaccard, and
-  * LSH-prefiltered embedding-cosine near-dup. q51–q53 run over the PostsProxy corpus,
+/** Deduplication extension queries (q50–q54, q67, q70, q87–q88): exact
+  * hash dedup, MinHash + LSH banding, SimHash, blocked char-n-gram
+  * Jaccard, LSH-prefiltered embedding-cosine near-dup (single- and
+  * multi-table), and the cluster-representative production output.
+  * q51–q53 run over the PostsProxy corpus,
   * which contains exact and near duplicates by construction (same title
   * templates with varying parameters); q50 runs over raw `documents`
   * (real duplicate texts at sf0.1); q54 over `embeddings`.
@@ -18,6 +20,10 @@ import graft.sources.Tables
   * lineage, while SQL-over-view self joins resolve cleanly.
   */
 object DedupQueries {
+
+  /** Independent hash tables in q88 — 3 tables at 8 planes each triples
+    * bucket-generation cost for a geometric recall lift on the tail. */
+  val NumTables = 3
 
   private def proxyTitles(s: SparkSession, dir: String): DataFrame =
     PostsProxy.df(s, dir).where(col("title") =!= "")
@@ -61,6 +67,27 @@ object DedupQueries {
       |  JOIN mh_sh sa ON sa.title = title_a
       |  JOIN mh_sh sb ON sb.title = title_b)
       |SELECT * FROM tj WHERE jaccard >= 0.5""".stripMargin)
+  }
+
+  /** The title-level duplicate graph q70/q87 run components over:
+    * cross edges between distinct-title near-dup pairs, plus self-edges
+    * for multi-doc titles that survived the band-bucket cap (docs
+    * sharing a title are exact duplicates — always pairwise connected —
+    * so doc-level components are exactly title-level components
+    * expanded to members, and the iterative loop sees |titles| nodes
+    * instead of the O(cluster²) doc-pair expansion). Singleton titles
+    * with no cross edge contribute no doc pairs — excluded, matching
+    * the pair-list oracle; a title capped out of every bucket produces
+    * no self candidate in the oracle either, so reading uncapped mh_sh
+    * here would diverge exactly when the MaxBucket guard binds. */
+  private def titleEdges(s: SparkSession, dir: String): DataFrame = {
+    val tp = titlePairs(s, dir)
+    val cross = tp.where(col("rep_a") =!= col("rep_b"))
+      .select(col("rep_a").as("src"), col("rep_b").as("dst"))
+    val selfEdges = s.table("mh_sh").where(col("n_docs") >= 2)
+      .join(s.table("mh_bands").select("title").distinct(), Seq("title"))
+      .select(col("rep").as("src"), col("rep").as("dst"))
+    cross.unionByName(selfEdges)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -161,27 +188,34 @@ object DedupQueries {
     // instead of the O(cluster²) doc-pair expansion (447k pairs at
     // sf0.1, ~1k title edges). Cluster label = min member doc id =
     // min(rep) over the component, since each title's rep IS its
-    // minimal member. Scale shape: the expansion joins run AFTER the
-    // loop, once, keyed on title.
+    // minimal member (see titleEdges). Scale shape: the expansion joins
+    // run AFTER the loop, once, keyed on title.
     "q70_dup_clusters" -> ((s, dir) => {
-      val tp = titlePairs(s, dir)
-      val cross = tp.where(col("rep_a") =!= col("rep_b"))
-        .select(col("rep_a").as("src"), col("rep_b").as("dst"))
-      // isolated multi-doc titles still cluster among their own members:
-      // inject self-edges so they stay nodes of the graph. Singleton
-      // titles with no cross edge contribute no doc pairs — excluded,
-      // matching the pair-list oracle. Self-edges come from titles that
-      // SURVIVED the band-bucket cap (mh_bands is the capped view): a
-      // title capped out of every bucket produces no self candidate in
-      // the oracle either, so reading uncapped mh_sh here would diverge
-      // exactly when the MaxBucket guard binds.
-      val selfEdges = s.table("mh_sh").where(col("n_docs") >= 2)
-        .join(s.table("mh_bands").select("title").distinct(), Seq("title"))
-        .select(col("rep").as("src"), col("rep").as("dst"))
-      Components.connectedComponents(cross.unionByName(selfEdges))
+      Components.connectedComponents(titleEdges(s, dir))
         .join(s.table("mh_sh").select(col("title"), col("rep").as("node")), Seq("node"))
         .join(s.table("mh_members"), Seq("title"))
         .select(col("doc_id"), col("component").as("cluster"))
+        .orderBy("doc_id")
+    }),
+
+    // Cluster-representative dedup output — the PRODUCTION contract a
+    // curation pipeline consumes: every (non-empty-title) doc mapped to
+    // the doc that survives dedup, i.e. the minimal doc id of its
+    // near-dup cluster, falling back to its title's minimal member
+    // (exact duplicates always collapse) and finally to itself. Output
+    // is LINEAR in corpus size — q51/q53's all-pairs output is
+    // inherently quadratic in per-title duplicate count (44.9 M /
+    // 78.9 M rows at sf1, pure output volume) while this emits one row
+    // per doc and skips the pair-expansion join entirely: components
+    // run on the title graph, then ONE join keyed on title fans the
+    // cluster label out to members.
+    "q87_dedup_representatives" -> ((s, dir) => {
+      val comps = Components.connectedComponents(titleEdges(s, dir))
+      s.table("mh_sh").select(col("title"), col("rep"))
+        .join(comps.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+        .join(s.table("mh_members"), Seq("title"))
+        .select(col("doc_id"),
+          coalesce(col("component"), col("rep")).as("keep_doc_id"))
         .orderBy("doc_id")
     }),
 
@@ -201,49 +235,58 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // Embedding-cosine near-dup pairs, LSH-prefiltered: candidates are
-    // pairs whose 8-bit hyperplane buckets (Similarity.bucket) differ in
-    // at most ONE bit, generated by exploding each vector's 9 probe keys
-    // (own bucket + 8 Hamming-1 neighbors) and equi-joining probe =
-    // bucket — a pair at Hamming ≤ 1 meets exactly once, so no DISTINCT
-    // pass is needed. Survivors get an EXACT cosine verify ≥ 0.4 with
-    // the codegen'd graft_dot kernel (same left-to-right fold as the
-    // DuckDB oracle's rendering, so results stay bit-equal).
-    //
-    // This replaced the round-3 all-pairs `a.vec_id < b.vec_id` baseline
-    // — the one O(n²) construct in the suite. The probe join shuffles on
-    // the bucket key instead of crossing: candidate volume scales with
-    // Σ bucket², not n², and NumPlanes grows with the corpus to keep
-    // buckets bounded (8 bits is sized for the fixture; 100 TB wants
-    // 20+ bits plus the q51-style per-bucket cap). Recall < 1 by design
-    // — the semantics (and the oracle) are "near-dup pairs whose buckets
-    // collide within Hamming 1", the production contract for LSH dedup.
+    // Embedding-cosine near-dup pairs, LSH-prefiltered — the full
+    // engine (Hamming-1 multiprobe + per-bucket cap + parameterized
+    // plane count) lives in Similarity.nearDupPairs; this query is the
+    // default-table instance at the deliberately-low 0.4 threshold.
+    // This replaced the round-3 all-pairs `a.vec_id < b.vec_id`
+    // baseline — the one O(n²) construct in the suite — and since
+    // round 6 the build side is ALSO capped per bucket (the last
+    // uncapped candidate path), so candidate volume is linear in n.
     //
     // Measured recall on the fixture (numpy cross-check, sf0.1): TRUE
     // duplicates (identical vectors) are retained with recall 1.0 —
     // equal vectors share a bucket by construction (ExtensionsSpec pins
-    // this) — while the weak-similarity tail this query's deliberately
-    // low 0.4 threshold admits (≈66° apart; expected bucket Hamming
-    // ≈ 2.9 over 8 planes) is kept at ~15 % for a ~27× candidate
-    // reduction. Production dedup thresholds (≥ 0.9) sit far closer to
-    // the retained end, and multiple independent hash tables are the
-    // standard recall lever when the tail matters.
-    "q54_embedding_dup" -> ((s, dir) => {
-      Tables.load(s, dir, "embeddings")
+    // this) — while the weak-similarity tail the 0.4 threshold admits
+    // (≈66° apart; expected bucket Hamming ≈ 2.9 over 8 planes) is kept
+    // at ~15 % for a ~27× candidate reduction. q88's multi-table union
+    // is the recall lever when the tail matters.
+    "q54_embedding_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(s, Tables.load(s, dir, "embeddings"), 0.4)
+        .orderBy("vec_a", "vec_b")),
+
+    // Multi-table LSH near-dup: NumTables INDEPENDENT hyperplane tables
+    // (distinct LCG seeds, table 0 = q54's planes), candidates = pairs
+    // sharing a bucket in ANY table — the standard recall lever when
+    // the weak-similarity tail matters (a pair missed by one table's
+    // cuts gets NumTables chances; miss probability decays
+    // geometrically). Each table's buckets are capped like every other
+    // candidate path; one DISTINCT collapses pairs that collide in
+    // several tables before the exact-cosine verify, and the verify
+    // joins fetch embeddings by vec_id so the (t, bucket) shuffle moves
+    // ids only, never the vectors.
+    "q88_embedding_dup_multitable" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
         .withColumn("nrm", Dedup.norm(col("embedding")))
-        .withColumn("bucket", Similarity.bucket(col("embedding")))
-        .createOrReplaceTempView("emb_n")
-      val probes = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
-        .map(i => s"bucket ^ ${1 << i}")).mkString("array(", ", ", ")")
-      s.sql(s"""
-        |WITH probes AS (
-        |  SELECT vec_id, embedding, nrm, explode($probes) AS probe FROM emb_n)
+      base.createOrReplaceTempView("mt_emb")
+      val buckets = base.select(col("vec_id"),
+        explode(array((0 until NumTables).map(t =>
+          struct(lit(t).as("t"), Similarity.bucketFor(col("embedding"),
+            Similarity.planesFor(Similarity.NumPlanes, Similarity.tableSeed(t))).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      Dedup.capBuckets(buckets, Seq("t", "bucket"), "vec_id")
+        .createOrReplaceTempView("mt_buckets")
+      s.sql("""
+        |WITH cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM mt_buckets a JOIN mt_buckets b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cosine FROM (
-        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |    graft_dot(a.embedding, b.embedding) / (a.nrm * b.nrm) AS cosine
-        |  FROM probes a JOIN emb_n b
-        |    ON b.bucket = a.probe AND a.vec_id < b.vec_id)
+        |  SELECT vec_a, vec_b,
+        |    graft_dot(ea.embedding, eb.embedding) / (ea.nrm * eb.nrm) AS cosine
+        |  FROM cand JOIN mt_emb ea ON ea.vec_id = vec_a
+        |            JOIN mt_emb eb ON eb.vec_id = vec_b)
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
     }))
 
@@ -350,17 +393,56 @@ object DedupQueries {
           |  SELECT 1 FROM documents h WHERE h.doc_id < 250 AND md5(h.text) = md5(b.text))
           |ORDER BY doc_id""".stripMargin,
 
-      "q54_embedding_dup" -> {
-        val probesList = (Seq("bucket") ++ (0 until graft.operators.Similarity.NumPlanes)
-          .map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
-        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm,
-           |    ${graft.operators.Similarity.bucketSql("embedding")} AS bucket FROM embeddings),
-           |probes AS (SELECT vec_id, embedding, nrm, unnest($probesList) AS probe FROM e)
+      "q54_embedding_dup" ->
+        (Similarity.nearDupPairsDuckSql(0.4) + "\nORDER BY vec_a, vec_b"),
+
+      "q88_embedding_dup_multitable" -> {
+        val arms = (0 until NumTables).map { t =>
+          val ps = Similarity.planesFor(Similarity.NumPlanes, Similarity.tableSeed(t))
+          s"SELECT vec_id, $t AS t, ${Similarity.bucketForSql("embedding", ps)} AS bucket FROM e"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings),
+           |mt AS ($arms),
+           |capped AS (SELECT vec_id, t, bucket FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rk FROM mt)
+           |  WHERE rk <= ${Dedup.MaxBucket}),
+           |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM capped a JOIN capped b
+           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, cosine FROM (
-           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |    ${Dedup.dotProductSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
-           |  FROM probes a JOIN e b ON b.bucket = a.probe AND a.vec_id < b.vec_id)
+           |  SELECT vec_a, vec_b,
+           |    ${Dedup.dotProductSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
+           |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
            |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
-      })
+      },
+
+      // q87: q70's recursive-closure clusters (doc-level, pair-list
+      // coverage) projected to the production doc→representative map
+      // over the FULL non-empty-title universe — docs outside the pair
+      // list fall back to their title's minimal member (exact-duplicate
+      // collapse), mirroring the Spark side's coalesce(component, rep).
+      // The `univ AS (` marker is load-bearing: scripts/cc_check.py
+      // splits this statement there to swap the quadratic recursive CTE
+      // for an iterative pointer-jumping loop at sf1.
+      "q87_dedup_representatives" ->
+        s"""WITH RECURSIVE pairs AS (
+           |$q51OracleSql
+           |),
+           |edges AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+           |  UNION
+           |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+           |clusters AS (SELECT node AS doc_id, min(r) AS cluster FROM reach GROUP BY node),
+           |univ AS (
+           |  $cte, $docsCte,
+           |  tit AS (SELECT title, min(doc_id) AS rep FROM docs GROUP BY title)
+           |  SELECT d.doc_id, t.rep FROM docs d JOIN tit t USING (title))
+           |SELECT u.doc_id, coalesce(c.cluster, u.rep) AS keep_doc_id
+           |FROM univ u LEFT JOIN clusters c ON c.doc_id = u.doc_id
+           |ORDER BY u.doc_id""".stripMargin)
   }
 }

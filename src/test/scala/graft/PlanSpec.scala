@@ -56,7 +56,8 @@ class PlanSpec extends SparkSpec {
     // (q55 is excluded by design: the brute-force kNN baseline
     // deliberately broadcasts the 5-row query side over the corpus.)
     for (q <- Seq("q51_minhash_lsh", "q53_ngram_jaccard", "q54_embedding_dup",
-                  "q56_ann_lsh", "q66_ann_multiprobe")) {
+                  "q56_ann_lsh", "q66_ann_multiprobe",
+                  "q75_levenshtein", "q88_embedding_dup_multitable")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
@@ -100,6 +101,32 @@ class PlanSpec extends SparkSpec {
     // semantics: pushdown result == filter-after-the-fact
     val expected = base.collect().filter(_.getAs[Long]("o_custkey") < 50).toSet
     assert(filtered.collect().toSet == expected)
+  }
+
+  test("q30: per-order revenue aggregate sits BELOW the fact-fact sort-merge join") {
+    // the round-4 rewrite Catalyst can't infer (measured 24.4 s → 2.45 s
+    // at sf1): lineitem is pre-aggregated to per-order revenue before
+    // the orders⋈lineitem join, so the SMJ's build input is one row per
+    // order, not one per line item. Pin it structurally — an aggregate
+    // somewhere in the plan would also match the top-level rollup, so
+    // assert it inside the join's subtree.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q30_segment_revenue")(spark, dir)
+      val smj = df.queryExecution.sparkPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, "expected a SortMergeJoin in q30's plan")
+      assert(smj.get.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }, s"expected the per-order pre-aggregate BELOW the join:\n${smj.get}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q85: weighted sampling's per-language top-k runs through TopKPerKeyExec") {
+    val p = plan("q85_weighted_sample")
+    assert(p.contains("TopKPerKey"), p)
   }
 
   test("q76: stratified sample runs through TopKPerKeyExec, not Window") {

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, SkewJoin}
+import graft.operators.{Dedup, Similarity, SkewJoin}
 
 /** Scale-technique specs: salted skew joins and bucketed co-located
   * joins — the explicit 100 TB tools the query inventory leans on. */
@@ -41,6 +41,32 @@ class ScaleSpec extends SparkSpec {
     // a bucket below the cap passes through untouched
     val small = (1L to 50L).map(i => ("blk1", s"t$i", i)).toDF("blk", "title", "rep")
     assert(Dedup.capBuckets(small, Seq("blk"), "rep", cap).count() == 50)
+  }
+
+  test("q54's capped LSH build side: identical-vector corpus emits C(cap,2) pairs, invariant in n") {
+    // n identical vectors all land in ONE hyperplane bucket — the
+    // adversarial corpus that made the uncapped round-4 q54 grow
+    // ~quadratically at sf1. With the build-side cap only the `cap`
+    // smallest vec_ids can appear as the pair's right element, so the
+    // output is exactly C(cap,2) no matter how large n grows (a probe
+    // row meets the capped bucket once: probe = own bucket; the 8
+    // Hamming-1 probes hit empty buckets).
+    val cap = 40
+    def pairs(n: Int): Long = {
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        array((0 until Similarity.Dim).map(i => lit(0.1f * ((i % 7) + 1))): _*)
+          .as("embedding"))
+      Similarity.nearDupPairs(spark, emb, 0.4, cap = cap).count()
+    }
+    val atCap = cap.toLong * (cap - 1) / 2
+    assert(pairs(500) == atCap)
+    assert(pairs(1200) == atCap) // 2.4× the corpus, same candidate set
+    // numPlanes is a real parameter: a wider bucket space still buckets
+    // identical vectors together (same single-bucket collapse)
+    val emb = spark.range(60).select(col("id").as("vec_id"),
+      array((0 until Similarity.Dim).map(i => lit(0.1f * ((i % 7) + 1))): _*)
+        .as("embedding"))
+    assert(Similarity.nearDupPairs(spark, emb, 0.4, numPlanes = 12).count() == 60L * 59 / 2)
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
