@@ -257,14 +257,17 @@ object DedupQueries {
 
     // Multi-table LSH near-dup: NumTables INDEPENDENT hyperplane tables
     // (distinct LCG seeds, table 0 = q54's planes), candidates = pairs
-    // sharing a bucket in ANY table — the standard recall lever when
-    // the weak-similarity tail matters (a pair missed by one table's
-    // cuts gets NumTables chances; miss probability decays
-    // geometrically). Each table's buckets are capped like every other
-    // candidate path; one DISTINCT collapses pairs that collide in
-    // several tables before the exact-cosine verify, and the verify
-    // joins fetch embeddings by vec_id so the (t, bucket) shuffle moves
-    // ids only, never the vectors.
+    // within Hamming ≤ 1 in ANY table — the standard recall lever when
+    // the weak-similarity tail matters: a pair missed by one table's
+    // cuts gets NumTables chances, so the per-table retention r lifts
+    // to 1-(1-r)^NumTables (analytically ≈ 0.146 → 0.375 at cos 0.4
+    // over 8 planes; same-bucket-only tables would LOSE to q54's
+    // multiprobe — 0.633^8 unioned 3 ways is only ≈ 0.075). Each
+    // table's buckets are capped like every other candidate path; one
+    // DISTINCT collapses pairs that meet in several tables/probes
+    // before the exact-cosine verify, and the verify joins fetch
+    // embeddings by vec_id so the (t, bucket) shuffle moves ids only,
+    // never the vectors.
     "q88_embedding_dup_multitable" -> ((s, dir) => {
       val base = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -275,13 +278,18 @@ object DedupQueries {
           struct(lit(t).as("t"), Similarity.bucketFor(col("embedding"),
             Similarity.planesFor(Similarity.NumPlanes, Similarity.tableSeed(t))).as("bucket"))): _*)).as("tb"))
         .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      buckets.createOrReplaceTempView("mt_buckets")
       Dedup.capBuckets(buckets, Seq("t", "bucket"), "vec_id")
-        .createOrReplaceTempView("mt_buckets")
-      s.sql("""
-        |WITH cand AS (
+        .createOrReplaceTempView("mt_cand")
+      val probes = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
+        .map(i => s"bucket ^ ${1 << i}")).mkString("array(", ", ", ")")
+      s.sql(s"""
+        |WITH probes AS (
+        |  SELECT vec_id, t, explode($probes) AS probe FROM mt_buckets),
+        |cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM mt_buckets a JOIN mt_buckets b
-        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |  FROM probes a JOIN mt_cand b
+        |    ON b.t = a.t AND b.bucket = a.probe AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cosine FROM (
         |  SELECT vec_a, vec_b,
         |    graft_dot(ea.embedding, eb.embedding) / (ea.nrm * eb.nrm) AS cosine
@@ -401,14 +409,17 @@ object DedupQueries {
           val ps = Similarity.planesFor(Similarity.NumPlanes, Similarity.tableSeed(t))
           s"SELECT vec_id, $t AS t, ${Similarity.bucketForSql("embedding", ps)} AS bucket FROM e"
         }.mkString("\nUNION ALL\n")
+        val probesList = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
+          .map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
         s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings),
            |mt AS ($arms),
            |capped AS (SELECT vec_id, t, bucket FROM (
            |  SELECT *, row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rk FROM mt)
            |  WHERE rk <= ${Dedup.MaxBucket}),
+           |probes AS (SELECT vec_id, t, unnest($probesList) AS probe FROM mt),
            |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM capped a JOIN capped b
-           |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |  FROM probes a JOIN capped b
+           |    ON b.t = a.t AND b.bucket = a.probe AND a.vec_id < b.vec_id)
            |SELECT vec_a, vec_b, cosine FROM (
            |  SELECT vec_a, vec_b,
            |    ${Dedup.dotProductSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
