@@ -69,6 +69,23 @@ class ScaleSpec extends SparkSpec {
     assert(Similarity.nearDupPairs(spark, emb, 0.4, numPlanes = 12).count() == 60L * 59 / 2)
   }
 
+  test("q88's multi-table candidates contain q54's: table 0 is q54's table") {
+    // the recall-lever contract: q88 unions Hamming≤1 candidates over
+    // NumTables independent plane tables, and table 0 uses q54's exact
+    // seed/planes/cap/probes — so every q54 pair must reappear in q88
+    // with the identical cosine. A miss here means the tables stopped
+    // being a superset (e.g. a per-table cap tighter than q54's) and
+    // "multi-table lifts recall" silently became "multi-table differs".
+    val dir = "/root/testdata/sf0.001"
+    val q54 = SparkEntry.queries("q54_embedding_dup")(spark, dir)
+      .collect().toSet
+    val q88 = SparkEntry.queries("q88_embedding_dup_multitable")(spark, dir)
+      .collect().toSet
+    assert(q54.nonEmpty)
+    assert(q54.subsetOf(q88),
+      s"q54 pairs missing from q88: ${(q54 -- q88).take(5)}")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "warehouse").toString
