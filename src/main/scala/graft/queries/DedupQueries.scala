@@ -6,10 +6,11 @@ import graft.functions.TextAnalysis
 import graft.operators.{Components, Dedup, Similarity}
 import graft.sources.Tables
 
-/** Deduplication extension queries (q50–q54, q67, q70, q87–q88): exact
+/** Deduplication extension queries (q50–q54, q67, q70, q87–q89): exact
   * hash dedup, MinHash + LSH banding, SimHash, blocked char-n-gram
   * Jaccard, LSH-prefiltered embedding-cosine near-dup (single- and
-  * multi-table), and the cluster-representative production output.
+  * multi-table), and the cluster-representative production outputs
+  * (q87 over the text graph, q89 over the embedding graph).
   * q51–q53 run over the PostsProxy corpus,
   * which contains exact and near duplicates by construction (same title
   * templates with varying parameters); q50 runs over raw `documents`
@@ -296,6 +297,31 @@ object DedupQueries {
         |  FROM cand JOIN mt_emb ea ON ea.vec_id = vec_a
         |            JOIN mt_emb eb ON eb.vec_id = vec_b)
         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
+    }),
+
+    // Semantic dedup — q87's production contract transplanted to the
+    // EMBEDDING space (the SemDeDup pattern): connected components over
+    // q54's verified near-dup graph (same engine, same 0.4 threshold —
+    // the fixture's random embeddings top out below cos 0.6, so a
+    // "strong band" cutoff would make this an identity map at every
+    // local SF), every vector mapped to its cluster's minimal vec_id
+    // (itself when it has no near-dup). Output is LINEAR in corpus
+    // size — one row per vector — and the component loop runs on the
+    // verified pair graph (LSH-capped, so edge volume is linear too),
+    // never on an all-pairs expansion. Unlike q70's title clusters,
+    // cluster sizes here are bounded by actual near-duplicate
+    // multiplicity, so even the recursive-CTE oracle stays feasible
+    // at sf1.
+    "q89_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val pairs = Similarity.nearDupPairs(s, emb, 0.4)
+      val comps = Components.connectedComponents(
+        pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+      emb.select(col("vec_id"))
+        .join(comps.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("keep_vec_id"))
+        .orderBy("vec_id")
     }))
 
   /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle.
@@ -435,6 +461,26 @@ object DedupQueries {
       // The `univ AS (` marker is load-bearing: scripts/cc_check.py
       // splits this statement there to swap the quadratic recursive CTE
       // for an iterative pointer-jumping loop at sf1.
+      // q89: same closure shape as q70/q87 but over the q54-engine pair
+      // graph; pair multiplicity (not title fan-out) bounds the
+      // clusters, so this recursive CTE is feasible at every local SF.
+      "q89_semantic_dedup" ->
+        s"""WITH RECURSIVE pairs AS (
+           |${Similarity.nearDupPairsDuckSql(0.4)}
+           |),
+           |edges AS (
+           |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+           |  UNION
+           |  SELECT vec_b AS src, vec_a AS dst FROM pairs),
+           |reach(node, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+           |clusters AS (SELECT node AS vec_id, min(r) AS keep FROM reach GROUP BY node)
+           |SELECT e.vec_id, coalesce(c.keep, e.vec_id) AS keep_vec_id
+           |FROM embeddings e LEFT JOIN clusters c USING (vec_id)
+           |ORDER BY e.vec_id""".stripMargin,
+
       "q87_dedup_representatives" ->
         s"""WITH RECURSIVE pairs AS (
            |$q51OracleSql

@@ -86,6 +86,29 @@ class ScaleSpec extends SparkSpec {
       s"q54 pairs missing from q88: ${(q54 -- q88).take(5)}")
   }
 
+  test("q89 is a valid representative map: idempotent, minimal, q54-consistent") {
+    // the production-contract invariants of the semantic-dedup output:
+    // (1) linear — exactly one row per vector; (2) representatives are
+    // cluster minima, so keep ≤ self and keep(keep) = keep (a broken
+    // closure would hand a curation pipeline a survivor that itself
+    // points elsewhere); (3) every pair the q54 engine verifies
+    // collapses to one representative.
+    val dir = "/root/testdata/sf0.001"
+    val q89 = SparkEntry.queries("q89_semantic_dedup")(spark, dir)
+    val rows = q89.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nVec = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.size.toLong == nVec)
+    assert(rows.forall { case (v, k) => k <= v })
+    assert(rows.forall { case (_, k) => rows(k) == k },
+      "a representative must map to itself")
+    val pairs = SparkEntry.queries("q54_embedding_dup")(spark, dir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => rows(r.getLong(0)) == rows(r.getLong(1))),
+      "a verified near-dup pair must share a representative")
+    assert(pairs.exists(r => r.getLong(0) != r.getLong(1)),
+      "fixture must exercise a non-trivial cluster")
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "warehouse").toString
