@@ -6,11 +6,13 @@ import graft.functions.TextAnalysis
 import graft.operators.{Components, Dedup, Similarity}
 import graft.sources.Tables
 
-/** Deduplication extension queries (q50–q54, q67, q70, q87–q89): exact
+/** Deduplication extension queries (q50–q54, q67, q70, q87–q90): exact
   * hash dedup, MinHash + LSH banding, SimHash, blocked char-n-gram
   * Jaccard, LSH-prefiltered embedding-cosine near-dup (single- and
-  * multi-table), and the cluster-representative production outputs
-  * (q87 over the text graph, q89 over the embedding graph).
+  * multi-table), the cluster-representative production outputs
+  * (q87 over the text graph, q89 over the embedding graph), and
+  * incremental dedup against an indexed corpus (q67 by text hash,
+  * q90 by embedding LSH probe).
   * q51–q53 run over the PostsProxy corpus,
   * which contains exact and near duplicates by construction (same title
   * templates with varying parameters); q50 runs over raw `documents`
@@ -322,6 +324,42 @@ object DedupQueries {
         .select(col("vec_id"),
           coalesce(col("component"), col("vec_id")).as("keep_vec_id"))
         .orderBy("vec_id")
+    }),
+
+    // Incremental embedding dedup — q67's continuous-ingestion contract
+    // in the embedding space: a new batch (vec_id ≥ 250) probed against
+    // the already-indexed corpus (vec_id < 250). The HISTORY side is
+    // bucketed once and capped (the persistent index a 100 TB pipeline
+    // maintains); only the BATCH explodes its (numPlanes+1) Hamming-1
+    // probe keys — index-once, probe-many, so per-batch cost is
+    // O(|batch| · probes · occupancy), independent of corpus size. A
+    // batch vector reports its earliest near-dup in history (NULL = new
+    // content, admit) and the match count; a Hamming≤1 pair meets on
+    // exactly one probe, so the counts need no DISTINCT. Intra-batch
+    // duplicates are q89's job, by design — admitting then clustering
+    // is the standard two-phase ingest.
+    "q90_incremental_embedding_dedup" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", Dedup.norm(col("embedding")))
+        .withColumn("bucket", Similarity.bucket(col("embedding")))
+      Dedup.capBuckets(emb.where(col("vec_id") < 250), Seq("bucket"), "vec_id")
+        .createOrReplaceTempView("inc_hist")
+      emb.where(col("vec_id") >= 250).createOrReplaceTempView("inc_batch")
+      val probes = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
+        .map(i => s"bucket ^ ${1 << i}")).mkString("array(", ", ", ")")
+      s.sql(s"""
+        |WITH probes AS (
+        |  SELECT vec_id, embedding, nrm, explode($probes) AS probe FROM inc_batch),
+        |m AS (
+        |  SELECT bv, min(hv) AS dup_of, count(*) AS n_matches FROM (
+        |    SELECT a.vec_id AS bv, h.vec_id AS hv,
+        |      graft_dot(a.embedding, h.embedding) / (a.nrm * h.nrm) AS cosine
+        |    FROM probes a JOIN inc_hist h ON h.bucket = a.probe)
+        |  WHERE cosine >= 0.4 GROUP BY bv)
+        |SELECT b.vec_id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches
+        |FROM inc_batch b LEFT JOIN m ON m.bv = b.vec_id
+        |ORDER BY b.vec_id""".stripMargin)
     }))
 
   /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle.
@@ -480,6 +518,30 @@ object DedupQueries {
            |SELECT e.vec_id, coalesce(c.keep, e.vec_id) AS keep_vec_id
            |FROM embeddings e LEFT JOIN clusters c USING (vec_id)
            |ORDER BY e.vec_id""".stripMargin,
+
+      // q90: asymmetric rendering of the incremental probe — history
+      // bucketed + capped exactly like the Spark index view, batch
+      // explodes the same probe list; one min/count aggregate.
+      "q90_incremental_embedding_dedup" -> {
+        val probesList = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
+          .map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm,
+           |    ${Similarity.bucketSql("embedding")} AS bucket FROM embeddings),
+           |hist AS (SELECT vec_id, embedding, nrm, bucket FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+           |  FROM e WHERE vec_id < 250) WHERE rk <= ${Dedup.MaxBucket}),
+           |batch AS (SELECT vec_id, embedding, nrm, bucket FROM e WHERE vec_id >= 250),
+           |probes AS (SELECT vec_id, embedding, nrm, unnest($probesList) AS probe FROM batch),
+           |m AS (
+           |  SELECT bv, min(hv) AS dup_of, count(*) AS n_matches FROM (
+           |    SELECT a.vec_id AS bv, h.vec_id AS hv,
+           |      ${Dedup.dotProductSql("a.embedding", "h.embedding")} / (a.nrm * h.nrm) AS cosine
+           |    FROM probes a JOIN hist h ON h.bucket = a.probe)
+           |  WHERE cosine >= 0.4 GROUP BY bv)
+           |SELECT b.vec_id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches
+           |FROM batch b LEFT JOIN m ON m.bv = b.vec_id
+           |ORDER BY b.vec_id""".stripMargin
+      },
 
       "q87_dedup_representatives" ->
         s"""WITH RECURSIVE pairs AS (

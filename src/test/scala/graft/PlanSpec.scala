@@ -56,8 +56,9 @@ class PlanSpec extends SparkSpec {
     // (q55 is excluded by design: the brute-force kNN baseline
     // deliberately broadcasts the 5-row query side over the corpus.)
     for (q <- Seq("q51_minhash_lsh", "q53_ngram_jaccard", "q54_embedding_dup",
-                  "q56_ann_lsh", "q66_ann_multiprobe",
-                  "q75_levenshtein", "q88_embedding_dup_multitable")) {
+                  "q56_ann_lsh", "q66_ann_multiprobe", "q75_levenshtein",
+                  "q88_embedding_dup_multitable",
+                  "q90_incremental_embedding_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")

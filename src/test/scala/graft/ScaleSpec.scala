@@ -109,6 +109,34 @@ class ScaleSpec extends SparkSpec {
       "fixture must exercise a non-trivial cluster")
   }
 
+  test("q90 matches are real near-dups from history only; NULL means admit") {
+    // the incremental-ingest contract: every reported dup_of is a
+    // history vector (vec_id < 250) whose EXACT cosine with the batch
+    // vector clears the threshold (LSH may miss pairs, never invent
+    // them), and n_matches = 0 exactly on the admitted (NULL) rows.
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q90_incremental_embedding_dedup")(spark, dir)
+      .collect()
+    assert(rows.length == 250)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val matched = rows.filter(!_.isNullAt(1))
+    assert(matched.nonEmpty, "fixture must exercise a real match")
+    matched.foreach { r =>
+      val (bv, hv) = (r.getLong(0), r.getLong(1))
+      assert(hv < 250, s"dup_of $hv is not a history vector")
+      assert(cos(emb(bv), emb(hv)) >= 0.4 - 1e-9,
+        s"reported match ($bv, $hv) fails the exact-cosine threshold")
+      assert(r.getLong(2) > 0)
+    }
+    rows.filter(_.isNullAt(1)).foreach(r => assert(r.getLong(2) == 0))
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "warehouse").toString
