@@ -147,6 +147,15 @@ class PlanSpec extends SparkSpec {
     assert(!p78.contains("SortMergeJoin"))
   }
 
+  test("q90: history/batch id cuts reach the parquet scan") {
+    // the incremental probe must split the corpus AT THE SCAN — a
+    // post-scan filter would read the whole 100 TB history to index
+    // 250 rows of it. Both sides' vec_id range predicates push down.
+    val p = plan("q90_incremental_embedding_dedup")
+    assert(p.contains("LessThan(vec_id,250)"), "history cut not pushed")
+    assert(p.contains("GreaterThanOrEqual(vec_id,250)"), "batch cut not pushed")
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"
