@@ -151,4 +151,51 @@ object StreamingIngest {
         org.apache.commons.io.FileUtils.moveDirectory(tmp, dst)
       }
       .start()
+
+  /** Streaming semantic admission — q90's incremental embedding dedup
+    * as a foreachBatch sink: each micro-batch of `(vec_id, embedding)`
+    * rows is probed (own bucket + Hamming-1) against a STATIC
+    * LSH-bucketed history index, and only rows with no exact-cosine
+    * near-dup ≥ `minCosine` in history are appended to `targetPath`
+    * (admit); near-dups of existing content are dropped. The index is
+    * bucketed, capped and cached ONCE at stream start, so per-batch
+    * cost tracks the batch — the 100 TB history is scanned exactly
+    * once, never per trigger. Admission is vs HISTORY by contract:
+    * intra-stream duplicates compose with `dropDuplicates`/a periodic
+    * index refresh, exactly as a two-phase production ingest does. */
+  def admitNovelEmbeddings(stream: DataFrame, history: DataFrame,
+                           targetPath: String, checkpoint: String,
+                           minCosine: Double = 0.4): StreamingQuery = {
+    import graft.operators.{Dedup, Similarity}
+    val index = Dedup.capBuckets(
+        history.select(col("vec_id"), col("embedding"))
+          .withColumn("nrm", Dedup.norm(col("embedding")))
+          .withColumn("bucket", Similarity.bucket(col("embedding"))),
+        Seq("bucket"), "vec_id")
+      .select(col("vec_id").as("h_id"), col("embedding").as("h_emb"),
+        col("nrm").as("h_nrm"), col("bucket").as("h_bucket"))
+      .cache()
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.select(col("vec_id"), col("embedding"))
+          .withColumn("nrm", Dedup.norm(col("embedding")))
+          .withColumn("bucket", Similarity.bucket(col("embedding")))
+        val probeKeys = Seq(col("bucket")) ++ (0 until Similarity.NumPlanes)
+          .map(i => col("bucket").bitwiseXOR(lit(1 << i)))
+        val dup = b
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(array(probeKeys: _*)).as("probe"))
+          .join(index, col("probe") === col("h_bucket"))
+          .where(Dedup.dotProduct(col("embedding"), col("h_emb")) /
+            (col("nrm") * col("h_nrm")) >= minCosine)
+          .select("vec_id").distinct()
+        batch.join(dup, Seq("vec_id"), "left_anti")
+          .write.mode("append").parquet(targetPath)
+        ()
+      }
+      .start()
+  }
 }

@@ -130,6 +130,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.size == 3)
   }
 
+  test("admitNovelEmbeddings: batches admit only history-novel vectors") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = graft.operators.Similarity.Dim
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val vOne = vec(_ => 1f)                      // in history
+    val vAlt = vec(i => if (i % 2 == 0) 1f else -1f)  // orthogonal to vOne
+    val vNear = vec(i => if (i == 0) 1.1f else 1f)    // cos≈1 vs vOne
+    val history = Seq((0L, vOne), (1L, vec(i => (i % 5) - 2f)))
+      .toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-admit").toString
+    val input = MemoryStream[(Long, Array[Float])]
+    def runOnce(): Unit = {
+      val q = StreamingIngest.admitNovelEmbeddings(
+        input.toDF().toDF("vec_id", "embedding"), history,
+        targetPath = s"$dir/admitted", checkpoint = s"$dir/ckpt")
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    // batch 1: an exact copy of history v0 (drop) + a novel vector (admit)
+    input.addData((10L, vOne), (11L, vAlt))
+    runOnce()
+    // batch 2: a NEAR-dup of history v0 (drop) + another novel (admit)
+    input.addData((12L, vNear), (13L, vec(i => if (i % 3 == 0) -1f else 1f)))
+    runOnce()
+    val admitted = spark.read.parquet(s"$dir/admitted")
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 13L),
+      s"expected history near-dups 10/12 dropped, novel 11/13 admitted; got $admitted")
+  }
+
   test("FailureListener captures failed actions (ST5 alert callback)") {
     val listener = new graft.streaming.FailureListener
     spark.listenerManager.register(listener)
