@@ -1,8 +1,28 @@
 #!/usr/bin/env bash
 # Full local gate: compile, specs, differential correctness, bench.
 # Usage: scripts/gate.sh [sf-dir (default /root/testdata/sf0.01)]
+#        scripts/gate.sh sf1     — the scale check: build the sf1
+#        fixture if absent, verify + feasible oracles (q70/q87 skipped
+#        in check.py, verified instead by cc_check.py's iterative
+#        pointer-jumping oracle), then the full sf1 bench sweep.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+if [[ "${1:-}" == "sf1" ]]; then
+  SF=target/sf1
+  [[ -f "$SF/lineitem.parquet" ]] || python3 scripts/make_sf1.py "$SF"
+  OUT="$(mktemp -d)/verify"
+  echo "== verify @ $SF =="
+  sbt -batch "runMain graft.Verify $SF $OUT" 2>/dev/null | grep "\[verify\]" || true
+  echo "== feasible oracles (q70/q87 via cc_check) =="
+  python3 scripts/check.py "$SF" "$OUT" q70_dup_clusters,q87_dedup_representatives | tail -3
+  python3 scripts/cc_check.py "$SF" "$OUT" | tail -4
+  echo "== bench @ sf1 =="
+  SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_OUT=target/bench_sf1.json \
+    sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
+  exit 0
+fi
+
 SF="${1:-/root/testdata/sf0.01}"
 OUT="$(mktemp -d)/verify"
 
