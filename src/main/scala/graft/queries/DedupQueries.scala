@@ -258,48 +258,15 @@ object DedupQueries {
       Similarity.nearDupPairs(s, Tables.load(s, dir, "embeddings"), 0.4)
         .orderBy("vec_a", "vec_b")),
 
-    // Multi-table LSH near-dup: NumTables INDEPENDENT hyperplane tables
-    // (distinct LCG seeds, table 0 = q54's planes), candidates = pairs
-    // within Hamming ≤ 1 in ANY table — the standard recall lever when
-    // the weak-similarity tail matters: a pair missed by one table's
-    // cuts gets NumTables chances, so the per-table retention r lifts
-    // to 1-(1-r)^NumTables (analytically ≈ 0.146 → 0.375 at cos 0.4
-    // over 8 planes; same-bucket-only tables would LOSE to q54's
-    // multiprobe — 0.633^8 unioned 3 ways is only ≈ 0.075). Each
-    // table's buckets are capped like every other candidate path; one
-    // DISTINCT collapses pairs that meet in several tables/probes
-    // before the exact-cosine verify, and the verify joins fetch
-    // embeddings by vec_id so the (t, bucket) shuffle moves ids only,
-    // never the vectors.
-    "q88_embedding_dup_multitable" -> ((s, dir) => {
-      val base = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("nrm", Dedup.norm(col("embedding")))
-      base.createOrReplaceTempView("mt_emb")
-      val buckets = base.select(col("vec_id"),
-        explode(array((0 until NumTables).map(t =>
-          struct(lit(t).as("t"), Similarity.bucketFor(col("embedding"),
-            Similarity.planesFor(Similarity.NumPlanes, Similarity.tableSeed(t))).as("bucket"))): _*)).as("tb"))
-        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-      buckets.createOrReplaceTempView("mt_buckets")
-      Dedup.capBuckets(buckets, Seq("t", "bucket"), "vec_id")
-        .createOrReplaceTempView("mt_cand")
-      val probes = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
-        .map(i => s"bucket ^ ${1 << i}")).mkString("array(", ", ", ")")
-      s.sql(s"""
-        |WITH probes AS (
-        |  SELECT vec_id, t, explode($probes) AS probe FROM mt_buckets),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM probes a JOIN mt_cand b
-        |    ON b.t = a.t AND b.bucket = a.probe AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b, cosine FROM (
-        |  SELECT vec_a, vec_b,
-        |    graft_dot(ea.embedding, eb.embedding) / (ea.nrm * eb.nrm) AS cosine
-        |  FROM cand JOIN mt_emb ea ON ea.vec_id = vec_a
-        |            JOIN mt_emb eb ON eb.vec_id = vec_b)
-        |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin)
-    }),
+    // Multi-table LSH near-dup — the parameterized recall lever
+    // (engine and scale analysis in Similarity.multiTableNearDupPairs);
+    // this query is the default-table instance: NumTables independent
+    // tables at the q54 threshold, table 0 = q54's planes (ScaleSpec
+    // pins q88 ⊇ q54 structurally).
+    "q88_embedding_dup_multitable" -> ((s, dir) =>
+      Similarity.multiTableNearDupPairs(s,
+        Tables.load(s, dir, "embeddings"), 0.4, NumTables)
+        .orderBy("vec_a", "vec_b")),
 
     // Semantic dedup — q87's production contract transplanted to the
     // EMBEDDING space (the SemDeDup pattern): connected components over
@@ -468,28 +435,9 @@ object DedupQueries {
       "q54_embedding_dup" ->
         (Similarity.nearDupPairsDuckSql(0.4) + "\nORDER BY vec_a, vec_b"),
 
-      "q88_embedding_dup_multitable" -> {
-        val arms = (0 until NumTables).map { t =>
-          val ps = Similarity.planesFor(Similarity.NumPlanes, Similarity.tableSeed(t))
-          s"SELECT vec_id, $t AS t, ${Similarity.bucketForSql("embedding", ps)} AS bucket FROM e"
-        }.mkString("\nUNION ALL\n")
-        val probesList = (Seq("bucket") ++ (0 until Similarity.NumPlanes)
-          .map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
-        s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings),
-           |mt AS ($arms),
-           |capped AS (SELECT vec_id, t, bucket FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rk FROM mt)
-           |  WHERE rk <= ${Dedup.MaxBucket}),
-           |probes AS (SELECT vec_id, t, unnest($probesList) AS probe FROM mt),
-           |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM probes a JOIN capped b
-           |    ON b.t = a.t AND b.bucket = a.probe AND a.vec_id < b.vec_id)
-           |SELECT vec_a, vec_b, cosine FROM (
-           |  SELECT vec_a, vec_b,
-           |    ${Dedup.dotProductSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
-           |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
-           |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin
-      },
+      "q88_embedding_dup_multitable" ->
+        (Similarity.multiTableNearDupPairsDuckSql(0.4, NumTables) +
+          "\nORDER BY vec_a, vec_b"),
 
       // q87: q70's recursive-closure clusters (doc-level, pair-list
       // coverage) projected to the production doc→representative map
