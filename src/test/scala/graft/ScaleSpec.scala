@@ -86,6 +86,25 @@ class ScaleSpec extends SparkSpec {
       s"q54 pairs missing from q88: ${(q54 -- q88).take(5)}")
   }
 
+  test("planesForCorpus sizes the bucket space to hold mean occupancy") {
+    // the 100 TB lever as a function: 2^planes buckets must cover
+    // n / occupancy, never shrink below the fixture default, and stay
+    // within Int bucket-id range. nearDupPairs accepts the result
+    // directly (a wider space still buckets equal vectors together —
+    // pinned in the capped-LSH test above with numPlanes = 12).
+    import Similarity.planesForCorpus
+    assert(planesForCorpus(2000) == Similarity.NumPlanes)   // fixture scale
+    assert(planesForCorpus(1000000000L) == 24)              // 10^9 @ occ 100
+    assert(planesForCorpus(100000000000L) == 30)            // 10^11 caps at Int
+    assert(planesForCorpus(0) == Similarity.NumPlanes)
+    // contract: bucket count covers n / occupancy (below the cap)
+    for (n <- Seq(10L, 5000L, 123456L, 77000000L)) {
+      val b = planesForCorpus(n)
+      assert(b <= 30 && (b == 30 || (1L << b) >= n / 100),
+        s"n=$n got $b planes")
+    }
+  }
+
   test("q89 is a valid representative map: idempotent, minimal, q54-consistent") {
     // the production-contract invariants of the semantic-dedup output:
     // (1) linear — exactly one row per vector; (2) representatives are
