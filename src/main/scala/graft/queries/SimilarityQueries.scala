@@ -14,6 +14,11 @@ object SimilarityQueries {
 
   private val K = 10
   private val NumQueries = 5 // vec_id 0..4 act as the query set
+  /** IVF cell count — a recall/cost parameter, not a structural limit:
+    * assignment cost is NumCells·n dots either way, and a production
+    * deployment grows it ~sqrt(n) to keep cells small. 8 suits the
+    * 2k-vector fixture. */
+  private val NumCells = 8
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -96,7 +101,7 @@ object SimilarityQueries {
       s.sql(s"""
         |WITH cent AS (
         |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
-        |  FROM emb_ivf WHERE vec_id < 8),
+        |  FROM emb_ivf WHERE vec_id < $NumCells),
         |asg AS (
         |  SELECT v.vec_id, cid,
         |    row_number() OVER (PARTITION BY v.vec_id
@@ -173,7 +178,7 @@ object SimilarityQueries {
       "q57_ann_ivf" -> {
         val cdot = Dedup.dotProductSql("v.embedding", "cemb")
         s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings),
-           |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < 8),
+           |cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < $NumCells),
            |asg AS (
            |  SELECT v.vec_id, cid,
            |    row_number() OVER (PARTITION BY v.vec_id
