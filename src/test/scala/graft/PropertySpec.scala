@@ -137,4 +137,43 @@ class PropertySpec extends SparkSpec {
       assert(gotLoop == expected)
     }
   }
+
+  test("LSH near-dup engines: exact precision and equal-vector recall on random corpora") {
+    // the precision/recall contract on ARBITRARY data, not the fixture:
+    // (1) precision is exact — every pair either engine emits clears
+    //     the threshold under an independent driver-side float64 cosine
+    //     (LSH may lose candidates, never invent them);
+    // (2) equal vectors below the cap always pair — they share every
+    //     table's bucket by construction;
+    // (3) the multi-table candidate set contains the single-table one.
+    import graft.operators.Similarity
+    val dim = Similarity.Dim
+    val vecGen = Gen.listOfN(dim, Gen.choose(-5, 5)).map(_.map(_.toFloat).toArray)
+    samples(Gen.listOfN(30, vecGen), 3).foreach { vecs =>
+      // plant guaranteed duplicates: ids n..n+1 copy ids 0..1
+      val all = (vecs ++ vecs.take(2)).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+        .filter { case (_, v) => v.exists(_ != 0f) } // zero vector has no cosine
+      val df = all.toDF("vec_id", "embedding")
+      val byId = all.toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        def d(x: Array[Float], y: Array[Float]) =
+          x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+        d(a, b) / math.sqrt(d(a, a) * d(b, b))
+      }
+      val single = Similarity.nearDupPairs(spark, df, 0.4)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val multi = Similarity.multiTableNearDupPairs(spark, df, 0.4, numTables = 3)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      (single ++ multi).foreach { case (a, b) =>
+        assert(cos(byId(a), byId(b)) >= 0.4 - 1e-9,
+          s"emitted pair ($a,$b) fails the exact threshold")
+      }
+      val copyId = vecs.length.toLong // the planted copy of id 0
+      if (byId.contains(0L) && byId.contains(copyId))
+        assert(single.contains((0L, copyId)),
+          "planted equal-vector pair missed by the single-table engine")
+      assert(single.subsetOf(multi), "multi-table lost single-table pairs")
+    }
+  }
 }
