@@ -54,6 +54,23 @@ def main(sf_dir: str, out_dir: str) -> None:
               f"tail 0.4-0.9: {band_recall(got, weak):.3f}), "
               f"false-pos = {len(got - truth)}")
 
+    # q90: asymmetric ground truth — (batch, history) pairs at cos >= 0.4
+    # over the vec_id < 250 split. Its output is per-batch-row
+    # (dup_of, n_matches); recall here = matched batch rows over batch
+    # rows with ANY true history near-dup (the admit/drop decision the
+    # operator exists to make), and precision must again be exact.
+    hist_mask, batch_mask = ids < 250, ids >= 250
+    bh = v[batch_mask] @ v[hist_mask].T
+    bt = {int(b): set(ids[hist_mask][bh[i] >= 0.4].tolist())
+          for i, b in enumerate(ids[batch_mask]) if (bh[i] >= 0.4).any()}
+    rows = con.sql(f"SELECT vec_id, dup_of, n_matches FROM "
+                   f"'{out_dir}/q90_incremental_embedding_dedup/*.parquet'").fetchall()
+    flagged = {int(b) for b, d, _ in rows if d is not None}
+    fp = [(b, d) for b, d, _ in rows if d is not None and d not in bt.get(b, set())]
+    print(f"q90_incremental_embedding_dedup: {len(flagged)} flagged of "
+          f"{len(bt)} true-dup batch rows, decision recall = "
+          f"{band_recall(flagged, set(bt)):.3f}, false-pos = {len(fp)}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
