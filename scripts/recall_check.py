@@ -63,13 +63,16 @@ def main(sf_dir: str, out_dir: str) -> None:
     bh = v[batch_mask] @ v[hist_mask].T
     bt = {int(b): set(ids[hist_mask][bh[i] >= 0.4].tolist())
           for i, b in enumerate(ids[batch_mask]) if (bh[i] >= 0.4).any()}
-    rows = con.sql(f"SELECT vec_id, dup_of, n_matches FROM "
-                   f"'{out_dir}/q90_incremental_embedding_dedup/*.parquet'").fetchall()
-    flagged = {int(b) for b, d, _ in rows if d is not None}
-    fp = [(b, d) for b, d, _ in rows if d is not None and d not in bt.get(b, set())]
-    print(f"q90_incremental_embedding_dedup: {len(flagged)} flagged of "
-          f"{len(bt)} true-dup batch rows, decision recall = "
-          f"{band_recall(flagged, set(bt)):.3f}, false-pos = {len(fp)}")
+    for q in ("q90_incremental_embedding_dedup",
+              "q92_incremental_embedding_dedup_multitable"):
+        rows = con.sql(f"SELECT vec_id, dup_of, n_matches FROM "
+                       f"'{out_dir}/{q}/*.parquet'").fetchall()
+        flagged = {int(b) for b, d, _ in rows if d is not None}
+        fp = [(b, d) for b, d, _ in rows
+              if d is not None and d not in bt.get(b, set())]
+        print(f"{q}: {len(flagged)} flagged of "
+              f"{len(bt)} true-dup batch rows, decision recall = "
+              f"{band_recall(flagged, set(bt)):.3f}, false-pos = {len(fp)}")
 
 
 if __name__ == "__main__":

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGramsExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
+import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -42,6 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       build(children.head)
     })
 
+  /** Evaluate a foldable argument as a pinned-at-plan-time Int. */
+  private def litInt(name: String, arg: String, e: Expression): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case l: Long =>
+        require(l == l.toInt, s"$name $arg out of Int range: $l")
+        l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name $arg must be an integer literal, got $other")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"$name $arg must be a literal (pinned at plan time)")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKFilterPushdown)
@@ -60,5 +74,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_fingerprint", FingerprintExpr))
     ext.injectFunction(withLitN("graft_shingles", ShinglesExpr))
     ext.injectFunction(withLitN("graft_chargrams", CharGramsExpr))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+      (children: Seq[Expression]) => children match {
+        case Seq(key) => BloomAgg(key)
+        case Seq(key, m, k) => BloomAgg(key,
+          litInt("graft_bloom", "m", m), litInt("graft_bloom", "k", k))
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom(key[, m, k]) takes one or three arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContainsExpr].getName, "graft_bloom_contains"),
+      (children: Seq[Expression]) => children match {
+        case Seq(bf, key) => BloomContainsExpr(bf, key)
+        case Seq(bf, key, m, k) => BloomContainsExpr(bf, key,
+          litInt("graft_bloom_contains", "m", m),
+          litInt("graft_bloom_contains", "k", k))
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_contains(bloom, key[, m, k]) takes two or four arguments")
+      }))
   }
 }

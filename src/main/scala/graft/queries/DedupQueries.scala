@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.TextAnalysis
+import graft.functions.{Bloom, TextAnalysis}
 import graft.operators.{Components, Dedup, Similarity}
 import graft.sources.Tables
 
@@ -327,6 +327,82 @@ object DedupQueries {
         |SELECT b.vec_id, m.dup_of, coalesce(m.n_matches, 0) AS n_matches
         |FROM inc_batch b LEFT JOIN m ON m.bv = b.vec_id
         |ORDER BY b.vec_id""".stripMargin)
+    }),
+
+    // Bloom-prefiltered incremental dedup — q67's contract behind the
+    // broadcast-index scale path: at 100 TB the history side can
+    // neither be broadcast nor re-shuffled per batch, but a Bloom
+    // filter of its hashes (constant-size TypedImperativeAggregate
+    // buffer, bytewise-OR merge) is a few MB that IS broadcast — every
+    // batch row is classified locally by the codegen'd
+    // graft_bloom_contains (k md5s, no join, no shuffle), bloom-negative
+    // rows are admitted outright (no false negatives BY CONSTRUCTION),
+    // and only the bloom-positive sliver reaches the exact verify join.
+    // Both output columns are differentially verified: bloom_positive
+    // is recomputed in DuckDB as a positions-set semi-join (the bit
+    // array re-expressed relationally — see Bloom's scaladoc), and
+    // is_dup on the Spark side is lit(false) for bloom-negatives while
+    // the oracle computes the exact EXISTS for every row — so a single
+    // false negative would hash-mismatch the round's correctness gate.
+    "q91_bloom_incremental_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.where(col("doc_id") < 250).select(md5(col("text")).as("h"))
+        .createOrReplaceTempView("bl_hist")
+      d.where(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .createOrReplaceTempView("bl_batch")
+      s.sql("""
+        |WITH bloom AS (SELECT graft_bloom(h) AS bf FROM bl_hist),
+        |flagged AS (
+        |  SELECT /*+ BROADCAST(bloom) */ b.doc_id, b.h,
+        |    graft_bloom_contains(bf, b.h) AS bloom_positive
+        |  FROM bl_batch b CROSS JOIN bloom),
+        |pos AS (
+        |  SELECT f.doc_id, f.bloom_positive, (hh.h IS NOT NULL) AS is_dup
+        |  FROM flagged f LEFT JOIN (SELECT DISTINCT h FROM bl_hist) hh
+        |    ON hh.h = f.h
+        |  WHERE f.bloom_positive)
+        |SELECT doc_id, bloom_positive, is_dup FROM pos
+        |UNION ALL
+        |SELECT doc_id, bloom_positive, FALSE AS is_dup
+        |FROM flagged WHERE NOT bloom_positive
+        |ORDER BY doc_id""".stripMargin)
+    }),
+
+    // Multi-table incremental embedding dedup — q90's admit/drop
+    // contract with the q88 recall lever (engine and scale analysis in
+    // Similarity.multiTableIncrementalDedup; table 0 = q90's table, so
+    // decisions only get stricter — ScaleSpec pins q92 ⊇ q90).
+    "q92_incremental_embedding_dedup_multitable" -> ((s, dir) =>
+      Similarity.multiTableIncrementalDedup(s,
+        Tables.load(s, dir, "embeddings"), 0.4, NumTables, 250)),
+
+    // Duplicate-passage mining — the exact-substring cross-document
+    // dedup signal (the published n-gram span-dedup construction:
+    // Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better", re-expressed relationally): a doc's distinct
+    // 8-token windows (codegen'd shingle kernel) against the corpus,
+    // shared_ratio = fraction also present in ≥1 OTHER document.
+    // Output is LINEAR (one row per doc). Scale shape: spans shuffle
+    // by their md5 (32 bytes, never the window text) for the
+    // count-over-window, then once by doc_id for the per-doc rollup —
+    // two shuffles, no join, no pair expansion. Exact duplicate texts
+    // (q50's clusters) must score 1.0 — pinned in ScaleSpec.
+    "q93_dup_passages" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 8)).as("span"))
+        .select(col("doc_id"), md5(col("span")).as("sh"))
+        .createOrReplaceTempView("dp_spans")
+      s.sql("""
+        |WITH w AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY sh) AS n_docs
+        |  FROM dp_spans)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_shared,
+        |  CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE) / count(*)
+        |    AS shared_ratio
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     }))
 
   /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle.
@@ -490,6 +566,48 @@ object DedupQueries {
            |FROM batch b LEFT JOIN m ON m.bv = b.vec_id
            |ORDER BY b.vec_id""".stripMargin
       },
+
+      // q91: the Bloom bit array re-expressed relationally — `setbits`
+      // IS the filter (distinct positions set by history keys), and
+      // bloom_positive(s) ⇔ all K of s's positions land in it. Spark's
+      // is_dup short-circuit for bloom-negatives is only correct
+      // because a Bloom filter has no false negatives; the oracle
+      // computes the exact membership for EVERY row, so hash-equality
+      // proves the property each round.
+      "q91_bloom_incremental_dedup" -> {
+        val (m, k) = (Bloom.DefaultBits, Bloom.DefaultHashes)
+        s"""WITH hist AS (SELECT md5(text) AS h FROM documents WHERE doc_id < 250),
+           |js AS (SELECT unnest(range(0, $k)) AS j),
+           |setbits AS (SELECT DISTINCT ${Bloom.positionSql("j", "h", m)} AS p
+           |  FROM hist CROSS JOIN js),
+           |batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250),
+           |bpos AS (SELECT doc_id, h, ${Bloom.positionSql("j", "h", m)} AS p
+           |  FROM batch CROSS JOIN js),
+           |bp AS (
+           |  SELECT b.doc_id, b.h, (count(s.p) = $k) AS bloom_positive
+           |  FROM bpos b LEFT JOIN setbits s ON s.p = b.p
+           |  GROUP BY b.doc_id, b.h),
+           |hd AS (SELECT DISTINCT h FROM hist)
+           |SELECT bp.doc_id, bp.bloom_positive, (hd.h IS NOT NULL) AS is_dup
+           |FROM bp LEFT JOIN hd ON hd.h = bp.h
+           |ORDER BY bp.doc_id""".stripMargin
+      },
+
+      "q92_incremental_embedding_dedup_multitable" ->
+        Similarity.multiTableIncrementalDedupDuckSql(0.4, NumTables, 250),
+
+      "q93_dup_passages" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    ${Dedup.shinglesSql(TextAnalysis.tokensSql("text"), 8)} AS sh
+           |  FROM documents),
+           |sp0 AS (SELECT doc_id, unnest(sh) AS span FROM t),
+           |sp AS (SELECT doc_id, md5(span) AS sh FROM sp0),
+           |w AS (SELECT doc_id, count(*) OVER (PARTITION BY sh) AS n_docs FROM sp)
+           |SELECT doc_id, count(*) AS n_spans,
+           |  count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_shared,
+           |  CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE) / count(*)
+           |    AS shared_ratio
+           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "q87_dedup_representatives" ->
         s"""WITH RECURSIVE pairs AS (

@@ -33,6 +33,63 @@ class AggregatesSpec extends SparkSpec {
     assert(approx >= p40 && approx <= p60, s"median=$approx not in [$p40,$p60]")
   }
 
+  test("graft_bloom: no false negatives, partition-invariant bytes, bounded FPR") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Bloom
+    val keys = (0 until 500).map(i => s"key-$i")
+    val df = keys.toDF("h")
+    def bloomOf(parts: Int): Array[Byte] =
+      df.repartition(parts).agg(call_function("graft_bloom", col("h")))
+        .head.getAs[Array[Byte]](0)
+    val b1 = bloomOf(1)
+    val b7 = bloomOf(7)
+    // merge is bytewise OR — associative/commutative/idempotent, so the
+    // filter is bit-stable under any partitioning (the broadcast-index
+    // contract: every executor computes the same bits)
+    assert(java.util.Arrays.equals(b1, b7))
+    val (m, k) = (Bloom.DefaultBits, Bloom.DefaultHashes)
+    // no false negatives — the property q91's admit-without-verifying
+    // path rests on
+    keys.foreach(s => assert(
+      Bloom.contains(b1, UTF8String.fromString(s), m, k), s"false negative: $s"))
+    // false-positive rate on 2000 never-inserted keys stays well under
+    // 1% (expected ≈ 2·10⁻⁴ for 500 keys in 8192 bits / 4 hashes)
+    val fp = (0 until 2000).count(i =>
+      Bloom.contains(b1, UTF8String.fromString(s"probe-$i"), m, k))
+    assert(fp <= 20, s"implausible FPR: $fp/2000")
+  }
+
+  test("graft_bloom positions match the SQL md5 rendering (oracle parity)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Bloom
+    // the kernel's digest-byte arithmetic vs the conv(substr(md5)) form
+    // the DuckDB oracle renders — one divergent bit and q91's
+    // bloom_positive column hash-mismatches
+    val m = Bloom.DefaultBits
+    val keys = Seq("", "a", "key-42", "héllo wörld", "0123456789abcdef")
+    val viaSql = keys.toDF("s").select(
+      (0 until Bloom.DefaultHashes).map(j =>
+        (conv(substring(md5(concat(lit(s"$j:"), col("s"))), 1, 12), 16, 10)
+          .cast("long") % m).as(s"p$j")): _*).collect()
+    keys.zip(viaSql).foreach { case (s, row) =>
+      (0 until Bloom.DefaultHashes).foreach { j =>
+        assert(Bloom.position(j, UTF8String.fromString(s), m) == row.getLong(j),
+          s"position $j of '$s' diverges from the SQL rendering")
+      }
+    }
+  }
+
+  test("Bloom sizing: bitsFor/hashesFor reproduce the standard formulas") {
+    import graft.functions.Bloom
+    // 10⁹ keys at 1% FPR ≈ 9.59 Gbit ≈ 1.2 GB — one broadcast instead
+    // of re-shuffling 10⁹ history hashes every batch
+    val m = Bloom.bitsFor(1000000000L, 0.01)
+    assert(m > 9500000000L && m < 9700000000L, s"m=$m")
+    assert(Bloom.hashesFor(m, 1000000000L) == 7)
+    // the fixture default holds ~250 keys at k=4 comfortably
+    assert(Bloom.bitsFor(250, 1e-4) < Bloom.DefaultBits * 2)
+  }
+
   test("observe() exposes pipeline metrics without a second pass (A2)") {
     val filtered = Tables.load(spark, dir, "events")
       .observe("stats", count(lit(1)).as("n_rows"),

@@ -58,7 +58,9 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q51_minhash_lsh", "q53_ngram_jaccard", "q54_embedding_dup",
                   "q56_ann_lsh", "q66_ann_multiprobe", "q75_levenshtein",
                   "q88_embedding_dup_multitable",
-                  "q90_incremental_embedding_dedup")) {
+                  "q90_incremental_embedding_dedup",
+                  "q92_incremental_embedding_dedup_multitable",
+                  "q93_dup_passages")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
@@ -154,6 +156,42 @@ class PlanSpec extends SparkSpec {
     val p = plan("q90_incremental_embedding_dedup")
     assert(p.contains("LessThan(vec_id,250)"), "history cut not pushed")
     assert(p.contains("GreaterThanOrEqual(vec_id,250)"), "batch cut not pushed")
+  }
+
+  test("q91: bloom gate filters BEFORE the verify join; history/batch cuts pushed") {
+    // the broadcast-index contract: graft_bloom_contains must run as a
+    // per-row Filter (classifying batch rows locally), not as a join
+    // condition — only bloom-positives may reach the exact verify join
+    // — and the only nested-loop join is the 1-row bloom attach (the
+    // q77 scalar-join idiom). The doc_id splits must reach the scan.
+    val df = SparkEntry.queries("q91_bloom_incremental_dedup")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("LessThan(doc_id,250)"), "history cut not pushed")
+    assert(p.contains("GreaterThanOrEqual(doc_id,250)"), "batch cut not pushed")
+    assert(!p.contains("CartesianProduct"))
+    // the gate must evaluate BELOW the exact verify join: every outer
+    // hash-join (the is_dup lookup) must carry graft_bloom_contains in
+    // its streamed subtree — Catalyst fuses the WHERE into the 1-row
+    // bloom-attach join's condition, which is the same per-row gate
+    val verify = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString == "LeftOuter" => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.toString == "LeftOuter" => j
+    }
+    assert(verify.nonEmpty, s"no verify join in the plan:\n$p")
+    verify.foreach(j => assert(
+      j.children.head.toString.contains("graft_bloom_contains"),
+      s"verify join's probe side is not bloom-gated:\n$j"))
+    // the only nested-loop joins are the 1-row bloom attaches (one per
+    // union branch), never a data×data cross
+    val bnlj = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty && bnlj.size <= 2)
+    bnlj.foreach(j => assert(j.toString.contains("graft_bloom("),
+      s"nested-loop join is not the 1-row bloom attach:\n$j"))
   }
 
   test("time-partitioned sink prunes partitions for high-water-mark reads") {

@@ -156,6 +156,54 @@ class ScaleSpec extends SparkSpec {
     rows.filter(_.isNullAt(1)).foreach(r => assert(r.getLong(2) == 0))
   }
 
+  test("q92's multi-table decisions contain q90's: table 0 is q90's table") {
+    // the recall-lever-on-ingest contract: adding hash tables can only
+    // ADD candidates (table 0 is exactly q90's planes/cap/probes), so
+    // every q90 drop decision must survive in q92 — with the same or
+    // an earlier representative (min over a superset) and at least as
+    // many verified matches. The fixture must also exercise the lift:
+    // at least one vector q90 admits, q92 drops.
+    val dir = "/root/testdata/sf0.001"
+    def byVec(q: String): Map[Long, (Option[Long], Long)] =
+      SparkEntry.queries(q)(spark, dir).collect().map(r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          r.getLong(2))).toMap
+    val q90 = byVec("q90_incremental_embedding_dedup")
+    val q92 = byVec("q92_incremental_embedding_dedup_multitable")
+    assert(q90.keySet == q92.keySet)
+    q90.foreach { case (v, (dup90, n90)) =>
+      val (dup92, n92) = q92(v)
+      dup90.foreach { d90 =>
+        assert(dup92.isDefined, s"vec $v: q90 dropped, q92 admitted")
+        assert(dup92.get <= d90, s"vec $v: q92 rep ${dup92.get} > q90 rep $d90")
+      }
+      assert(n92 >= n90, s"vec $v: q92 matches $n92 < q90 matches $n90")
+    }
+    assert(q90.exists { case (v, (d90, _)) => d90.isEmpty && q92(v)._1.isDefined },
+      "fixture must exercise the recall lift (a q90-admit that q92 drops)")
+  }
+
+  test("q93: exact-duplicate documents score shared_ratio 1.0") {
+    // the span-dedup signal's ground-truth anchor: a doc whose full
+    // text appears elsewhere (q50's n_copies ≥ 2 clusters, present at
+    // sf0.1) shares EVERY 8-token window, so its ratio is exactly 1.0;
+    // and no ratio may exceed 1 or pair with n_shared > n_spans.
+    val dir = "/root/testdata/sf0.1"
+    val dupDocs = SparkEntry.queries("q50_dedup_exact")(spark, dir)
+      .where(col("n_copies") >= 2).collect().map(_.getLong(1)).toSet
+    assert(dupDocs.nonEmpty, "fixture must contain exact duplicates")
+    val rows = SparkEntry.queries("q93_dup_passages")(spark, dir).collect()
+    val byDoc = rows.map(r => r.getLong(0) -> r).toMap
+    dupDocs.foreach { d =>
+      assert(byDoc(d).getDouble(3) == 1.0,
+        s"exact-duplicate doc $d scored ${byDoc(d).getDouble(3)}")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "warehouse").toString
