@@ -100,6 +100,18 @@ object Bloom {
     * relation (`jE` = the hash index expression, `sE` = the key). */
   def positionSql(jE: String, sE: String, m: Int): String =
     s"CAST('0x' || substr(md5(CAST($jE AS VARCHAR) || ':' || $sE), 1, 12) AS BIGINT) % $m"
+
+  /** Union of two same-size filters (bytewise OR) — the driver-side
+    * fold a streaming ingest uses to absorb each admitted batch into
+    * its index (see StreamingIngest.admitNovelTexts). */
+  def or(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"bloom size mismatch: ${a.length} vs ${b.length} bytes")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
+  }
 }
 
 /** `graft_bloom(string[, m, k]) -> binary` — aggregates keys into an

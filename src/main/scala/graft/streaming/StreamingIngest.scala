@@ -163,6 +163,64 @@ object StreamingIngest {
     * once, never per trigger. Admission is vs HISTORY by contract:
     * intra-stream duplicates compose with `dropDuplicates`/a periodic
     * index refresh, exactly as a two-phase production ingest does. */
+  /** Streaming Bloom admission — q91's broadcast-index incremental
+    * dedup as a foreachBatch sink, with the index MAINTAINED across
+    * triggers: the Bloom filter of history text-hashes is built once
+    * at stream start (one constant-size aggregate — the only full
+    * history scan), each micro-batch is gated locally by the codegen'd
+    * `graft_bloom_contains` against the filter shipped as a BINARY
+    * LITERAL (no join at all for the gate), and after every trigger
+    * the admitted rows' own Bloom is OR-folded into the driver-held
+    * index — so a later batch's duplicate of an EARLIER batch's
+    * admission is caught without ever re-scanning the store. Per
+    * trigger: bloom-negative rows are admitted outright (no false
+    * negatives by construction), and only the bloom-positive sliver is
+    * exact-verified against the hash store (history ∪ admitted so
+    * far) — the scan a production deployment serves from a keyed
+    * store, reached here by ~FPR·|batch| rows per trigger.
+    * Intra-batch duplicates collapse by hash (keep-first on the
+    * batch's arrival order — the reference's D1 keeper semantics).
+    * Effectively-once: re-running a batch re-admits nothing (every
+    * hash is already in the index), matching the upsert sinks. */
+  def admitNovelTexts(stream: DataFrame, history: DataFrame,
+                      targetPath: String, checkpoint: String): StreamingQuery = {
+    import graft.functions.Bloom
+    // restart-safe init: the index covers history ∪ already-admitted
+    // rows, so a re-started query cannot re-admit a prior admission
+    // that the history-only filter would miss
+    def storeHashes(spark: SparkSession): DataFrame = {
+      val hist = history.select(md5(col("text")).as("h"))
+      if (new java.io.File(targetPath).exists())
+        hist.unionByName(spark.read.parquet(targetPath)
+          .select(md5(col("text")).as("h")))
+      else hist
+    }
+    var bloom: Array[Byte] = storeHashes(history.sparkSession)
+      .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val flagged = Transform.dedupFirst(
+            batch.withColumn("h", md5(col("text"))), Seq("h"), Seq("doc_id"))
+          .withColumn("bloom_positive",
+            call_function("graft_bloom_contains", lit(bloom), col("h")))
+        val neg = flagged.where(!col("bloom_positive"))
+        val pos = flagged.where(col("bloom_positive"))
+          .join(storeHashes(spark).distinct(), Seq("h"), "left_anti")
+        val admitted = neg.unionByName(pos).persist()
+        admitted.drop("h", "bloom_positive")
+          .write.mode("append").parquet(targetPath)
+        val delta = admitted
+          .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
+        admitted.unpersist()
+        bloom = Bloom.or(bloom, delta)
+      }
+      .start()
+  }
+
   def admitNovelEmbeddings(stream: DataFrame, history: DataFrame,
                            targetPath: String, checkpoint: String,
                            minCosine: Double = 0.4): StreamingQuery = {

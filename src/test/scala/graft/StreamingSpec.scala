@@ -161,6 +161,45 @@ class StreamingSpec extends SparkSpec {
       s"expected history near-dups 10/12 dropped, novel 11/13 admitted; got $admitted")
   }
 
+  test("admitNovelTexts: bloom-gated admission across batches and restarts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val history = Seq((0L, "alpha document text"), (1L, "beta document text"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-bloom").toString
+    val input = MemoryStream[(Long, String)]
+    def runOnce(): Unit = {
+      // each call is a fresh query ⇒ also exercises the restart path
+      // (index re-initialized from history ∪ already-admitted)
+      val q = StreamingIngest.admitNovelTexts(
+        input.toDF().toDF("doc_id", "text"),
+        history, targetPath = s"$dir/admitted", checkpoint = s"$dir/ckpt")
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    // batch 1: a dup of history (drop), a novel doc (admit), and an
+    // intra-batch duplicate pair (keep-first)
+    input.addData((10L, "alpha document text"), (11L, "gamma novel text"),
+      (12L, "delta novel text"), (13L, "delta novel text"))
+    runOnce()
+    // batch 2 (fresh query = restart): a dup of batch 1's admission
+    // (drop — caught by the re-initialized index), a dup of history
+    // (drop), and a novel doc (admit)
+    input.addData((20L, "gamma novel text"), (21L, "beta document text"),
+      (22L, "epsilon novel text"))
+    runOnce()
+    val admitted = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(11L, 12L, 22L),
+      s"expected 10/13/20/21 dropped, 11/12/22 admitted; got $admitted")
+    // effectively-once: replaying batch 2's data admits nothing new
+    input.addData((30L, "epsilon novel text"))
+    runOnce()
+    val after = spark.read.parquet(s"$dir/admitted")
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(11L, 12L, 22L), s"replay re-admitted: $after")
+  }
+
   test("FailureListener captures failed actions (ST5 alert callback)") {
     val listener = new graft.streaming.FailureListener
     spark.listenerManager.register(listener)
