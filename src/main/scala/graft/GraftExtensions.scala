@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
+import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -94,6 +94,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           litInt("graft_bloom_contains", "k", k))
         case _ => throw new IllegalArgumentException(
           "graft_bloom_contains(bloom, key[, m, k]) takes two or four arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => children match {
+        case Seq(key) => CmsAgg(key)
+        case Seq(key, d, w) => CmsAgg(key,
+          litInt("graft_cms", "d", d), litInt("graft_cms", "w", w))
+        case _ => throw new IllegalArgumentException(
+          "graft_cms(key[, d, w]) takes one or three arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_est"),
+      new ExpressionInfo(classOf[CmsEstExpr].getName, "graft_cms_est"),
+      (children: Seq[Expression]) => children match {
+        case Seq(sk, key) => CmsEstExpr(sk, key)
+        case Seq(sk, key, d, w) => CmsEstExpr(sk, key,
+          litInt("graft_cms_est", "d", d), litInt("graft_cms_est", "w", w))
+        case _ => throw new IllegalArgumentException(
+          "graft_cms_est(sketch, key[, d, w]) takes two or four arguments")
       }))
   }
 }

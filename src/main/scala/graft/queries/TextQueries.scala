@@ -2,14 +2,15 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.{Bloom, Cms}
 import graft.functions.TextAnalysis._
 import graft.sources.Tables
 
 /** Text-analysis extension queries over the `documents` fixture
-  * (q40–q45, q86). Each is a single narrow projection — no shuffle at
-  * all except the final presentation ORDER BY (and q45's per-language
-  * count), so the shape is embarrassingly parallel at 100 TB:
-  * scan → codegen'd expressions → write.
+  * (q40–q45, q86, q94). Each is a single narrow projection — no
+  * shuffle at all except the final presentation ORDER BY (and
+  * q45/q94's token counts), so the shape is embarrassingly parallel
+  * at 100 TB: scan → codegen'd expressions → write.
   */
 object TextQueries {
 
@@ -96,6 +97,33 @@ object TextQueries {
     // (distinct windows) against the total window count; exact ints +
     // one IEEE division keep it oracle-identical. Embarrassingly
     // parallel: scan → per-row expressions → write.
+    // Count-Min heavy hitters — point-frequency estimates from the
+    // constant-memory graft_cms sketch (Cormode & Muthukrishnan 2005)
+    // for the corpus's top tokens, side by side with the exact counts.
+    // The sketch is ITSELF differentially verified: the oracle
+    // recomputes every probed cell as a GROUP BY over (row, position)
+    // and the estimate as min over the key's cells, so a single
+    // divergent counter hash-mismatches; no_undercount pins the
+    // one-sided CMS guarantee (estimate ≥ exact, deterministic) as a
+    // literal-true column. Scale shape: the sketch build is one
+    // map-side-combined constant-size aggregate over the token stream
+    // (no shuffle of tokens at all — partials merge element-wise);
+    // the exact companion exists to GRADE the sketch at fixture scale
+    // and is the thing the sketch replaces at 100 TB.
+    "q94_heavy_hitters" -> ((s, dir) => {
+      docs(s, dir).select(explode(tokens(col("text"))).as("t"))
+        .createOrReplaceTempView("cms_toks")
+      s.sql("""
+        |WITH cms AS (SELECT graft_cms(t) AS sk FROM cms_toks),
+        |cnt AS (SELECT t, count(*) AS exact_n FROM cms_toks GROUP BY t),
+        |top AS (SELECT t, exact_n FROM cnt ORDER BY exact_n DESC, t LIMIT 20)
+        |SELECT /*+ BROADCAST(cms) */ t AS token, exact_n,
+        |  graft_cms_est(sk, t) AS cms_est,
+        |  graft_cms_est(sk, t) >= exact_n AS no_undercount
+        |FROM top CROSS JOIN cms
+        |ORDER BY exact_n DESC, token""".stripMargin)
+    }),
+
     "q86_repetition" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("toks", tokens(col("text")))
@@ -152,6 +180,30 @@ object TextQueries {
            |  FROM cnt)
            |SELECT lang, token, n, rank FROM rnk WHERE rank <= 5
            |ORDER BY lang, rank""".stripMargin,
+
+      // q94: the CMS grid re-expressed relationally — a cell's counter
+      // is the summed count of every token hashing there, the estimate
+      // is the min over the key's d cells (casts keep DuckDB's
+      // sum-of-bigint out of HUGEINT, which the driver hashes
+      // differently).
+      "q94_heavy_hitters" -> {
+        val (d, w) = (Cms.DefaultDepth, Cms.DefaultWidth)
+        s"""WITH tok AS (SELECT unnest($toksE) AS t FROM documents),
+           |cnt AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY t),
+           |js AS (SELECT unnest(range(0, $d)) AS j),
+           |pos AS (SELECT t, exact_n, j, ${Bloom.positionSql("j", "t", w)} AS p
+           |  FROM cnt CROSS JOIN js),
+           |cells AS (SELECT j, p, CAST(sum(exact_n) AS BIGINT) AS cell_n
+           |  FROM pos GROUP BY j, p),
+           |est AS (SELECT pos.t, min(cells.cell_n) AS cms_est
+           |  FROM pos JOIN cells ON cells.j = pos.j AND cells.p = pos.p
+           |  GROUP BY pos.t),
+           |top AS (SELECT t, exact_n FROM cnt ORDER BY exact_n DESC, t LIMIT 20)
+           |SELECT top.t AS token, top.exact_n, est.cms_est,
+           |  est.cms_est >= top.exact_n AS no_undercount
+           |FROM top JOIN est ON est.t = top.t
+           |ORDER BY exact_n DESC, token""".stripMargin
+      },
 
       "q86_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),

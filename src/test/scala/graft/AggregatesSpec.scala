@@ -79,6 +79,31 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("graft_cms: estimate >= exact always, partition-invariant, tight at fixture load") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.Cms
+    val data = (0 until 300).flatMap(i => Seq.fill(i % 7 + 1)(s"tok-$i"))
+    val df = data.toDF("t")
+    def sk(parts: Int): Array[Byte] =
+      df.repartition(parts).agg(call_function("graft_cms", col("t")))
+        .head.getAs[Array[Byte]](0)
+    val s1 = sk(1)
+    // merge is element-wise sum — partial order never changes the grid
+    assert(java.util.Arrays.equals(s1, sk(5)))
+    val (d, w) = (Cms.DefaultDepth, Cms.DefaultWidth)
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (t, n) =>
+      val est = Cms.estimate(s1, UTF8String.fromString(t), d, w)
+      // the one-sided guarantee is deterministic (counters only over-count)
+      assert(est >= n, s"$t: est $est < exact $n")
+      // at this load (~1200 increments over 2048 counters) collisions
+      // add at most a few counts per cell
+      assert(est <= n + 50, s"$t: est $est implausibly far above $n")
+    }
+    // serialization round-trips the grid exactly
+    assert(java.util.Arrays.equals(Cms.serialize(Cms.deserialize(s1)), s1))
+  }
+
   test("Bloom sizing: bitsFor/hashesFor reproduce the standard formulas") {
     import graft.functions.Bloom
     // 10⁹ keys at 1% FPR ≈ 9.59 Gbit ≈ 1.2 GB — one broadcast instead
