@@ -157,6 +157,56 @@ object CorpusQueries {
         .withColumn("boiler_ratio",
           col("n_boiler").cast("double") / col("n_grams").cast("double"))
         .orderBy("doc_id")
+    }),
+
+    // The END-TO-END curation pipeline — the flagship composition that
+    // shows the extension operators are a LIBRARY, not a query zoo:
+    // language-ID (q40's argmax) → quality gate (q41's composite score
+    // ≥ 0.6) → exact dedup keep-first (q50/D1 semantics on the text
+    // hash) → per-language stratified sample by content-addressed
+    // uniform priority through the custom TopKPerKey operator (q76/q85
+    // machinery, k = 40) → per-language token budget (q83's prefix-sum,
+    // admit while the budget before the doc is under 1500 BPE-ish
+    // tokens). Emits the training manifest a curation run hands to the
+    // tokenizer. Every stage is the already-oracled primitive, so the
+    // composite's DuckDB twin is the same CTEs chained — one
+    // hash-compare certifies the whole pipeline. Scale shape: narrow
+    // per-row expressions → one hash shuffle (dedup window) → one lang
+    // shuffle (TopKPerKey streams k rows/group) → one tiny window over
+    // ≤ k·|langs| rows. No stage materializes the corpus twice.
+    "q95_curation_pipeline" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("s_en", TextAnalysis.stopwordHits(col("toks"), "en"))
+        .withColumn("s_de", TextAnalysis.stopwordHits(col("toks"), "de"))
+        .withColumn("s_fr", TextAnalysis.stopwordHits(col("toks"), "fr"))
+        .withColumn("s_es", TextAnalysis.stopwordHits(col("toks"), "es"))
+        .withColumn("pred_lang", TextAnalysis.predLang(
+          col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+        .withColumn("digit_ratio", TextAnalysis.digitCount(col("text"))
+          .cast("double") / greatest(length(col("text")), lit(1)))
+        .withColumn("stop_ratio",
+          col("s_en").cast("double") / greatest(col("n_tokens"), lit(1)))
+        .withColumn("quality_score", TextAnalysis.qualityScore(
+          col("n_tokens"), col("digit_ratio"), col("stop_ratio")))
+        .where(col("quality_score") >= 0.6)
+      val dd = graft.operators.Transform.dedupFirst(
+        t.withColumn("h", md5(col("text"))), Seq("h"), Seq("doc_id"))
+      val pri = dd.withColumn("priority",
+        conv(substring(md5(concat(lit("cur:"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("double"))
+      val sampled = graft.operators.TopK.perKey(
+        pri.select(col("pred_lang"), col("doc_id"), col("priority"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("tokens")),
+        Seq("pred_lang"), Seq("priority" -> true, "doc_id" -> true), k = 40)
+      val w = Window.partitionBy("pred_lang").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sampled
+        .withColumn("cum_tokens", sum(col("tokens")).over(w))
+        .where(col("cum_tokens") - col("tokens") < 1500)
+        .select("pred_lang", "doc_id", "tokens", "rank", "cum_tokens")
+        .orderBy("pred_lang", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -235,5 +285,42 @@ object CorpusQueries {
          |  count(*) FILTER (docfreq > 1) AS n_boiler,
          |  CAST(count(*) FILTER (docfreq > 1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS boiler_ratio
          |FROM g JOIN freq USING (gram)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q95: the composed pipeline's twin — the SAME CTE chain the
+    // individual oracles use (q40 lang-id, q41 score, q50-style dedup
+    // window, q76/q85-style hash-priority sample, q83-style prefix
+    // sum), so one hash-compare certifies the composition end to end.
+    "q95_curation_pipeline" -> {
+      val toksE = TextAnalysis.tokensSql("text")
+      val en = TextAnalysis.stopwordHitsSql("toks", "en")
+      val de = TextAnalysis.stopwordHitsSql("toks", "de")
+      val fr = TextAnalysis.stopwordHitsSql("toks", "fr")
+      val es = TextAnalysis.stopwordHitsSql("toks", "es")
+      s"""WITH t AS (SELECT doc_id, text, $toksE AS toks FROM documents),
+         |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |  $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es,
+         |  CAST(${TextAnalysis.digitCountSql("text")} AS DOUBLE)
+         |    / greatest(len(text), 1) AS digit_ratio,
+         |  CAST($en AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio
+         |  FROM t),
+         |q AS (SELECT *,
+         |  ${TextAnalysis.predLangSql("s_en", "s_de", "s_fr", "s_es")} AS pred_lang,
+         |  ${TextAnalysis.qualityScoreSql("n_tokens", "digit_ratio", "stop_ratio")} AS quality_score
+         |  FROM m),
+         |g AS (SELECT * FROM q WHERE quality_score >= 0.6),
+         |dd AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS ddr
+         |  FROM g) WHERE ddr = 1),
+         |p AS (SELECT *, CAST(CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE) AS priority FROM dd),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY pred_lang ORDER BY priority ASC, doc_id ASC) AS rank FROM p),
+         |sel AS (SELECT pred_lang, doc_id, priority, rank,
+         |  CAST(${TextAnalysis.bpeTokenCountSql("text")} AS BIGINT) AS tokens
+         |  FROM r WHERE rank <= 40),
+         |c AS (SELECT *, CAST(sum(tokens) OVER (PARTITION BY pred_lang ORDER BY rank
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM sel)
+         |SELECT pred_lang, doc_id, tokens, rank, cum_tokens FROM c
+         |WHERE cum_tokens - tokens < 1500
+         |ORDER BY pred_lang, rank""".stripMargin
+    })
 }

@@ -132,6 +132,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("q95: the curation pipeline's sample stage runs through TopKPerKeyExec") {
+    val p = plan("q95_curation_pipeline")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q76: stratified sample runs through TopKPerKeyExec, not Window") {
     val p = plan("q76_stratified_sample")
     assert(p.contains("TopKPerKey"))
