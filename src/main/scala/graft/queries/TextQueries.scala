@@ -124,6 +124,35 @@ object TextQueries {
         |ORDER BY exact_n DESC, token""".stripMargin)
     }),
 
+    // Vocabulary coverage — the tokenizer-sizing question a training
+    // pipeline asks before fixing a vocab: per language, the smallest
+    // frequency-ranked vocabulary covering ≥ 90 % of token
+    // OCCURRENCES. Pure integer arithmetic (cum·10 ≥ total·9 instead
+    // of a float ratio) so the cut index is bit-identical in both
+    // engines. Scale shape: one (lang, token) count (map-side
+    // combinable), one window pass over the per-lang vocab (|vocab|
+    // rows, not |corpus|), one per-lang rollup.
+    "q96_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("t").asc)
+      val cumW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val langW = Window.partitionBy("lang")
+      docs(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("t"))
+        .groupBy("lang", "t").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum", sum(col("n")).over(cumW))
+        .withColumn("total", sum(col("n")).over(langW))
+        .withColumn("n_distinct", count(lit(1)).over(langW))
+        .groupBy("lang").agg(
+          max(col("total")).as("total_tokens"),
+          max(col("n_distinct")).as("n_distinct_tokens"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("rank")))
+            .as("vocab90"))
+        .orderBy("lang")
+    }),
+
     "q86_repetition" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("toks", tokens(col("text")))
@@ -204,6 +233,23 @@ object TextQueries {
            |FROM top JOIN est ON est.t = top.t
            |ORDER BY exact_n DESC, token""".stripMargin
       },
+
+      // q96: BIGINT casts on the window sums (DuckDB widens to
+      // HUGEINT); the 90 % cut compares exact ints on both sides.
+      "q96_vocab_coverage" ->
+        s"""WITH tok AS (SELECT lang, unnest($toksE) AS t FROM documents),
+           |cnt AS (SELECT lang, t, count(*) AS n FROM tok GROUP BY lang, t),
+           |r AS (SELECT lang, t, n,
+           |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, t ASC) AS rank,
+           |  CAST(sum(n) OVER (PARTITION BY lang ORDER BY n DESC, t ASC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total,
+           |  count(*) OVER (PARTITION BY lang) AS n_distinct
+           |  FROM cnt)
+           |SELECT lang, max(total) AS total_tokens,
+           |  max(n_distinct) AS n_distinct_tokens,
+           |  min(CASE WHEN cum * 10 >= total * 9 THEN rank END) AS vocab90
+           |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
       "q86_repetition" ->
         s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
