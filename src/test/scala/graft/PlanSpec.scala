@@ -132,6 +132,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("q94: CMS builds map-side in ObjectHashAggregate; no cartesian") {
+    // the sketch must aggregate as a TypedImperativeAggregate with
+    // partials (ObjectHashAggregate pair), so the token stream is
+    // never shuffled — only constant-size grids move
+    val p = plan("q94_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q95: the curation pipeline's sample stage runs through TopKPerKeyExec") {
     val p = plan("q95_curation_pipeline")
     assert(p.contains("TopKPerKey"), p)
