@@ -24,6 +24,36 @@ object SamplingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Source-mixing weights with temperature α = 0.5 — the corpus
+    // rebalancing step of multi-source training-set assembly
+    // (published recipe: sampling probability ∝ size^α with α < 1 to
+    // up-weight small high-quality sources; α = 0.5 keeps the
+    // per-source weight an IEEE sqrt, which is CORRECTLY ROUNDED by
+    // spec and therefore bit-identical across engines, where a pow()
+    // would drift in the last ulp between libm and the JVM). The
+    // normalizing sum is the other float hazard: a plain SUM() folds
+    // in partition order, so both engines instead fold the per-source
+    // weights in EXPLICIT source order (collect → sort → left fold,
+    // the fingerprint-fold pattern) — bit-stable under any
+    // parallelism. Scale: |sources| rows after one exact count/sum
+    // aggregation; the fold is O(|sources|) on a broadcast scalar.
+    "q97_source_mixing" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .withColumn("weight", sqrt(col("total_chars").cast("double")))
+        .createOrReplaceTempView("mix_src")
+      s.sql("""
+        |WITH z AS (
+        |  SELECT aggregate(array_sort(collect_list(struct(source, weight))),
+        |    CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.weight) AS z
+        |  FROM mix_src)
+        |SELECT /*+ BROADCAST(z) */ source, n_docs, total_chars, weight,
+        |  weight / z AS share
+        |FROM mix_src CROSS JOIN z ORDER BY source""".stripMargin)
+    }),
+
     // 10% reproducible sample of documents.
     "q63_hash_sample" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -115,5 +145,19 @@ object SamplingQueries {
       """SELECT label, count(*) AS n,
         |  CAST((SELECT count(*) FROM embeddings) AS DOUBLE) /
         |    ((SELECT count(DISTINCT label) FROM embeddings) * count(*)) AS weight
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // q97: sqrt is correctly rounded (bit-identical across engines);
+    // the normalizer folds the weights in explicit source order on
+    // both sides, never a partition-order SUM of doubles.
+    "q97_source_mixing" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, sqrt(CAST(total_chars AS DOUBLE)) AS weight FROM a),
+        |z AS (SELECT list_reduce(
+        |    list_concat([CAST(0 AS DOUBLE)], list(weight ORDER BY source)),
+        |    (acc, x) -> acc + x) AS z FROM w)
+        |SELECT source, n_docs, total_chars, weight, weight / z.z AS share
+        |FROM w CROSS JOIN z ORDER BY source""".stripMargin)
 }
