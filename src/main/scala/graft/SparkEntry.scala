@@ -20,7 +20,8 @@ object SparkEntry {
     ReferenceQueries.queries ++ RelationalQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
-      SamplingQueries.queries ++ CorpusQueries.queries
+      SamplingQueries.queries ++ CorpusQueries.queries ++
+      ClusteringQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -28,5 +29,6 @@ object SparkEntry {
     ReferenceQueries.oracleSql ++ RelationalQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      SamplingQueries.oracleSql ++ CorpusQueries.oracleSql
+      SamplingQueries.oracleSql ++ CorpusQueries.oracleSql ++
+      ClusteringQueries.oracleSql
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic integer k-means (Lloyd's) over an embedding column —
+  * the clustering primitive a curation pipeline needs for
+  * semantic-dedup cluster pruning and data-mixing domain discovery
+  * (builder-prompt extension surface; the published recipes cluster
+  * document embeddings and then prune/rebalance per cluster).
+  *
+  * Everything is EXACT INTEGER arithmetic so the result is
+  * bit-identical across engines, partitionings, and re-runs — the same
+  * determinism discipline as the q85/q97 float techniques, taken one
+  * step further by removing floats entirely:
+  *
+  *  - vectors are quantized once: q[d] = floor(double(x[d]) · 2^20).
+  *    float→double widening is exact, ·2^20 only shifts the exponent
+  *    (exact), floor is unambiguous — no rounding-mode or tie hazard.
+  *  - distances are exact int64 squared-L2: components ≤ 2^22, squared
+  *    ≤ 2^44, 64 dims → ≤ 2^50, no overflow.
+  *  - centroid update is floorDiv(Σq[d], n): integer division of an
+  *    order-independent integer sum — a partition-order float AVG
+  *    would differ between engines in the last ulp and flip argmin
+  *    ties; this cannot.
+  *  - seeds are content-addressed (k smallest md5("km:"||id)), not
+  *    rand(): re-run-stable and engine-identical, like every sampling
+  *    decision in this repo.
+  *
+  * Scale shape (the MLlib KMeans pattern): centroids are k·dim longs —
+  * driver-held and broadcast into the assignment expression as a
+  * literal, so assignment is an embarrassingly parallel scan (no
+  * shuffle, no join). The update is posexplode → partial-aggregated
+  * (cluster, dim) sums: the shuffle per iteration carries at most
+  * k·dim rows PER MAP PARTITION after map-side combine — constant-size
+  * regardless of corpus rows, the same contract as the CMS/Bloom
+  * sketch aggregates. The per-iteration collect is k·dim longs (~4 KB
+  * at k=8, dim=64) — the documented broadcast-variable pattern, not a
+  * data collect.
+  */
+object KMeans {
+
+  /** Quantization scale 2^20: float mantissas are 24 bits, so scaled
+    * components stay ≤ 2^22 and every downstream product fits int64. */
+  val Scale = 1048576L
+
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(Scale)).cast("long"))
+
+  def quantizeSql(e: String): String =
+    s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
+
+  /** Exact int64 squared-L2 distance between two quantized vectors. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** DuckDB rendering of [[sqDist]] (same fold-from-zero shape as
+    * Dedup.dotProductSql; int64 so order could not matter anyway). */
+  def sqDistSql(aE: String, bE: String, dim: Int): String =
+    s"list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range(1, $dim + 1), i -> ($aE[i] - $bE[i]) * ($aE[i] - $bE[i]))), " +
+      "(acc, x) -> acc + x)"
+
+  /** Centroid array as a literal column: array<struct<cid:int, cv:array<long>>>. */
+  private def centLit(cents: Array[Array[Long]]): Column =
+    array(cents.zipWithIndex.map { case (v, i) =>
+      struct(lit(i).as("cid"), typedLit(v.toSeq).as("cv"))
+    }: _*)
+
+  /** Adds `cluster` (int, argmin centroid; ties → smaller cid via the
+    * lexicographic struct ordering of array_min) and `dist` (int64) to
+    * a frame with a quantized `qv` column. Pure per-row expressions
+    * over the centroid literal — no shuffle. */
+  private def assign(q: DataFrame, cents: Array[Array[Long]]): DataFrame =
+    q.withColumn("best", array_min(transform(centLit(cents),
+        ct => struct(sqDist(col("qv"), ct("cv")).as("d"), ct("cid").as("c")))))
+      .withColumn("cluster", col("best.c"))
+      .withColumn("dist", col("best.d"))
+      .drop("best")
+
+  /** Runs `iters` Lloyd iterations from content-addressed seeds and
+    * returns (idCol, cluster, dist) for every input row under the
+    * final centroids. Empty clusters keep their previous centroid
+    * (mirrored by the oracle's LEFT JOIN + coalesce). */
+  def fit(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
+    val q = df.select(col(idCol), quantize(col(embCol)).as("qv"))
+
+    // Seeds: the k rows with smallest (md5("km:"||id), id) — a
+    // TakeOrderedAndProject at any scale. Driver-side re-sort on the
+    // hash pins the seed→cid order independent of collect order (h is
+    // a total order: distinct ids hash distinctly).
+    val seeds = q
+      .withColumn("h", md5(concat(lit("km:"), col(idCol).cast("string"))))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+      .select(col("h"), col("qv"))
+      .collect()
+      .sortBy(_.getString(0))
+      .map(_.getSeq[Long](1).toArray)
+    var cents: Array[Array[Long]] = seeds
+
+    for (_ <- 1 to iters) {
+      val sums = assign(q, cents)
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster → previous centroid
+      sums.groupBy(_.getInt(0)).foreach { case (cid, rows) =>
+        val arr = next(cid)
+        rows.foreach { r =>
+          arr(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+        }
+      }
+      cents = next
+    }
+    assign(q, cents).select(col(idCol), col("cluster"), col("dist"))
+  }
+}

@@ -162,7 +162,33 @@ object TextQueries {
           lit(1.0) - col("n_distinct").cast("double") / col("n_windows"))
         .select(col("doc_id"), col("n_windows"), col("n_distinct"),
           col("rep_ratio"), (col("rep_ratio") > 0.2).as("is_repetitive"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // BPE-style merge statistics: top-10 adjacent token pairs per
+    // language by frequency — the signal a BPE/WordPiece tokenizer
+    // trainer consumes at each merge step (most-frequent adjacent
+    // pair), and the companion to q96's vocab-coverage sizing. Pure
+    // integer counts. Scale shape: pairs come from two in-row slices
+    // (no self-join on position), the count is a classic map-side-
+    // combinable two-level aggregation over the (lang, pair) vocab,
+    // and the rank window sees only the aggregated vocab rows.
+    "q99_bpe_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("tok_left").asc, col("tok_right").asc)
+      val n = greatest(size(col("toks")) - 1, lit(0))
+      docs(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("lang"), explode(zip_with(
+            slice(col("toks"), lit(1), n), slice(col("toks"), lit(2), n),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("pr"))
+        .groupBy(col("lang"), col("pr.l").as("tok_left"),
+          col("pr.r").as("tok_right"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 10)
+        .orderBy("lang", "rank")
+    }))
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
@@ -258,6 +284,17 @@ object TextQueries {
            |SELECT doc_id, n_windows, n_distinct,
            |  CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_windows AS rep_ratio,
            |  (CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_windows) > 0.2 AS is_repetitive
-           |FROM w ORDER BY doc_id""".stripMargin)
+           |FROM w ORDER BY doc_id""".stripMargin,
+
+      "q99_bpe_pairs" ->
+        s"""WITH t AS (SELECT lang, $toksE AS toks FROM documents),
+           |p AS (SELECT lang, unnest(list_transform(range(1, len(toks)),
+           |    i -> {'l': toks[i], 'r': toks[i + 1]})) AS pr FROM t),
+           |c AS (SELECT lang, pr.l AS tok_left, pr.r AS tok_right, count(*) AS cnt
+           |  FROM p GROUP BY 1, 2, 3),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY cnt DESC, tok_left, tok_right) AS rank FROM c)
+           |SELECT lang, tok_left, tok_right, cnt, rank FROM r WHERE rank <= 10
+           |ORDER BY lang, rank""".stripMargin)
   }
 }

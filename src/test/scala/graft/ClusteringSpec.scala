@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KMeans
+
+/** Integer k-means invariants: exact quantization, true-argmin
+  * assignment, partition invariance (the determinism contract that
+  * makes the iterative DuckDB differential oracle possible), and the
+  * empty-cluster keep-previous rule. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("quantize is floor(x * 2^20) exactly") {
+    val df = vecs(0L -> Seq(0.5f, -0.5f, 0.0f, 1.0f / 3.0f))
+    val q = df.select(KMeans.quantize($"embedding")).head.getSeq[Long](0)
+    assert(q(0) == 524288L && q(1) == -524288L && q(2) == 0L)
+    // 1/3f widens to double exactly; floor of the scaled value
+    assert(q(3) == math.floor(1.0f / 3.0f.toDouble * 1048576L).toLong)
+  }
+
+  test("fit matches an independent driver-side Lloyd reimplementation exactly") {
+    // third implementation (after Spark and the DuckDB oracle): plain
+    // Scala k-means with the same quantization/seeding/floorDiv rules
+    // must reproduce (cluster, dist) for every row bit-for-bit.
+    val n = 40; val k = 3; val iters = 2
+    val rng = new scala.util.Random(7)
+    val data = (0 until n).map(i =>
+      i.toLong -> Seq.fill(8)(rng.nextFloat() * 2 - 1))
+    val fitted = KMeans.fit(vecs(data: _*), "vec_id", "embedding", k, iters)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val qv: Map[Long, Array[Long]] = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1048576L).toLong).toArray
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def argmin(v: Array[Long], cents: Array[Array[Long]]): (Int, Long) =
+      cents.zipWithIndex.map { case (c, i) => (d2(v, c), i) }.min match {
+        case (d, i) => (i, d)
+      }
+    var cents = data.map(_._1).sortBy(id => md5hex(s"km:$id")).take(k)
+      .map(qv(_).clone()).toArray
+    for (_ <- 1 to iters) {
+      val asg = qv.view.mapValues(v => argmin(v, cents)._1).toMap
+      val next = cents.map(_.clone())
+      for (cid <- 0 until k) {
+        val members = qv.keys.filter(asg(_) == cid).toSeq
+        if (members.nonEmpty)
+          next(cid) = (0 until 8).map(dd => Math.floorDiv(
+            members.map(qv(_)(dd)).sum, members.size.toLong)).toArray
+      }
+      cents = next
+    }
+    val expected = qv.map { case (id, v) =>
+      id -> { val (c, d) = argmin(v, cents); (c, d) } }
+    assert(fitted == expected)
+  }
+
+  test("fit is invariant to input partitioning and repeated runs") {
+    val rng = new scala.util.Random(11)
+    val df = vecs((0 until 60).map(i =>
+      i.toLong -> Seq.fill(8)(rng.nextFloat())): _*)
+    val a = KMeans.fit(df, "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    val b = KMeans.fit(df.repartition(13), "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    val c = KMeans.fit(df.repartition(1), "vec_id", "embedding", k = 4, iters = 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b && a == c)
+  }
+
+  test("an emptied cluster keeps its previous centroid instead of dying") {
+    // k = n with a duplicated vector: the duplicate's cluster drains to
+    // the smaller cid at the first assignment and must survive as a
+    // valid (previous) centroid — the run stays total and deterministic.
+    val df = vecs(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 0.0f), // identical pair
+      2L -> Seq(0.0f, 1.0f), 3L -> Seq(-1.0f, 0.0f))
+    val fitted = KMeans.fit(df, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fitted.length == 4)
+    // the identical pair lands together with dist 0 to their centroid
+    val m = fitted.map(f => f._1 -> f).toMap
+    assert(m(0L)._2 == m(1L)._2 && m(0L)._3 == m(1L)._3)
+    // distinct vectors with their own surviving centroids: exact 0 dist
+    assert(fitted.count(_._3 == 0L) == 4)
+  }
+
+  test("cluster sizes in q98 sum to the corpus and match the assignment") {
+    val out = graft.queries.ClusteringQueries.queries("q98_kmeans")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    val n = rows.length
+    assert(n > 0)
+    val sizes = rows.groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length }
+    rows.foreach { r =>
+      assert(r.getLong(3) == sizes(r.getLong(1)).toLong,
+        s"n_members mismatch for cluster ${r.getLong(1)}")
+    }
+    assert(sizes.values.sum == n)
+  }
+}

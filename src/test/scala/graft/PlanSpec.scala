@@ -147,6 +147,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q98: k-means assignment is a literal-centroid projection; size join broadcasts") {
+    // centroids must be embedded as literals (no join, no shuffle in
+    // the assignment scan) and the k-row size attach must broadcast —
+    // a shuffled size join or a cartesian would not survive 100×.
+    val p = plan("q98_kmeans")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "size attach shuffled instead of broadcast")
+    assert(p.contains("array_min"), "assignment argmin not inlined as an expression")
+  }
+
   test("q76: stratified sample runs through TopKPerKeyExec, not Window") {
     val p = plan("q76_stratified_sample")
     assert(p.contains("TopKPerKey"))

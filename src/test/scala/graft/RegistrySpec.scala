@@ -16,7 +16,8 @@ class RegistrySpec extends AnyFunSuite {
     "similarity" -> SimilarityQueries.queries.keySet,
     "multimodal" -> MultimodalQueries.queries.keySet,
     "sampling" -> SamplingQueries.queries.keySet,
-    "corpus" -> CorpusQueries.queries.keySet)
+    "corpus" -> CorpusQueries.queries.keySet,
+    "clustering" -> ClusteringQueries.queries.keySet)
 
   test("no query-name collisions across modules") {
     val total = modules.map(_._2.size).sum
