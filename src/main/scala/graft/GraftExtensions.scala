@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, ShinglesExpr, SimHashExpr}
+import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -65,6 +65,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(arr1, arr2) takes two arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nearest"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "graft_nearest"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_nearest(vec, centroids) takes two arguments")
+        NearestCentroid(children.head, children(1))
       }))
     // aggregate: the analyzer wraps a bare AggregateFunction in its
     // AggregateExpression when it appears in an aggregation context

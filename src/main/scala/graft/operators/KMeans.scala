@@ -62,19 +62,17 @@ object KMeans {
       s"list_transform(range(1, $dim + 1), i -> ($aE[i] - $bE[i]) * ($aE[i] - $bE[i]))), " +
       "(acc, x) -> acc + x)"
 
-  /** Centroid array as a literal column: array<struct<cid:int, cv:array<long>>>. */
-  private def centLit(cents: Array[Array[Long]]): Column =
-    array(cents.zipWithIndex.map { case (v, i) =>
-      struct(lit(i).as("cid"), typedLit(v.toSeq).as("cv"))
-    }: _*)
-
-  /** Adds `cluster` (int, argmin centroid; ties → smaller cid via the
-    * lexicographic struct ordering of array_min) and `dist` (int64) to
-    * a frame with a quantized `qv` column. Pure per-row expressions
-    * over the centroid literal — no shuffle. */
+  /** Adds `cluster` (int, argmin centroid index; ties → smaller index)
+    * and `dist` (int64) to a frame with a quantized `qv` column, via
+    * the codegen'd [[graft.functions.NearestCentroid]] kernel with the
+    * centroid table embedded as a literal — a pure per-row projection,
+    * no join, no shuffle. (The composable `array_min(transform(...))`
+    * form is semantically identical but interpreted: three nested
+    * higher-order functions, k·dim lambda dispatches per row.) */
   private def assign(q: DataFrame, cents: Array[Array[Long]]): DataFrame =
-    q.withColumn("best", array_min(transform(centLit(cents),
-        ct => struct(sqDist(col("qv"), ct("cv")).as("d"), ct("cid").as("c")))))
+    q.withColumn("best",
+        call_function("graft_nearest", col("qv"),
+          typedLit(cents.map(_.toSeq).toSeq)))
       .withColumn("cluster", col("best.c"))
       .withColumn("dist", col("best.d"))
       .drop("best")
@@ -86,6 +84,11 @@ object KMeans {
   def fit(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val q = df.select(col(idCol), quantize(col(embCol)).as("qv"))
+    // The MLlib iteration shape: the quantized frame is persisted for
+    // the seed + per-iteration actions (at 100 TB each iteration reads
+    // the cache, not the source scan), and unpersisted before the
+    // final single-pass assignment, which recomputes from source.
+    q.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Seeds: the k rows with smallest (md5("km:"||id), id) — a
     // TakeOrderedAndProject at any scale. Driver-side re-sort on the
@@ -116,6 +119,7 @@ object KMeans {
       }
       cents = next
     }
+    q.unpersist(blocking = false)
     assign(q, cents).select(col(idCol), col("cluster"), col("dist"))
   }
 }

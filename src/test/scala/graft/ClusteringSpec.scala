@@ -13,6 +13,37 @@ class ClusteringSpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "embedding")
 
+  test("graft_nearest matches the interpreted HOF argmin and breaks ties to the smaller index") {
+    val rng = new scala.util.Random(3)
+    val df = (0 until 50).map(i =>
+        (i.toLong, Seq.fill(6)(rng.nextLong() % 1000)))
+      .toDF("id", "qv")
+    val cents = Array.fill(4)(Array.fill(6)(rng.nextLong() % 1000))
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val kernel = df.select($"id", call_function("graft_nearest", $"qv", centsLit).as("b"))
+      .select($"id", $"b.d", $"b.c").orderBy("id").collect().toSeq
+    val hof = df.select($"id", array_min(transform(
+        array(cents.zipWithIndex.map { case (v, i) =>
+          struct(typedLit(v.toSeq).as("cv"), lit(i).as("cid")) }: _*),
+        ct => struct(
+          aggregate(zip_with($"qv", ct("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          ct("cid").as("c")))).as("b"))
+      .select($"id", $"b.d", $"b.c").orderBy("id").collect().toSeq
+    assert(kernel == hof)
+    // tie-break: equidistant centroids resolve to the smaller index
+    val tie = Seq((0L, Seq(0L, 0L))).toDF("id", "qv")
+      .select(call_function("graft_nearest", $"qv",
+        typedLit(Seq(Seq(3L, 4L), Seq(4L, 3L), Seq(0L, 5L)))).as("b"))
+      .select($"b.d", $"b.c").head
+    assert(tie.getLong(0) == 25L && tie.getInt(1) == 0)
+    // null vector → null; empty centroid table → null
+    val nulls = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("qv")
+      .select(call_function("graft_nearest", $"qv",
+        typedLit(Seq(Seq(1L)))).as("b")).head
+    assert(nulls.isNullAt(0))
+  }
+
   test("quantize is floor(x * 2^20) exactly") {
     val df = vecs(0L -> Seq(0.5f, -0.5f, 0.0f, 1.0f / 3.0f))
     val q = df.select(KMeans.quantize($"embedding")).head.getSeq[Long](0)

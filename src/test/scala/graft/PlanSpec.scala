@@ -155,7 +155,7 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortMergeJoin"), "size attach shuffled instead of broadcast")
-    assert(p.contains("array_min"), "assignment argmin not inlined as an expression")
+    assert(p.contains("graft_nearest"), "assignment not on the codegen'd argmin kernel")
   }
 
   test("q76: stratified sample runs through TopKPerKeyExec, not Window") {
