@@ -123,6 +123,23 @@ class ClusteringSpec extends SparkSpec {
     assert(fitted.count(_._3 == 0L) == 4)
   }
 
+  test("q100 respects per-cluster budgets that sum to at most the total") {
+    val out = graft.queries.ClusteringQueries.queries("q100_cluster_sample")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per cluster: exactly min(budget, n_members) rows, ranks 1..that
+    rows.groupBy(_.getLong(0)).foreach { case (c, rs) =>
+      val budget = rs.head.getLong(3)
+      val n = rs.head.getLong(2)
+      assert(rs.length == math.min(budget, n).toInt, s"cluster $c row count")
+      assert(rs.map(_.getInt(4).toLong).sorted.toSeq == (1L to rs.length.toLong))
+    }
+    // floor allocation never overshoots the total
+    val budgetSum = rows.groupBy(_.getLong(0)).values.map(_.head.getLong(3)).sum
+    assert(budgetSum <= 60L)
+  }
+
   test("cluster sizes in q98 sum to the corpus and match the assignment") {
     val out = graft.queries.ClusteringQueries.queries("q98_kmeans")(
       spark, "/root/testdata/sf0.001")

@@ -147,6 +147,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q100: cluster sampling streams through TopKPerKeyExec with broadcast budgets") {
+    val p = plan("q100_cluster_sample")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q98: k-means assignment is a literal-centroid projection; size join broadcasts") {
     // centroids must be embedded as literals (no join, no shuffle in
     // the assignment scan) and the k-row size attach must broadcast —
