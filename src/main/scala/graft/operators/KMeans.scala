@@ -45,7 +45,8 @@ object KMeans {
   val Scale = 1048576L
 
   def quantize(emb: Column): Column =
-    transform(emb, x => floor(x.cast("double") * lit(Scale)).cast("long"))
+    org.apache.spark.sql.functions.transform(emb,
+      x => floor(x.cast("double") * lit(Scale)).cast("long"))
 
   def quantizeSql(e: String): String =
     s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
@@ -77,11 +78,26 @@ object KMeans {
       .withColumn("dist", col("best.d"))
       .drop("best")
 
+  /** [[fitCentroids]] + [[transform]]: (idCol, cluster, dist) for
+    * every input row under the final centroids. */
+  def fit(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): DataFrame =
+    transform(df, idCol, embCol, fitCentroids(df, idCol, embCol, k, iters))
+
+  /** Classifies rows against a fitted centroid table — a stateless
+    * per-row projection through the codegen'd kernel (model embedded
+    * as a literal: no join, no shuffle, no state), equally valid on a
+    * static frame or a streaming micro-batch. */
+  def transform(df: DataFrame, idCol: String, embCol: String,
+                cents: Array[Array[Long]]): DataFrame =
+    assign(df.select(col(idCol), quantize(col(embCol)).as("qv")), cents)
+      .select(col(idCol), col("cluster"), col("dist"))
+
   /** Runs `iters` Lloyd iterations from content-addressed seeds and
-    * returns (idCol, cluster, dist) for every input row under the
-    * final centroids. Empty clusters keep their previous centroid
-    * (mirrored by the oracle's LEFT JOIN + coalesce). */
-  def fit(df: DataFrame, idCol: String, embCol: String, k: Int, iters: Int): DataFrame = {
+    * returns the final k×dim centroid table (row index = cluster id).
+    * Empty clusters keep their previous centroid (mirrored by the
+    * oracle's LEFT JOIN + coalesce). */
+  def fitCentroids(df: DataFrame, idCol: String, embCol: String,
+                   k: Int, iters: Int): Array[Array[Long]] = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
     val q = df.select(col(idCol), quantize(col(embCol)).as("qv"))
     // The MLlib iteration shape: the quantized frame is persisted for
@@ -120,6 +136,6 @@ object KMeans {
       cents = next
     }
     q.unpersist(blocking = false)
-    assign(q, cents).select(col(idCol), col("cluster"), col("dist"))
+    cents
   }
 }

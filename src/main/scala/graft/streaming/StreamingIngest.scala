@@ -221,6 +221,19 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming k-means inference — classify `(vec_id, embedding)`
+    * rows against a FITTED centroid table
+    * ([[graft.operators.KMeans.fitCentroids]], the train-on-history /
+    * classify-the-stream deployment shape): a STATELESS per-row
+    * projection through the codegen'd `graft_nearest` kernel with the
+    * model embedded as a literal — no state store, no join, no
+    * shuffle, so per-trigger cost is exactly the batch scan at any
+    * corpus scale, and the exact-integer contract makes streamed
+    * assignments bit-identical to a batch re-run. */
+  def classifyVectors(stream: DataFrame,
+                      cents: Array[Array[Long]]): DataFrame =
+    graft.operators.KMeans.transform(stream, "vec_id", "embedding", cents)
+
   def admitNovelEmbeddings(stream: DataFrame, history: DataFrame,
                            targetPath: String, checkpoint: String,
                            minCosine: Double = 0.4): StreamingQuery = {

@@ -54,6 +54,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("classifyVectors streams assignments bit-identical to a batch re-run") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rng = new scala.util.Random(19)
+    val history = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val cents = graft.operators.KMeans.fitCentroids(
+      history, "vec_id", "embedding", k = 3, iters = 2)
+    val fresh = (100 until 120).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextFloat() * 2 - 1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingIngest.classifyVectors(
+        input.toDF().toDF("vec_id", "embedding"), cents)
+      .writeStream.format("memory").queryName("cls").outputMode("append").start()
+    try {
+      input.addData(fresh.take(10): _*)
+      q.processAllAvailable()
+      input.addData(fresh.drop(10): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cls")
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      val batch = graft.operators.KMeans.transform(
+          fresh.toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+        .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == fresh.map(_._1).sorted)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
