@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr}
+import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MergePairExpr, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -76,6 +76,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // aggregate: the analyzer wraps a bare AggregateFunction in its
     // AggregateExpression when it appears in an aggregation context
+    ext.injectFunction((
+      new FunctionIdentifier("graft_merge_pair"),
+      new ExpressionInfo(classOf[MergePairExpr].getName, "graft_merge_pair"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_merge_pair(toks, l, r) takes three arguments")
+        MergePairExpr(children.head, children(1), children(2))
+      }))
     ext.injectFunction(unary("graft_approx_distinct", c => HllSketchAgg(c)))
     ext.injectFunction(unary("graft_minhash", MinHashSignatureExpr))
     ext.injectFunction(unary("graft_simhash", SimHashExpr))

@@ -16,6 +16,56 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** q101's oracle: [[graft.operators.Bpe.Steps]] unrolled training
+    * rounds. Round i reads seq`i`, counts pairs (c`i`), picks the
+    * winner (m`i`), and — except after the last round — rebuilds
+    * seq`i+1` by exploding to positions (pos`i`), locating matches
+    * (mt`i`), keeping the odd row-number of each consecutive-match
+    * island (tk`i` — the greedy-scan equivalence), and re-assembling
+    * with merged tokens in place and right-halves dropped. */
+  private def bpeTrainSql(toksE: String): String = {
+    val steps = graft.operators.Bpe.Steps
+    val blocks = (0 until steps).map { i =>
+      val count =
+        s"""c$i AS (SELECT pr.l AS l, pr.r AS r, count(*) AS cnt FROM (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |    j -> {'l': toks[j], 'r': toks[j + 1]})) AS pr FROM seq$i)
+           |  GROUP BY 1, 2),
+           |m$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1)"""
+          .stripMargin
+      val merge = if (i == steps - 1) "" else
+        s""",
+           |pos$i AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+           |  unnest(toks) AS t FROM seq$i),
+           |mt$i AS (SELECT a.doc_id, a.p FROM pos$i a
+           |  JOIN pos$i b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+           |  JOIN m$i m ON a.t = m.l AND b.t = m.r),
+           |tk$i AS (SELECT doc_id, p FROM (
+           |  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id, g ORDER BY p) AS rn
+           |  FROM (SELECT doc_id, p,
+           |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g FROM mt$i))
+           |  WHERE rn % 2 = 1),
+           |seq${i + 1} AS (SELECT doc_id, list(tok ORDER BY p) AS toks FROM (
+           |  SELECT pos.doc_id, pos.p,
+           |    CASE WHEN tk.p IS NOT NULL THEN (SELECT l || r FROM m$i)
+           |         WHEN tp.p IS NOT NULL THEN NULL
+           |         ELSE pos.t END AS tok
+           |  FROM pos$i pos
+           |  LEFT JOIN tk$i tk ON tk.doc_id = pos.doc_id AND tk.p = pos.p
+           |  LEFT JOIN tk$i tp ON tp.doc_id = pos.doc_id AND tp.p = pos.p - 1)
+           |  WHERE tok IS NOT NULL GROUP BY doc_id)""".stripMargin
+      count + merge
+    }
+    val union = (0 until steps).map(i =>
+      s"SELECT ${i + 1} AS step, l AS tok_left, r AS tok_right, cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH seq0 AS (SELECT doc_id, $toksE AS toks FROM documents),
+       |${blocks.mkString(",\n")}
+       |SELECT step, tok_left, tok_right, cnt FROM (
+       |$union
+       |) ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q40_lang_id" -> ((s, dir) =>
@@ -188,6 +238,25 @@ object TextQueries {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 10)
         .orderBy("lang", "rank")
+    }),
+
+    // Distributed BPE merge TRAINING — the iterative continuation of
+    // q99: Steps rounds of (count pairs → take the global top pair →
+    // greedily re-tokenize every document through the codegen'd
+    // graft_merge_pair kernel). Differentially verifiable despite
+    // being iterative because every quantity is an exact integer or
+    // exact string and the winner order (cnt DESC, l, r) is total —
+    // the oracle unrolls the same rounds as CTEs (q98-style) with the
+    // greedy scan expressed relationally via run-parity. Scale shape
+    // in graft.operators.Bpe's scaladoc: corpus cached once, one
+    // vocabulary-bounded pair-count shuffle per round, merge
+    // application a stateless narrow map.
+    "q101_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bpe.learn(docs(s, dir))
+        .map(m => (m.step, m.tokLeft, m.tokRight, m.cnt))
+        .toDF("step", "tok_left", "tok_right", "cnt")
+        .orderBy("step")
     }))
 
   val oracleSql: Map[String, String] = {
@@ -285,6 +354,15 @@ object TextQueries {
            |  CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_windows AS rep_ratio,
            |  (CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_windows) > 0.2 AS is_repetitive
            |FROM w ORDER BY doc_id""".stripMargin,
+
+      // q101: the BPE training loop unrolled, one CTE block per round
+      // (the q98 technique for iterative algorithms). The greedy
+      // left-to-right merge is expressed WITHOUT a recursive CTE via
+      // the run-parity equivalence proven in BpeKernels' scaladoc:
+      // matches overlap only in runs of a self-pair (l = r), and the
+      // greedy scan takes exactly the odd row-numbers of each maximal
+      // consecutive-match island.
+      "q101_bpe_train" -> bpeTrainSql(toksE),
 
       "q99_bpe_pairs" ->
         s"""WITH t AS (SELECT lang, $toksE AS toks FROM documents),
