@@ -234,6 +234,83 @@ object StreamingIngest {
                       cents: Array[Array[Long]]): DataFrame =
     graft.operators.KMeans.transform(stream, "vec_id", "embedding", cents)
 
+  /** Streaming heavy hitters — q94's Count-Min sketch maintained
+    * ACROSS micro-batches (the sketch analog of the Bloom admission
+    * sink above): per trigger, the batch's token CMS is built
+    * distributed (ObjectHashAggregate — only the constant d×w grid
+    * moves per map partition, the token stream never shuffles for the
+    * sketch), element-wise-summed into a driver-held global grid, and
+    * a bounded candidate pool (the CMS+heap pattern) is re-estimated
+    * against the updated grid. Per-trigger driver work is
+    * O(d·w + pool), independent of batch size — the 100 TB shape.
+    *
+    * Candidate-pool semantics: only the batch's top `pool` tokens by
+    * batch count can update the heap this trigger; an evicted or
+    * missed token re-enters with its FULL global estimate the next
+    * time it is frequent within a batch (the grid never forgets), so a
+    * sustained heavy hitter cannot stay hidden — the standard
+    * sketch-plus-heap guarantee, with the estimate's one-sided
+    * `est >= exact` bound inherited from the CMS. */
+  final class HeavyHitterTracker(k: Int,
+      d: Int = graft.functions.Cms.DefaultDepth,
+      w: Int = graft.functions.Cms.DefaultWidth,
+      val pool: Int = 256) {
+    import org.apache.spark.unsafe.types.UTF8String
+    private val grid = new Array[Long](d * w)
+    private val heap = scala.collection.mutable.Map.empty[String, Long]
+
+    private def estimate(t: String): Long = {
+      val s = UTF8String.fromString(t)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < d) {
+        m = math.min(m, grid(j * w + graft.functions.Bloom.position(j, s, w)))
+        j += 1
+      }
+      m
+    }
+
+    private[streaming] def update(batchSketch: Array[Byte],
+                                  batchTokens: Iterable[String]): Unit = synchronized {
+      val delta = graft.functions.Cms.deserialize(batchSketch)
+      var i = 0
+      while (i < grid.length) { grid(i) += delta(i); i += 1 }
+      batchTokens.foreach(t => heap(t) = estimate(t))
+      if (heap.size > k) {
+        val keep = heap.toSeq.sortBy { case (t, e) => (-e, t) }.take(k)
+        heap.clear(); heap ++= keep
+      }
+    }
+
+    /** Current top-k by (estimate DESC, token ASC). */
+    def top: Seq[(String, Long)] = synchronized {
+      heap.toSeq.sortBy { case (t, e) => (-e, t) }.take(k)
+    }
+  }
+
+  /** Tracks the top-`k` tokens of `stream(textCol)` across triggers;
+    * read the live answer from the returned tracker's `top`. */
+  def trackHeavyHitters(stream: DataFrame, textCol: String, k: Int,
+                        checkpoint: String,
+                        tracker: HeavyHitterTracker): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = batch
+          .select(explode(graft.functions.TextAnalysis.tokens(col(textCol))).as("t"))
+          .persist()
+        val sketch = toks.agg(call_function("graft_cms", col("t")))
+          .head.getAs[Array[Byte]](0)
+        val candidates = toks.groupBy("t").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("t").asc).limit(tracker.pool)
+          .select("t").collect().map(_.getString(0))
+        toks.unpersist(blocking = false)
+        tracker.update(sketch, candidates)
+      }
+      .start()
+
   def admitNovelEmbeddings(stream: DataFrame, history: DataFrame,
                            targetPath: String, checkpoint: String,
                            minCosine: Double = 0.4): StreamingQuery = {

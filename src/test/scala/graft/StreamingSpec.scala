@@ -83,6 +83,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy-hitter tracker folds the CMS across triggers and matches exact counts") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rng = new scala.util.Random(94)
+    val vocab = ('a' to 'z').map(_.toString)
+    // skewed draws so there IS a stable top-5
+    def draw(): String = vocab(math.min(rng.nextInt(vocab.size), rng.nextInt(vocab.size)))
+    val batches = Seq.fill(3)(Seq.fill(40)(Seq.fill(12)(draw()).mkString(" ")))
+    val tracker = new StreamingIngest.HeavyHitterTracker(k = 5)
+    val input = MemoryStream[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("hh_ckpt").toString
+    // one AvailableNow run per batch against the same checkpoint: each
+    // restart drains only the new data, so the tracker also proves
+    // restart-safety of the driver-held grid
+    batches.foreach { b =>
+      input.addData(b: _*)
+      val q = StreamingIngest.trackHeavyHitters(
+        input.toDF().toDF("text"), "text", 5, ckpt, tracker)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    val exact = batches.flatten.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = exact.sortBy { case (t, n) => (-n, t) }.take(5)
+    // 26 tokens in a 4x2048 grid: no collisions, so the one-sided CMS
+    // estimate is exact and the streamed top-k IS the true top-k
+    assert(tracker.top == expected)
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
