@@ -364,6 +364,47 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Mergeable fixed-bin histogram quantiles — the constant-state
+    // quantile-sketch shape (the deterministic stand-in for
+    // t-digest/KLL, whose float centroids / compaction order would
+    // break differential verification): one pass bins values into
+    // B=128 integer buckets per group (a (group, bin)-bounded
+    // map-side-combinable count, independent of row count), a window
+    // over the ≤B aggregated bins finds where the cumulative count
+    // crosses p% (exact integer cross-multiplication, the q96 cut),
+    // and the reported estimate is the bin's upper edge with error
+    // bounded by the bin width. Values quantize as floor(price*100)
+    // cents — IEEE-exact on both engines (the q98 pattern) — and the
+    // domain [lo, hi] comes from an exact integer min/max broadcast
+    // into the scan, so every number is engine-independent.
+    "q102_quantile_hist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 128
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      val stats = li.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+      val g = li.crossJoin(broadcast(stats))
+        .withColumn("bin", expr(s"((c - lo) * $B) div (hi - lo + 1)"))
+        .groupBy(col("l_returnflag"), col("bin"))
+        .agg(count(lit(1)).as("n"), min("lo").as("lo"), min("hi").as("hi"))
+      val cu = g
+        .withColumn("cum",
+          sum("n").over(Window.partitionBy("l_returnflag").orderBy("bin")))
+        .withColumn("total",
+          sum("n").over(Window.partitionBy("l_returnflag")))
+      def bq(p: Int) =
+        min(when(col("cum") * 100 >= col("total") * p, col("bin")))
+      def edge(b: String) =
+        col("lo") + expr(s"(($b + 1) * (hi - lo + 1)) div $B") - 1
+      cu.groupBy("l_returnflag")
+        .agg(max("total").as("n_rows"), min("lo").as("lo"), min("hi").as("hi"),
+          bq(50).as("b50"), bq(90).as("b90"), bq(99).as("b99"))
+        .select(col("l_returnflag"), col("n_rows"),
+          edge("b50").as("p50_cents"), edge("b90").as("p90_cents"),
+          edge("b99").as("p99_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // Same semantics as q23 but through the custom TopKPerKey logical/
     // physical operator (graft.plans) instead of window+filter — the
     // oracle equivalence proves the custom operator end-to-end.
@@ -911,6 +952,28 @@ object RelationalQueries {
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.pts
         |ORDER BY c.event_id""".stripMargin,
+
+    // q102: `//` is DuckDB's integer floor division (Spark `div`);
+    // both sides are non-negative so the two agree exactly, and the
+    // BIGINT casts keep DuckDB's window sums out of HUGEINT.
+    "q102_quantile_hist" ->
+      """WITH c AS (SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+        |s AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+        |b AS (SELECT l_returnflag, ((c - lo) * 128) // (hi - lo + 1) AS bin FROM c, s),
+        |g AS (SELECT l_returnflag, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        |cu AS (SELECT l_returnflag, bin, n,
+        |  CAST(sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+        |  CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total FROM g),
+        |q AS (SELECT l_returnflag, max(total) AS n_rows,
+        |  min(CASE WHEN cum * 100 >= total * 50 THEN bin END) AS b50,
+        |  min(CASE WHEN cum * 100 >= total * 90 THEN bin END) AS b90,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN bin END) AS b99
+        |  FROM cu GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  lo + ((b50 + 1) * (hi - lo + 1)) // 128 - 1 AS p50_cents,
+        |  lo + ((b90 + 1) * (hi - lo + 1)) // 128 - 1 AS p90_cents,
+        |  lo + ((b99 + 1) * (hi - lo + 1)) // 128 - 1 AS p99_cents
+        |FROM q, s ORDER BY l_returnflag""".stripMargin,
 
     "q49_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

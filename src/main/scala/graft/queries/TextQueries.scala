@@ -257,6 +257,24 @@ object TextQueries {
         .map(m => (m.step, m.tokLeft, m.tokRight, m.cnt))
         .toDF("step", "tok_left", "tok_right", "cnt")
         .orderBy("step")
+    }),
+
+    // Capped inverted index — token → the 8 highest-tf postings
+    // (tf DESC, doc_id ASC), the lookup structure behind
+    // decontamination / retrieval probes over a training corpus. One
+    // map-side-combinable (token, doc_id) count, then the custom
+    // TopKPerKey operator (partial per-partition heaps, only ≤k rows
+    // per key reach the shuffle) caps every posting list — at 100 TB
+    // the cap is what keeps stopword postings from materializing a
+    // corpus-sized list under one key.
+    "q103_inverted_index" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      graft.operators.TopK.perKey(tf, Seq("token"),
+          Seq("tf" -> false, "doc_id" -> true), k = 8)
+        .select("token", "doc_id", "tf", "rank")
+        .orderBy("token", "rank")
     }))
 
   val oracleSql: Map[String, String] = {
@@ -363,6 +381,15 @@ object TextQueries {
       // greedy scan takes exactly the odd row-numbers of each maximal
       // consecutive-match island.
       "q101_bpe_train" -> bpeTrainSql(toksE),
+
+      "q103_inverted_index" ->
+        s"""WITH tok AS (SELECT doc_id, unnest($toksE) AS token FROM documents),
+           |tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |r AS (SELECT token, doc_id, tf,
+           |  row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id ASC) AS rank
+           |  FROM tf)
+           |SELECT token, doc_id, tf, rank FROM r WHERE rank <= 8
+           |ORDER BY token, rank""".stripMargin,
 
       "q99_bpe_pairs" ->
         s"""WITH t AS (SELECT lang, $toksE AS toks FROM documents),

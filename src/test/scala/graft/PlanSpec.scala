@@ -154,6 +154,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q102: histogram quantiles broadcast the 1-row domain; no cartesian in the agg path") {
+    // the integer [lo, hi] domain must reach the binning scan as a
+    // broadcast (BroadcastNestedLoopJoin over one row), and the only
+    // shuffles are the (group, bin)-bounded count and the ≤B-row
+    // window — a shuffled or cartesian domain attach would not scale
+    val p = plan("q102_quantile_hist")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q103: inverted-index posting cap runs through TopKPerKeyExec, not Window") {
+    val p = SparkEntry.queries("q103_inverted_index")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+    // the presentation orderBy sorts, but no Window materializes
+    // full per-token posting lists
+    assert(!p.contains("Window"), p)
+  }
+
   test("q98: k-means assignment is a literal-centroid projection; size join broadcasts") {
     // centroids must be embedded as literals (no join, no shuffle in
     // the assignment scan) and the k-row size attach must broadcast —
