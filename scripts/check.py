@@ -33,6 +33,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
+    # allow larger-than-memory oracle plans (the sf1 unrolled-iteration
+    # oracles) to spill instead of dying on an allocation failure; the
+    # comparison itself is unchanged
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
