@@ -28,6 +28,13 @@ object DedupQueries {
     * bucket-generation cost for a geometric recall lift on the tail. */
   val NumTables = 3
 
+  /** q104's rare-token blocking cut: only tokens with distinct-text
+    * df ≤ this generate candidate pairs (the AllPairs prefix-filter
+    * analog — a frequent token contributes df² candidates and almost
+    * no cosine signal). Bounds candidate volume at DfCap²/2 per
+    * token at ANY corpus size. */
+  val SparseDfCap = 50
+
   private def proxyTitles(s: SparkSession, dir: String): DataFrame =
     PostsProxy.df(s, dir).where(col("title") =!= "")
       .select(col("doc_id"), col("title"))
@@ -403,7 +410,26 @@ object DedupQueries {
         |  CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE) / count(*)
         |    AS shared_ratio
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)
-    }))
+    }),
+
+    // Sparse cosine similarity join over integer term-frequency
+    // vectors — the AllPairs blocking shape made exactly verifiable:
+    // candidates must share a RARE token (df ≤ DfCap, the prefix-
+    // filter analog; frequent tokens generate quadratic candidates
+    // and almost no signal), then the TRUE cosine over ALL shared
+    // tokens is verified with pure int64 arithmetic — cos ≥ 1/2 ⟺
+    // 4·dot² ≥ ‖a‖²·‖b‖² (cross-multiplied, no sqrt, no float, so
+    // the DuckDB twin must agree bit-for-bit). Runs at the DISTINCT-
+    // text representative level (md5 groupBy, min doc_id rep — the
+    // q51 trick): exact duplicates collapse BEFORE pair generation,
+    // so replicated corpora cost nothing quadratic, and `n_pairs`
+    // reports the implied doc-pair multiplicity without materializing
+    // it. Scale: tf/df/candidate joins are all token- or rep-equi
+    // (no cartesian); candidate volume is bounded by df-cap² per
+    // token; the verify join is linear in candidates × overlap.
+    "q104_sparse_cosine_join" -> ((s, dir) =>
+      Similarity.sparseCosineJoin(
+        Tables.load(s, dir, "documents"), SparseDfCap)))
 
   /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle.
     *
@@ -595,6 +621,32 @@ object DedupQueries {
 
       "q92_incremental_embedding_dedup_multitable" ->
         Similarity.multiTableIncrementalDedupDuckSql(0.4, NumTables, 250),
+
+      // q104: same rep-level chain; BIGINT casts keep DuckDB's integer
+      // sums out of HUGEINT (the driver hashes it differently)
+      "q104_sparse_cosine_join" ->
+        s"""WITH reps AS (SELECT min(doc_id) AS rep, count(*) AS n_docs
+           |  FROM documents GROUP BY md5(text)),
+           |rd AS (SELECT r.rep, r.n_docs, d.text FROM reps r
+           |  JOIN documents d ON d.doc_id = r.rep),
+           |tok AS (SELECT rep, n_docs, unnest(${TextAnalysis.tokensSql("text")}) AS token FROM rd),
+           |tf AS (SELECT rep, n_docs, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+           |dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+           |rp AS (SELECT tf.rep, tf.token FROM tf
+           |  JOIN dfc ON dfc.token = tf.token WHERE dfc.df <= $SparseDfCap),
+           |cand AS (SELECT DISTINCT a.rep AS ra, b.rep AS rb
+           |  FROM rp a JOIN rp b ON a.token = b.token AND a.rep < b.rep),
+           |dp AS (SELECT ra, rb, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
+           |  FROM cand JOIN tf ta ON ta.rep = cand.ra
+           |  JOIN tf tb ON tb.rep = cand.rb AND tb.token = ta.token
+           |  GROUP BY ra, rb),
+           |n AS (SELECT rep, CAST(sum(tf * tf) AS BIGINT) AS n2,
+           |  max(n_docs) AS n_docs FROM tf GROUP BY rep)
+           |SELECT ra AS rep_a, rb AS rep_b, dot, na.n2 AS na2, nb.n2 AS nb2,
+           |  na.n_docs * nb.n_docs AS n_pairs
+           |FROM dp JOIN n na ON na.rep = dp.ra JOIN n nb ON nb.rep = dp.rb
+           |WHERE 4 * dot * dot >= na.n2 * nb.n2
+           |ORDER BY rep_a, rep_b""".stripMargin,
 
       "q93_dup_passages" ->
         s"""WITH t AS (SELECT doc_id,

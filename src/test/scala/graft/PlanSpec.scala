@@ -173,6 +173,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q104: sparse cosine join is equi-join everywhere — no cartesian, no nested-loop") {
+    // candidate generation must be the rare-token equi-self-join and
+    // the verify step (rep, token)-equi — any cartesian/BNLJ here is
+    // the O(n²) plan the blocking exists to avoid
+    val p = plan("q104_sparse_cosine_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q98: k-means assignment is a literal-centroid projection; size join broadcasts") {
     // centroids must be embedded as literals (no join, no shuffle in
     // the assignment scan) and the k-row size attach must broadcast —

@@ -176,4 +176,51 @@ class PropertySpec extends SparkSpec {
       assert(single.subsetOf(multi), "multi-table lost single-table pairs")
     }
   }
+
+  test("sparse cosine join: inclusive boundary, dup collapse, exact-threshold soundness") {
+    import graft.operators.Similarity
+    // boundary: ("x y") · ("x z") = 1, norms² = 2·2 → cos = 1/2 exactly
+    // → emitted (inclusive); ("x y") · ("x z w") → 4·1 < 2·3 → dropped
+    val docs = Seq(
+      (1L, "x y"), (2L, "x z"), (3L, "x z w"),
+      (10L, "p q r"), (11L, "p q r"), (12L, "p q r") // 3 exact copies
+    ).toDF("doc_id", "text")
+    val out = Similarity.sparseCosineJoin(docs, dfCap = 50)
+      .select("rep_a", "rep_b", "n_pairs").as[(Long, Long, Long)].collect().toSeq
+    assert(out.exists(r => r._1 == 1L && r._2 == 2L), "cos = 1/2 boundary pair dropped")
+    assert(!out.exists(r => Set(r._1, r._2) == Set(1L, 3L)), "sub-threshold pair emitted")
+    // the 3 copies collapse to rep 10 and pair with nothing (disjoint vocab)
+    assert(!out.exists(r => r._1 >= 10L), "exact duplicates produced self-pairs")
+
+    // property: every emitted pair clears the exact float64 cosine
+    // threshold, and every rare-token-sharing pair above it is found
+    val rng = new scala.util.Random(104)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val corpus = (0L until 60L).map(i =>
+      (i, Seq.fill(3 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size))).mkString(" ")))
+    val cdf = corpus.toDF("doc_id", "text")
+    val got = Similarity.sparseCosineJoin(cdf, dfCap = 50)
+      .select("rep_a", "rep_b").as[(Long, Long)].collect().toSet
+    def tf(t: String) = t.split(" ").groupBy(identity).view.mapValues(_.length).toMap
+    val vecs = corpus.map { case (i, t) => i -> tf(t) }.toMap
+    def cos(a: Map[String, Int], b: Map[String, Int]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq.map(k => a(k) * b(k)).sum
+      dot / math.sqrt(a.values.map(v => v * v).sum.toDouble * b.values.map(v => v * v).sum)
+    }
+    // reps: min doc_id per distinct text
+    val repOf = corpus.groupBy(_._2).values.map(g => g.map(_._1).min -> g.head._2).toMap
+    val repIds = repOf.keys.toSeq.sorted
+    // df at distinct-text level, mirroring the engine's blocking cut
+    val dfOf = repIds.flatMap(r => vecs(r).keySet).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    for (a <- repIds; b <- repIds if a < b) {
+      val (va, vb) = (vecs(a), vecs(b))
+      val expected = va.keySet.intersect(vb.keySet).exists(dfOf(_) <= 50) &&
+        cos(va, vb) >= 0.5
+      if (expected) assert(got.contains((a, b)), s"missed pair ($a,$b) cos=${cos(va, vb)}")
+    }
+    got.foreach { case (a, b) =>
+      assert(cos(vecs(a), vecs(b)) >= 0.5 - 1e-12, s"($a,$b) below threshold")
+    }
+  }
 }
