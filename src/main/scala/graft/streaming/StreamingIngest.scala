@@ -288,6 +288,67 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming histogram quantiles — q102's constant-state fixed-bin
+    * sketch maintained across micro-batches (completing the streaming
+    * sketch trio: Bloom admission, CMS heavy hitters, histogram
+    * quantiles). The batch's bin counts aggregate distributed (a
+    * ≤`bins`-row map-side-combinable groupBy — the value stream never
+    * reaches the driver), then element-wise-sum into a driver-held
+    * grid; a quantile read is a cumulative scan over the grid, error
+    * bounded by bin width. Unlike batch q102 the domain [lo, hi] must
+    * be FIXED up front (a stream has no final min/max pass);
+    * out-of-domain values clamp into the edge bins, which keeps ranks
+    * (and so quantiles inside the domain) correct. */
+  final class QuantileTracker(val lo: Long, val hi: Long, val bins: Int = 128) {
+    require(hi >= lo && bins > 0, "need hi >= lo and positive bins")
+    private val grid = new Array[Long](bins)
+
+    private[streaming] def update(batchBins: Seq[(Long, Long)]): Unit =
+      synchronized { batchBins.foreach { case (b, n) => grid(b.toInt) += n } }
+
+    def count: Long = synchronized(grid.sum)
+
+    /** Upper edge of the first bin where the cumulative count crosses
+      * `p`% (the q102 integer cut); None on an empty tracker. */
+    def quantile(p: Int): Option[Long] = synchronized {
+      val total = grid.sum
+      if (total == 0) None else {
+        var cum = 0L
+        var b = 0
+        while (b < bins) {
+          cum += grid(b)
+          if (cum * 100 >= total * p)
+            return Some(lo + ((b + 1) * (hi - lo + 1)) / bins - 1)
+          b += 1
+        }
+        Some(hi)
+      }
+    }
+  }
+
+  /** Folds `stream(valueCol)` (any numeric; quantized as
+    * floor(value·100) — q102's cents contract) into `tracker` across
+    * triggers. */
+  def trackQuantiles(stream: DataFrame, valueCol: String,
+                     checkpoint: String,
+                     tracker: QuantileTracker): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (lo, hi, b) = (tracker.lo, tracker.hi, tracker.bins)
+        val binned = batch
+          .select(floor(col(valueCol) * 100).cast("long").as("c"))
+          .where(col("c").isNotNull)
+          .select(least(lit(b - 1L), greatest(lit(0L),
+            expr(s"((c - $lo) * $b) div (${hi - lo + 1})"))).as("bin"))
+          .groupBy("bin").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        tracker.update(binned)
+      }
+      .start()
+
   /** Tracks the top-`k` tokens of `stream(textCol)` across triggers;
     * read the live answer from the returned tracker's `top`. */
   def trackHeavyHitters(stream: DataFrame, textCol: String, k: Int,

@@ -111,6 +111,41 @@ class StreamingSpec extends SparkSpec {
     assert(tracker.top == expected)
   }
 
+  test("quantile tracker folds histogram bins across triggers within bin-width error") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rng = new scala.util.Random(102)
+    val batches = Seq.fill(3)(Seq.fill(500)(rng.nextDouble() * 100))
+    val tracker = new StreamingIngest.QuantileTracker(lo = 0L, hi = 9999L)
+    val input = MemoryStream[Double]
+    val ckpt = java.nio.file.Files.createTempDirectory("qt_ckpt").toString
+    batches.foreach { b =>
+      input.addData(b: _*)
+      val q = StreamingIngest.trackQuantiles(
+        input.toDF().toDF("value"), "value", ckpt, tracker)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    val cents = batches.flatten.map(v => math.floor(v * 100).toLong).sorted
+    assert(tracker.count == cents.length)
+    // driver-side reimplementation of the same histogram: exact equality
+    def refQuantile(p: Int): Long = {
+      val bins = new Array[Long](128)
+      cents.foreach(c => bins(((c - 0L) * 128 / 10000L).toInt) += 1)
+      val (total, cum) = (bins.sum, bins.scanLeft(0L)(_ + _).drop(1))
+      val b = cum.indexWhere(_ * 100 >= total * p)
+      0L + ((b + 1L) * 10000L) / 128 - 1
+    }
+    // and the bin-width bound against the EXACT percentile
+    val binWidth = 10000L / 128 + 1
+    for (p <- Seq(50, 90, 99)) {
+      val est = tracker.quantile(p).get
+      assert(est == refQuantile(p), s"p$p histogram mismatch")
+      val exact = cents(math.min(cents.length - 1,
+        math.max(0, math.ceil(cents.length * p / 100.0).toInt - 1)))
+      assert(math.abs(est - exact) <= binWidth, s"p$p est=$est exact=$exact")
+    }
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
