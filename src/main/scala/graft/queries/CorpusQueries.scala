@@ -207,6 +207,50 @@ object CorpusQueries {
         .where(col("cum_tokens") - col("tokens") < 1500)
         .select("pred_lang", "doc_id", "tokens", "rank", "cum_tokens")
         .orderBy("pred_lang", "rank")
+    }),
+
+    // Cross-source contamination matrix — for every source pair, how
+    // much content leaks across: exact duplicate texts (shared md5)
+    // and shared 8-token passages (q93's span fingerprints) — the
+    // benchmark-leakage / inter-corpus-overlap signal a curation run
+    // reads before mixing sources. Scale shape: both overlap joins are
+    // HASH-equi over pre-distincted (source, hash) rows (payload never
+    // joins, dedup before the join bounds each key's fanout by the
+    // source count, not the copy count), and the output is
+    // #sources²-bounded.
+    "q105_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      d.select(col("source"), md5(col("text")).as("h"))
+        .distinct().createOrReplaceTempView("so_texts")
+      d.select(col("source"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 8)).as("sp"))
+        .select(col("source"), md5(col("sp")).as("h"))
+        .distinct().createOrReplaceTempView("so_spans")
+      s.sql("""
+        |WITH tp AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared_texts
+        |  FROM so_texts a JOIN so_texts b
+        |    ON a.h = b.h AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |sp AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS shared_spans
+        |  FROM so_spans a JOIN so_spans b
+        |    ON a.h = b.h AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |n AS (SELECT source, count(*) AS n_texts FROM so_texts GROUP BY source),
+        |pairs AS (
+        |  SELECT na.source AS source_a, nb.source AS source_b,
+        |    na.n_texts AS n_texts_a, nb.n_texts AS n_texts_b
+        |  FROM n na JOIN n nb ON na.source < nb.source)
+        |SELECT pairs.source_a, pairs.source_b, n_texts_a, n_texts_b,
+        |  coalesce(shared_texts, 0) AS shared_texts,
+        |  coalesce(shared_spans, 0) AS shared_spans
+        |FROM pairs
+        |LEFT JOIN tp ON tp.source_a = pairs.source_a AND tp.source_b = pairs.source_b
+        |LEFT JOIN sp ON sp.source_a = pairs.source_a AND sp.source_b = pairs.source_b
+        |ORDER BY source_a, source_b""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -322,5 +366,28 @@ object CorpusQueries {
          |SELECT pred_lang, doc_id, tokens, rank, cum_tokens FROM c
          |WHERE cum_tokens - tokens < 1500
          |ORDER BY pred_lang, rank""".stripMargin
-    })
+    },
+
+    "q105_source_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+         |ss AS (SELECT DISTINCT source, md5(sp) AS h FROM (
+         |  SELECT source, unnest(${Dedup.shinglesSql(TextAnalysis.tokensSql("text"), 8)}) AS sp
+         |  FROM documents)),
+         |tp AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_texts
+         |  FROM st a JOIN st b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |sp AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_spans
+         |  FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |n AS (SELECT source, count(*) AS n_texts FROM st GROUP BY source),
+         |pairs AS (SELECT na.source AS source_a, nb.source AS source_b,
+         |  na.n_texts AS n_texts_a, nb.n_texts AS n_texts_b
+         |  FROM n na JOIN n nb ON na.source < nb.source)
+         |SELECT pairs.source_a, pairs.source_b, n_texts_a, n_texts_b,
+         |  coalesce(shared_texts, 0) AS shared_texts,
+         |  coalesce(shared_spans, 0) AS shared_spans
+         |FROM pairs
+         |LEFT JOIN tp ON tp.source_a = pairs.source_a AND tp.source_b = pairs.source_b
+         |LEFT JOIN sp ON sp.source_a = pairs.source_a AND sp.source_b = pairs.source_b
+         |ORDER BY pairs.source_a, pairs.source_b""".stripMargin)
 }
