@@ -85,6 +85,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MergePairExpr(children.head, children(1), children(2))
       }))
     ext.injectFunction(unary("graft_approx_distinct", c => HllSketchAgg(c)))
+    ext.injectFunction(unary("graft_hll", c => graft.functions.HllRegistersAgg(c)))
     ext.injectFunction(unary("graft_minhash", MinHashSignatureExpr))
     ext.injectFunction(unary("graft_simhash", SimHashExpr))
     ext.injectFunction(unary("graft_fingerprint", FingerprintExpr))

@@ -288,6 +288,44 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming distinct counting — the q46 HLL sketch maintained
+    * across micro-batches (fourth member of the streaming sketch
+    * family): per trigger the batch's M-byte register array builds
+    * distributed through `graft_hll` (ObjectHashAggregate — only the
+    * constant 4 KiB buffer moves per map partition), then element-wise
+    * maxes into a driver-held register array. Register-max is
+    * idempotent and commutative, so replays and reordering cannot
+    * inflate the estimate — the sketch analog of effectively-once. */
+  final class DistinctTracker {
+    import graft.functions.HllSketchAgg
+    private val regs = new Array[Byte](HllSketchAgg.M)
+
+    private[streaming] def update(batch: Array[Byte]): Unit = synchronized {
+      var i = 0
+      while (i < regs.length) {
+        if ((batch(i) & 0xff) > (regs(i) & 0xff)) regs(i) = batch(i)
+        i += 1
+      }
+    }
+
+    def estimate: Long = synchronized(HllSketchAgg.estimate(regs))
+  }
+
+  /** Folds `stream(keyCol)` (int/bigint) into `tracker` across
+    * triggers; read the live distinct estimate from
+    * [[DistinctTracker.estimate]]. */
+  def trackDistinct(stream: DataFrame, keyCol: String, checkpoint: String,
+                    tracker: DistinctTracker): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        tracker.update(batch.agg(call_function("graft_hll", col(keyCol)))
+          .head.getAs[Array[Byte]](0))
+      }
+      .start()
+
   /** Streaming histogram quantiles — q102's constant-state fixed-bin
     * sketch maintained across micro-batches (completing the streaming
     * sketch trio: Bloom admission, CMS heavy hitters, histogram

@@ -111,6 +111,32 @@ class StreamingSpec extends SparkSpec {
     assert(tracker.top == expected)
   }
 
+  test("distinct tracker folds HLL registers across triggers, equal to one batch sketch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rng = new scala.util.Random(46)
+    // overlapping ids across batches: the fold must not double-count
+    val batches = Seq.fill(3)(Seq.fill(800)(rng.nextInt(1500).toLong))
+    val tracker = new StreamingIngest.DistinctTracker
+    val input = MemoryStream[Long]
+    val ckpt = java.nio.file.Files.createTempDirectory("hll_ckpt").toString
+    batches.foreach { b =>
+      input.addData(b: _*)
+      val q = StreamingIngest.trackDistinct(
+        input.toDF().toDF("user_id"), "user_id", ckpt, tracker)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    // register-max fold ≡ one sketch over the union: the streamed
+    // estimate must EQUAL the batch aggregate's, not just approximate it
+    val batchEst = batches.flatten.toDF("user_id")
+      .agg(call_function("graft_approx_distinct", col("user_id")))
+      .head.getLong(0)
+    assert(tracker.estimate == batchEst)
+    val exact = batches.flatten.distinct.size
+    assert(math.abs(tracker.estimate - exact) <= exact * 0.05,
+      s"est=${tracker.estimate} exact=$exact")
+  }
+
   test("quantile tracker folds histogram bins across triggers within bin-width error") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
