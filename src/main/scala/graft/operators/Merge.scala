@@ -29,4 +29,58 @@ object Merge {
     kept.select(cols.map(col): _*)
       .unionByName(updates.select(cols.map(col): _*))
   }
+
+  /** SCD2 (history-preserving) variant of [[upsert]] — the dimension-
+    * history companion the reference's ON CONFLICT sink discards: a
+    * changed key CLOSES its current row (`valid_to` = `batchTs`,
+    * `is_current` = false) and appends the new version; an unchanged or
+    * untouched key passes through. `dim` must already carry the SCD2
+    * bookkeeping columns (`valid_from`, `valid_to`, `is_current`);
+    * `updates` carries the business columns only, unique per key.
+    *
+    * An update equal to the key's current business row is a NO-OP (no
+    * version churn), which also makes the operator idempotent:
+    * applying the same batch twice changes nothing — the history
+    * analog of the upsert's effectively-once contract (spec-pinned).
+    *
+    * Scale: one key-equi join of the CURRENT slice against the batch
+    * (micro-batch → broadcast, closed history rows never join) plus
+    * unions; no window, no shuffle of the history. */
+  def scd2Upsert(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                 batchTs: java.sql.Timestamp): DataFrame = {
+    val cols = dim.columns.toSeq
+    val business = cols.filterNot(
+      Seq("valid_from", "valid_to", "is_current").contains)
+    val valueCols = business.filterNot(keys.contains)
+    val closed = dim.where(!col("is_current"))
+    val current = dim.where(col("is_current"))
+    // pair each current row with its (possibly absent) update; the
+    // explicit marker distinguishes "no update" from "update to null"
+    val u = updates.select(business.map(c =>
+        col(c).as(if (keys.contains(c)) c else s"__u_$c")): _*)
+      .withColumn("__has_u", lit(true))
+    val paired = current.join(u, keys, "left")
+    val isChanged = coalesce(col("__has_u"), lit(false)) &&
+      valueCols.map(c => !(col(c) <=> col(s"__u_$c"))).reduce(_ || _)
+    val changed = paired.where(isChanged)
+    val closedNow = changed.select(
+      (business.map(col) :+ col("valid_from")
+        :+ lit(batchTs).as("valid_to") :+ lit(false).as("is_current")): _*)
+    val stillCurrent = paired.where(!isChanged).select(cols.map(col): _*)
+    val newVersions = changed.select(
+      (keys.map(col) ++ valueCols.map(c => col(s"__u_$c").as(c))
+        :+ lit(batchTs).as("valid_from")
+        :+ lit(null).cast("timestamp").as("valid_to")
+        :+ lit(true).as("is_current")): _*)
+    // brand-new keys (no current row) insert as first versions
+    val inserts = updates.join(current.select(keys.map(col): _*), keys, "left_anti")
+      .select((business.map(col) :+ lit(batchTs).as("valid_from")
+        :+ lit(null).cast("timestamp").as("valid_to")
+        :+ lit(true).as("is_current")): _*)
+    closed.select(cols.map(col): _*)
+      .unionByName(stillCurrent)
+      .unionByName(closedNow.select(cols.map(col): _*))
+      .unionByName(newVersions.select(cols.map(col): _*))
+      .unionByName(inserts.select(cols.map(col): _*))
+  }
 }

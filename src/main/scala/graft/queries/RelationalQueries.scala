@@ -405,6 +405,33 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // SCD2 history-preserving upsert (Merge.scd2Upsert) — the
+    // dimension-history companion of q08's last-writer-wins MERGE: a
+    // deterministic update batch (acctbal bump on custkey%7=0, no-op
+    // re-send on custkey%50=3, inserts on custkey%97=5 under offset
+    // keys) applied to a bootstrapped current-only dimension. Changed
+    // keys close their row and append a version; no-ops produce zero
+    // churn; inserts open first versions. One current-slice key-equi
+    // join + unions — closed history never joins, no window.
+    "q106_scd2_upsert" -> ((s, dir) => {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val ts1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val c = t(s, dir, "customer")
+      val dim = c.withColumn("valid_from", lit(ts0))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val upd = c.where(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(c.where(col("c_custkey") % 50 === 3 &&
+          col("c_custkey") % 7 =!= 0))
+        .unionByName(c.where(col("c_custkey") % 97 === 5)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("new-"), col("c_custkey").cast("string")).as("c_name"),
+            col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment")))
+      graft.operators.Merge.scd2Upsert(dim, upd, Seq("c_custkey"), ts1)
+        .orderBy("c_custkey", "valid_from")
+    }),
+
     // Same semantics as q23 but through the custom TopKPerKey logical/
     // physical operator (graft.plans) instead of window+filter — the
     // oracle equivalence proves the custom operator end-to-end.
@@ -952,6 +979,52 @@ object RelationalQueries {
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts >= p.pts
         |ORDER BY c.event_id""".stripMargin,
+
+    // q106: the SCD2 algebra mirrored relationally. IS DISTINCT FROM
+    // is DuckDB's null-safe <=> negation; alias shadowing is safe
+    // because both engines bind bare c_custkey to the BASE column in
+    // the insert branch's select.
+    "q106_scd2_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 50 = 3 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    'new-' || CAST(c_custkey AS VARCHAR) AS c_name,
+        |    c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 5),
+        |chg AS (
+        |  SELECT d.c_custkey, d.c_name AS d_name, d.c_nationkey AS d_nationkey,
+        |    d.c_acctbal AS d_acctbal, d.c_mktsegment AS d_mktsegment,
+        |    u.c_name AS u_name, u.c_nationkey AS u_nationkey,
+        |    u.c_acctbal AS u_acctbal, u.c_mktsegment AS u_mktsegment,
+        |    (u.c_name IS DISTINCT FROM d.c_name
+        |      OR u.c_nationkey IS DISTINCT FROM d.c_nationkey
+        |      OR u.c_acctbal IS DISTINCT FROM d.c_acctbal
+        |      OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment) AS changed
+        |  FROM customer d JOIN upd u USING (c_custkey))
+        |SELECT * FROM (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+        |  FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg WHERE changed)
+        |  UNION ALL
+        |  SELECT c_custkey, d_name, d_nationkey, d_acctbal, d_mktsegment,
+        |    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-06-01 00:00:00', FALSE
+        |  FROM chg WHERE changed
+        |  UNION ALL
+        |  SELECT c_custkey, u_name, u_nationkey, u_acctbal, u_mktsegment,
+        |    TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM chg WHERE changed
+        |  UNION ALL
+        |  SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+        |    TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+        |  FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     // q102: `//` is DuckDB's integer floor division (Spark `div`);
     // both sides are non-negative so the two agree exactly, and the

@@ -42,6 +42,39 @@ class OperatorsSpec extends SparkSpec {
     assert(once.collect().toSet == twice.collect().toSet)
   }
 
+  test("scd2Upsert: change closes+versions, no-op is zero-churn, insert opens, idempotent") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-09-01 00:00:00")
+    // key 1: has a CLOSED history row (must pass through untouched) and
+    // a current row that the batch changes; key 2: no-op re-send;
+    // key 3: untouched; key 4: brand-new insert
+    val dim = Seq(
+      (1L, "a0", t0, Some(t1), false),
+      (1L, "a1", t1, None, true),
+      (2L, "b", t0, None, true),
+      (3L, "c", t0, None, true)
+    ).toDF("id", "v", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, "a2"), (2L, "b"), (4L, "d")).toDF("id", "v")
+    val out = Merge.scd2Upsert(dim, upd, Seq("id"), t2)
+    val rows = out.orderBy("id", "valid_from")
+      .as[(Long, String, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(rows == Seq(
+      (1L, "a0", t0, Some(t1), false),     // closed history untouched
+      (1L, "a1", t1, Some(t2), false),     // changed: closed at t2
+      (1L, "a2", t2, None, true),          // changed: new version
+      (2L, "b", t0, None, true),           // no-op: zero churn
+      (3L, "c", t0, None, true),           // untouched
+      (4L, "d", t2, None, true)))          // insert: first version
+    // invariant: exactly one current row per key
+    val perKey = rows.groupBy(_._1).view.mapValues(_.count(_._5)).toMap
+    assert(perKey.values.forall(_ == 1))
+    // idempotence: re-applying the same batch changes nothing
+    val again = Merge.scd2Upsert(out, upd, Seq("id"), t2)
+    assert(again.collect().toSet == out.collect().toSet)
+  }
+
   test("highWaterMark: max within window, cold-start fallback when empty") {
     val now = to_timestamp(lit("2024-02-10 00:00:00"))
     val sink = Seq("2024-02-01 00:00:00", "2023-01-01 00:00:00")
