@@ -204,6 +204,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q104's rep-collapse: a k-replicated corpus yields the same pairs, n_pairs scaled k²") {
+    // the anti-quadratic claim made executable: exact duplicates
+    // collapse BEFORE pair generation, so replicating every doc k
+    // times changes NOTHING in the pair space — only the reported
+    // multiplicity — and the sf1 fixture (10× replication) costs the
+    // same candidate volume as sf0.1
+    val rng = new scala.util.Random(204)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(4 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))).mkString(" ")))
+    val k = 3
+    val replicated = (0 until k).flatMap(c =>
+      base.map { case (i, t) => (i + c * 1000L, t) })
+    val one = Similarity.sparseCosineJoin(base.toDF("doc_id", "text"), dfCap = 50)
+      .select("rep_a", "rep_b", "dot", "n_pairs")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val rep = Similarity.sparseCosineJoin(replicated.toDF("doc_id", "text"), dfCap = 50)
+      .select("rep_a", "rep_b", "dot", "n_pairs")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // reps are the min doc_ids = the base ids; dot identical; n_pairs ×k²
+    assert(rep == one.map { case (a, b, d, n) => (a, b, d, n * k * k) })
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "warehouse").toString
