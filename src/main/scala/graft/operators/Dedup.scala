@@ -168,4 +168,48 @@ object Dedup {
   def norm(a: Column): Column = sqrt(dotProduct(a, a))
 
   def normSql(aE: String): String = s"sqrt(${dotProductSql(aE, aE)})"
+
+  // ---- maximal duplicated span (ExactSubstr signal) ----
+
+  /** Per-document longest verbatim cross-document passage, in tokens
+    * (the span-granularity ExactSubstr dedup signal of Lee et al.
+    * 2022, over q93's window fingerprints): positional `w`-token
+    * windows; a window is shared iff its md5 occurs in ≥2 DISTINCT
+    * docs (min ≠ max of doc_id over the hash partition — expressible
+    * as plain window aggregates in any engine, and correctly blind to
+    * a window repeating only WITHIN one doc); the longest run of
+    * consecutive shared positions (pos − row_number islands) plus
+    * w − 1 is the span length. 0 when nothing is shared.
+    *
+    * Scale shape: one shuffle keyed by the 16-byte window md5 with a
+    * (doc_id, pos) payload — never the window text — one shuffle by
+    * doc_id for the island rollup, one final linear doc_id-equi
+    * attach of token counts. Output is one row per document; a
+    * passage duplicated a million times costs its hash-partition
+    * size, not its square. */
+  def maxDupSpan(docs: DataFrame, w: Int = 8): DataFrame = {
+    val toksDf = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val nTok = toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val spans = toksDf
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - w),
+        i => concat_ws(" ", slice(col("toks"), i + lit(1), lit(w))))))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("sh"))
+    val byHash = Window.partitionBy("sh")
+    val shared = spans
+      .withColumn("mn", min("doc_id").over(byHash))
+      .withColumn("mx", max("doc_id").over(byHash))
+      .where(col("mn") =!= col("mx"))
+      .select("doc_id", "pos")
+    val runs = shared
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("max_run"))
+    nTok.join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("max_run") + lit(w - 1L), lit(0L)).cast("long").as("max_dup_span"))
+      .orderBy("doc_id")
+  }
 }

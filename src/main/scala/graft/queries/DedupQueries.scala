@@ -412,6 +412,28 @@ object DedupQueries {
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     }),
 
+    // Maximal duplicated span — q93's window fingerprints taken from
+    // set-membership to SPAN granularity (the ExactSubstr signal of
+    // Lee et al. 2022: "what is the longest passage this document
+    // shares verbatim with any other document?"). Positional (non-
+    // distinct) 8-token windows; a window is cross-doc shared iff its
+    // md5 occurs in ≥2 DISTINCT docs — detected as min(doc_id) ≠
+    // max(doc_id) over the hash partition, which both engines express
+    // with plain window aggregates (COUNT(DISTINCT) OVER is not
+    // available in Spark), and which correctly ignores a window
+    // repeating only WITHIN one doc. The longest run of consecutive
+    // shared positions (islands via pos − row_number) is the span;
+    // its token length is run + 7. Scale shape: spans shuffle once by
+    // their 16-byte md5 (payload = (doc_id, pos), never the text),
+    // once by doc_id for the island rollup; the only join is the
+    // final linear doc_id-equi attach of per-doc token counts. Output
+    // is one row per document — no pair expansion at any stage, so a
+    // corpus where one passage occurs a million times costs the hash
+    // partition size, not its square. Exact-duplicate docs must score
+    // max_dup_span = n_tokens (pinned in ScaleSpec).
+    "q107_max_dup_span" -> ((s, dir) =>
+      Dedup.maxDupSpan(Tables.load(s, dir, "documents"))),
+
     // Sparse cosine similarity join over integer term-frequency
     // vectors — the AllPairs blocking shape made exactly verifiable:
     // candidates must share a RARE token (df ≤ DfCap, the prefix-
@@ -660,6 +682,33 @@ object DedupQueries {
            |  CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE) / count(*)
            |    AS shared_ratio
            |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // q107: positional windows via a list-of-structs unnest (pos is
+      // the range index, so both engines number windows identically);
+      // the shared/island/run algebra is the same SQL as the engine's.
+      "q107_max_dup_span" ->
+        s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+           |  FROM documents),
+           |d AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+           |sp0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+           |    i -> {'p': i, 's': md5(array_to_string(list_slice(toks, i + 1, i + 8), ' '))})) AS u
+           |  FROM t WHERE len(toks) >= 8),
+           |sp AS (SELECT doc_id, u.p AS pos, u.s AS sh FROM sp0),
+           |m AS (
+           |  SELECT doc_id, pos,
+           |    min(doc_id) OVER (PARTITION BY sh) AS mn,
+           |    max(doc_id) OVER (PARTITION BY sh) AS mx
+           |  FROM sp),
+           |shr AS (SELECT doc_id, pos FROM m WHERE mn <> mx),
+           |isl AS (SELECT doc_id,
+           |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           |  FROM shr),
+           |runs AS (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY doc_id, grp),
+           |mr AS (SELECT doc_id, max(run) AS max_run FROM runs GROUP BY doc_id)
+           |SELECT d.doc_id, d.n_tokens,
+           |  CAST(coalesce(mr.max_run + 7, 0) AS BIGINT) AS max_dup_span
+           |FROM d LEFT JOIN mr ON mr.doc_id = d.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q87_dedup_representatives" ->
         s"""WITH RECURSIVE pairs AS (

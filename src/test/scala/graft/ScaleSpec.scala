@@ -204,6 +204,49 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q107: a planted shared passage's token length is recovered exactly") {
+    import spark.implicits._
+    // docs 1 and 2 share a 12-token passage embedded in otherwise
+    // unique text: the only shared 8-windows are the 5 fully inside
+    // the passage, one consecutive island → span = 5 + 7 = 12. A doc
+    // with no cross-doc window (incl. one whose windows repeat only
+    // WITHIN itself) must score 0.
+    val passage = (0 until 12).map(i => s"p$i")
+    val d1 = ((0 until 10).map(i => s"a$i") ++ passage ++ (0 until 9).map(i => s"b$i")).mkString(" ")
+    val d2 = ((0 until 7).map(i => s"c$i") ++ passage ++ (0 until 11).map(i => s"d$i")).mkString(" ")
+    val d3 = (0 until 21).map(i => s"e$i").mkString(" ")
+    val selfRep = (Seq.fill(3)((0 until 9).map(i => s"f$i")).flatten).mkString(" ")
+    val out = Dedup.maxDupSpan(
+        Seq((1L, d1), (2L, d2), (3L, d3), (4L, selfRep)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((31L, 12L)))
+    assert(out(2L) == ((30L, 12L)))
+    assert(out(3L) == ((21L, 0L)))
+    assert(out(4L) == ((27L, 0L)), "within-doc repetition is not cross-doc duplication")
+  }
+
+  test("q107: exact-duplicate fixture docs span their whole length") {
+    // the ExactSubstr ground-truth anchor on the real corpus: a doc
+    // whose full text appears elsewhere (q50's n_copies ≥ 2 at sf0.1)
+    // shares every window consecutively, so max_dup_span = n_tokens;
+    // and no doc may exceed its own token count.
+    val dir = "/root/testdata/sf0.1"
+    val dupDocs = SparkEntry.queries("q50_dedup_exact")(spark, dir)
+      .where(col("n_copies") >= 2).collect().map(_.getLong(1)).toSet
+    assert(dupDocs.nonEmpty, "fixture must contain exact duplicates")
+    val rows = SparkEntry.queries("q107_max_dup_span")(spark, dir).collect()
+    val byDoc = rows.map(r => r.getLong(0) -> r).toMap
+    dupDocs.foreach { d =>
+      val r = byDoc(d)
+      if (r.getLong(1) >= 8)
+        assert(r.getLong(2) == r.getLong(1),
+          s"exact-dup doc $d: span ${r.getLong(2)} != n_tokens ${r.getLong(1)}")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && (r.getLong(2) == 0L || r.getLong(2) >= 8L))
+    }
+  }
+
   test("q104's rep-collapse: a k-replicated corpus yields the same pairs, n_pairs scaled k²") {
     // the anti-quadratic claim made executable: exact duplicates
     // collapse BEFORE pair generation, so replicating every doc k
