@@ -275,13 +275,24 @@ object TextQueries {
           Seq("tf" -> false, "doc_id" -> true), k = 8)
         .select("token", "doc_id", "tf", "rank")
         .orderBy("token", "rank")
-    }))
+    }),
+
+    // Bigram LM quality scoring — the CCNet perplexity-filter shape
+    // (reference-slice-trained model, exact-integer fixed-point
+    // scores; full design + scale shape in graft.operators.LmScore's
+    // scaladoc). Reference-like docs score high, out-of-vocabulary
+    // gibberish scores 0, and every score is an int64 both engines
+    // compute identically.
+    "q108_lm_quality" -> ((s, dir) =>
+      graft.operators.LmScore.bigramLmScore(docs(s, dir))))
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
     val (en, de, fr, es) = (stopwordHitsSql("toks", "en"), stopwordHitsSql("toks", "de"),
       stopwordHitsSql("toks", "fr"), stopwordHitsSql("toks", "es"))
     Map(
+      "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
+
       "q40_lang_id" ->
         s"""WITH t AS (SELECT doc_id, lang, $toksE AS toks FROM documents),
            |s AS (SELECT doc_id, lang, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM t)

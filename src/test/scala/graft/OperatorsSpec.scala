@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Incremental, Merge, Transform}
+import graft.operators.{Dedup, Incremental, LmScore, Merge, Transform}
 
 /** Operator-level tests: dedup keeper determinism + idempotence, upsert
   * last-writer-wins + idempotence (SURVEY.md §5.3 properties), and the
@@ -143,5 +143,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("ha") == r.getAs[Long]("hb"))
     assert(r.getAs[Long]("ha") >= 0L && r.getAs[Long]("ha") < (1L << 16))
     assert(r.getAs[Long]("hc") >= 0L && r.getAs[Long]("hc") < (1L << 16))
+  }
+
+  test("lm score: reference-like text scores high, OOV gibberish 0, bounds hold") {
+    // model slice = doc_id % 10 == 0. Docs 0/10/20 are the "clean"
+    // reference ("the cat sat on the mat"); doc 1 repeats that style
+    // so every one of its bigrams is in the model (score > 0, and with
+    // a deterministic model every bigram has cb = cu's share); doc 2
+    // is out-of-vocabulary gibberish → exactly 0; doc 3 has one token
+    // → no bigrams → (0, 0). All scores within [0, 1e6].
+    val ref = "the cat sat on the mat"
+    val docs = Seq(
+      (0L, ref), (10L, ref), (20L, ref),
+      (1L, ref),
+      (2L, "zz qq ww ee rr tt"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = LmScore.bigramLmScore(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "the"→{cat:3, mat:3}: s(the,cat)=500000; others deterministic:
+    // cat→sat 1e6, sat→on 1e6, on→the 1e6, the→mat 500000
+    // doc 1: (500000+1e6+1e6+1e6+500000)/5 = 800000
+    assert(out(1L) == ((5L, 800000L)))
+    assert(out(2L) == ((5L, 0L)), "OOV gibberish must score exactly 0")
+    assert(out(3L) == ((0L, 0L)))
+    out.values.foreach { case (_, sc) => assert(sc >= 0L && sc <= 1000000L) }
   }
 }
