@@ -432,6 +432,31 @@ object RelationalQueries {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // Snapshot diff (Merge.snapshotDiff) — the CDC operator between
+    // two versions of a keyed table: deterministic old/new versions
+    // derived from orders (drop keys %10=0 from old, %10=1 from new,
+    // bump price cents on %7=0 in new), diffed by ONE full-outer
+    // key-equi join with IS-DISTINCT-FROM column compare. Output is
+    // diff-sized (added / removed / changed only); price compares in
+    // exact floor-cents so both engines agree bit-for-bit.
+    "q109_snapshot_diff" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus"))
+      val oldV = ord.where(col("o_orderkey") % 10 =!= 0)
+      val newV = ord.where(col("o_orderkey") % 10 =!= 1)
+        .withColumn("cents",
+          when(col("o_orderkey") % 7 === 0, col("cents") + 100)
+            .otherwise(col("cents")))
+      graft.operators.Merge.snapshotDiff(oldV, newV, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("change_type"),
+          coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+          coalesce(col("new_cents"), lit(-1L)).as("new_cents"),
+          coalesce(col("old_o_orderstatus"), lit("")).as("old_status"),
+          coalesce(col("new_o_orderstatus"), lit("")).as("new_status"))
+        .orderBy("o_orderkey")
+    }),
+
     // Same semantics as q23 but through the custom TopKPerKey logical/
     // physical operator (graft.plans) instead of window+filter — the
     // oracle equivalence proves the custom operator end-to-end.
@@ -959,6 +984,30 @@ object RelationalQueries {
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q109_snapshot_diff" ->
+      """WITH ord AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderstatus
+        |  FROM orders),
+        |o AS (SELECT * FROM ord WHERE o_orderkey % 10 <> 0),
+        |n AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN cents + 100 ELSE cents END AS cents,
+        |    o_orderstatus
+        |  FROM ord WHERE o_orderkey % 10 <> 1),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.cents AS oc, n.cents AS nc,
+        |    o.o_orderstatus AS os, n.o_orderstatus AS ns,
+        |    o.o_orderkey IS NULL AS added, n.o_orderkey IS NULL AS removed
+        |  FROM o FULL OUTER JOIN n ON n.o_orderkey = o.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+        |       ELSE 'changed' END AS change_type,
+        |  coalesce(oc, -1) AS old_cents, coalesce(nc, -1) AS new_cents,
+        |  coalesce(os, '') AS old_status, coalesce(ns, '') AS new_status
+        |FROM j
+        |WHERE added OR removed
+        |   OR oc IS DISTINCT FROM nc OR os IS DISTINCT FROM ns
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q59_range_join" ->
       """WITH inc AS (

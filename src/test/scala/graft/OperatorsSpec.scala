@@ -145,6 +145,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("hc") >= 0L && r.getAs[Long]("hc") < (1L << 16))
   }
 
+  test("snapshotDiff: classification, null semantics, and old+diff reconstructs new") {
+    val oldV = Seq((1L, Some("a"), 10), (2L, Some("b"), 20), (3L, Some("c"), 30),
+        (4L, None: Option[String], 40), (5L, Some("e"), 50))
+      .toDF("id", "v", "x")
+    val newV = Seq((1L, Some("a"), 10),            // unchanged → no row
+        (2L, Some("B"), 20),                       // changed (value)
+        (4L, Some("d"), 40),                       // changed (null → value)
+        (5L, Some("e"), 51),                       // changed (second col)
+        (6L, Some("f"), 60))                       // added; 3 removed
+      .toDF("id", "v", "x")
+    val d = Merge.snapshotDiff(oldV, newV, Seq("id"))
+    val byId = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId == Map(2L -> "changed", 3L -> "removed", 4L -> "changed",
+      5L -> "changed", 6L -> "added"), s"got $byId")
+    // diff(x, x) over a frame with nulls is empty (null <=> null holds)
+    assert(Merge.snapshotDiff(oldV, oldV, Seq("id")).isEmpty)
+    // replay: old − removed − changed + (their new images) == new
+    val rem = d.where(col("change_type").isin("removed", "changed")).select("id")
+    val img = d.where(col("change_type").isin("added", "changed"))
+      .select(col("id"), col("new_v").as("v"), col("new_x").as("x"))
+    val rebuilt = oldV.join(rem, Seq("id"), "left_anti").unionByName(img)
+    assert(rebuilt.collect().toSet == newV.collect().toSet)
+  }
+
   test("lm score: reference-like text scores high, OOV gibberish 0, bounds hold") {
     // model slice = doc_id % 10 == 0. Docs 0/10/20 are the "clean"
     // reference ("the cat sat on the mat"); doc 1 repeats that style
