@@ -83,4 +83,31 @@ object Bpe {
     } finally base.unpersist(blocking = false)
     out.result()
   }
+
+  /** Encode — the inference side of [[learn]]: tokenize every
+    * document and apply the learned merges in training order as
+    * stacked [[graft.functions.BpeKernels]] kernels (one
+    * WholeStageCodegen span, stateless narrow maps — no join, no
+    * shuffle, no state; the merge table rides in the plan as string
+    * literals exactly as a broadcast tokenizer model would at 1000
+    * executors). Emits the EXACT encoded sequence (`'|'`-joined), not
+    * just counts, so the differential oracle certifies every token of
+    * every document. Merges preserve character content — the encoded
+    * tokens concatenate back to the raw token stream (spec-pinned),
+    * which is the invariant that makes BPE lossless. */
+  def encode(docs: DataFrame, textCol: String = "text",
+             steps: Int = Steps): DataFrame = {
+    val merges = learn(docs, textCol, steps)
+    val raw = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n_raw", size(col("toks")).cast("long"))
+    val enc = merges.foldLeft(raw) { (df, m) =>
+      df.withColumn("toks",
+        call_function("graft_merge_pair", col("toks"), lit(m.tokLeft), lit(m.tokRight)))
+    }
+    enc.select(col("doc_id"), col("n_raw"),
+        size(col("toks")).cast("long").as("n_bpe"),
+        concat_ws("|", col("toks")).as("encoded"))
+      .orderBy("doc_id")
+  }
 }

@@ -22,30 +22,34 @@ object TextQueries {
     * seq`i+1` by exploding to positions (pos`i`), locating matches
     * (mt`i`), keeping the odd row-number of each consecutive-match
     * island (tk`i` — the greedy-scan equivalence), and re-assembling
-    * with merged tokens in place and right-halves dropped. */
-  private def bpeTrainSql(toksE: String): String = {
-    val steps = graft.operators.Bpe.Steps
-    val blocks = (0 until steps).map { i =>
+    * with merged tokens in place and right-halves dropped. Every CTE
+    * is `AS MATERIALIZED`: the chain references each seq`i` from
+    * multiple downstream CTEs, and DuckDB's default inlining
+    * re-derives the whole prefix per reference — exponential in
+    * `steps` (measured 197 s → 0.6 s at sf0.001 for the encode
+    * variant from this one hint). */
+  private def bpeBlocks(steps: Int, mergeAll: Boolean): Seq[String] =
+    (0 until steps).map { i =>
       val count =
-        s"""c$i AS (SELECT pr.l AS l, pr.r AS r, count(*) AS cnt FROM (
+        s"""c$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, count(*) AS cnt FROM (
            |  SELECT unnest(list_transform(range(1, len(toks)),
            |    j -> {'l': toks[j], 'r': toks[j + 1]})) AS pr FROM seq$i)
            |  GROUP BY 1, 2),
-           |m$i AS (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1)"""
+           |m$i AS MATERIALIZED (SELECT l, r, cnt FROM c$i ORDER BY cnt DESC, l, r LIMIT 1)"""
           .stripMargin
-      val merge = if (i == steps - 1) "" else
+      val merge = if (!mergeAll && i == steps - 1) "" else
         s""",
-           |pos$i AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
+           |pos$i AS MATERIALIZED (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p,
            |  unnest(toks) AS t FROM seq$i),
-           |mt$i AS (SELECT a.doc_id, a.p FROM pos$i a
+           |mt$i AS MATERIALIZED (SELECT a.doc_id, a.p FROM pos$i a
            |  JOIN pos$i b ON b.doc_id = a.doc_id AND b.p = a.p + 1
            |  JOIN m$i m ON a.t = m.l AND b.t = m.r),
-           |tk$i AS (SELECT doc_id, p FROM (
+           |tk$i AS MATERIALIZED (SELECT doc_id, p FROM (
            |  SELECT doc_id, p, row_number() OVER (PARTITION BY doc_id, g ORDER BY p) AS rn
            |  FROM (SELECT doc_id, p,
            |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g FROM mt$i))
            |  WHERE rn % 2 = 1),
-           |seq${i + 1} AS (SELECT doc_id, list(tok ORDER BY p) AS toks FROM (
+           |seq${i + 1} AS MATERIALIZED (SELECT doc_id, list(tok ORDER BY p) AS toks FROM (
            |  SELECT pos.doc_id, pos.p,
            |    CASE WHEN tk.p IS NOT NULL THEN (SELECT l || r FROM m$i)
            |         WHEN tp.p IS NOT NULL THEN NULL
@@ -56,14 +60,34 @@ object TextQueries {
            |  WHERE tok IS NOT NULL GROUP BY doc_id)""".stripMargin
       count + merge
     }
+
+  private def bpeTrainSql(toksE: String): String = {
+    val steps = graft.operators.Bpe.Steps
     val union = (0 until steps).map(i =>
       s"SELECT ${i + 1} AS step, l AS tok_left, r AS tok_right, cnt FROM m$i")
       .mkString("\nUNION ALL ")
-    s"""WITH seq0 AS (SELECT doc_id, $toksE AS toks FROM documents),
-       |${blocks.mkString(",\n")}
+    s"""WITH seq0 AS MATERIALIZED (SELECT doc_id, $toksE AS toks FROM documents),
+       |${bpeBlocks(steps, mergeAll = false).mkString(",\n")}
        |SELECT step, tok_left, tok_right, cnt FROM (
        |$union
        |) ORDER BY step""".stripMargin
+  }
+
+  /** q110's oracle: the q101 unrolled-training blocks with the final
+    * merge ALSO applied (seq`steps` materializes), then the encoded
+    * corpus read off seq`steps`. seq`i+1` is built from an explode →
+    * GROUP BY doc_id, so zero-token docs vanish from it — the LEFT
+    * JOIN + coalesce restores them as ('' , 0), matching Spark's
+    * kernel-on-empty-array behavior. */
+  private def bpeEncodeSql(toksE: String): String = {
+    val steps = graft.operators.Bpe.Steps
+    s"""WITH seq0 AS MATERIALIZED (SELECT doc_id, $toksE AS toks FROM documents),
+       |${bpeBlocks(steps, mergeAll = true).mkString(",\n")}
+       |SELECT r.doc_id, len(r.toks) AS n_raw,
+       |  CAST(coalesce(len(e.toks), 0) AS BIGINT) AS n_bpe,
+       |  coalesce(array_to_string(e.toks, '|'), '') AS encoded
+       |FROM seq0 r LEFT JOIN seq$steps e ON e.doc_id = r.doc_id
+       |ORDER BY r.doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -284,7 +308,17 @@ object TextQueries {
     // gibberish scores 0, and every score is an int64 both engines
     // compute identically.
     "q108_lm_quality" -> ((s, dir) =>
-      graft.operators.LmScore.bigramLmScore(docs(s, dir))))
+      graft.operators.LmScore.bigramLmScore(docs(s, dir))),
+
+    // BPE ENCODE — the inference side of q101: the corpus re-encoded
+    // under the learned merge table, emitting the exact '|'-joined
+    // token sequence per document (so the oracle certifies every
+    // token, not just counts). Application is Steps stacked codegen'd
+    // graft_merge_pair kernels in one WholeStageCodegen span — no
+    // join, no shuffle; the model rides as plan literals. Scale +
+    // lossless-ness in graft.operators.Bpe.encode's scaladoc.
+    "q110_bpe_encode" -> ((s, dir) =>
+      graft.operators.Bpe.encode(docs(s, dir))))
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
@@ -292,6 +326,8 @@ object TextQueries {
       stopwordHitsSql("toks", "fr"), stopwordHitsSql("toks", "es"))
     Map(
       "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
+
+      "q110_bpe_encode" -> bpeEncodeSql(toksE),
 
       "q40_lang_id" ->
         s"""WITH t AS (SELECT doc_id, lang, $toksE AS toks FROM documents),

@@ -71,6 +71,27 @@ class BpeSpec extends SparkSpec {
     assert(got.size == 5) // the fixture corpus never runs dry
   }
 
+  test("encode matches the driver-side fold and is lossless on content") {
+    val rng = new scala.util.Random(110)
+    val alphabet = Vector("a", "b", "c", "d")
+    val texts = (0 until 50).map(_ =>
+      Seq.fill(2 + rng.nextInt(20))(alphabet(rng.nextInt(alphabet.size)))
+        .mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = refLearn(texts, Bpe.Steps)
+    val expect = texts.map(refTokens).map(raw =>
+      merges.foldLeft(raw) { case (t, (_, l, r, _)) => refMerge(t, l, r) })
+    val got = Bpe.encode(df).collect()
+    got.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getLong(1) == texts(i).split("\\s+").count(_.nonEmpty).toLong)
+      assert(row.getLong(2) == expect(i).size.toLong)
+      assert(row.getString(3) == expect(i).mkString("|"))
+      // lossless: merges only concatenate — character content survives
+      assert(row.getString(3).replace("|", "") == refTokens(texts(i)).mkString(""))
+    }
+  }
+
   test("learn is invariant to input partitioning") {
     val rng = new scala.util.Random(7)
     val alphabet = Vector("x", "y", "z")
