@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MergePairExpr, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr}
+import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MergePairExpr, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr, SqDistLong}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(arr1, arr2) takes two arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sqdist"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_sqdist(arr1, arr2) takes two arguments")
+        SqDistLong(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_nearest"),

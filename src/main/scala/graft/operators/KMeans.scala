@@ -51,10 +51,13 @@ object KMeans {
   def quantizeSql(e: String): String =
     s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
 
-  /** Exact int64 squared-L2 distance between two quantized vectors. */
+  /** Exact int64 squared-L2 distance between two quantized vectors —
+    * resolves to the codegen'd [[graft.functions.SqDistLong]] kernel
+    * (the interpreted `aggregate(zip_with(...))` HOF form is pinned
+    * against it in ClusteringSpec; inside q111's pair join the kernel
+    * is the hot loop). */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+    call_function("graft_sqdist", a, b)
 
   /** DuckDB rendering of [[sqDist]] (same fold-from-zero shape as
     * Dedup.dotProductSql; int64 so order could not matter anyway). */
@@ -91,6 +94,46 @@ object KMeans {
                 cents: Array[Array[Long]]): DataFrame =
     assign(df.select(col(idCol), quantize(col(embCol)).as("qv")), cents)
       .select(col(idCol), col("cluster"), col("dist"))
+
+  /** Cluster-blocked semantic near-dup (the SemDeDup shape: cluster
+    * first, then compare only WITHIN clusters) — the embedding-space
+    * complement of the LSH-bucketed q54/q89 path. LSH buckets by
+    * random hyperplanes and pays a recall tail; clustering blocks by
+    * the learned partition, so within-cluster recall is exact and the
+    * pair expansion is bounded by cluster size. Emits one row per
+    * input vector (LINEAR output): its cluster, how many in-cluster
+    * neighbors sit within `theta` (exact int64 squared-L2 in the
+    * quantized space — engine-identical, no float compare), and the
+    * surviving representative `keep = min(self ∪ neighbors)`.
+    *
+    * Scale shape: one shuffle on the cluster key for the capped
+    * self-join ([[Dedup.capBuckets]] bounds any pathological cluster's
+    * contribution to cap² — same guard as every other candidate path),
+    * one linear left-join back to attach the result to every vector;
+    * at 100 TB, k grows with the corpus (k ≈ N / target-cluster-size,
+    * the paper regime) so per-cluster work stays constant while the
+    * assignment scan stays shuffle-free (centroids ride as literals).
+    */
+  def nearDup(df: DataFrame, idCol: String, embCol: String, k: Int,
+              iters: Int, theta: Long, cap: Int = Dedup.MaxBucket): DataFrame = {
+    val cents = fitCentroids(df, idCol, embCol, k, iters)
+    val asg = transform(df, idCol, embCol, cents)
+      .select(col(idCol), col("cluster").cast("long").as("cluster"))
+    val q = df.select(col(idCol), quantize(col(embCol)).as("qv"))
+    val m = Dedup.capBuckets(asg.join(q, Seq(idCol)), Seq("cluster"), idCol, cap)
+    val nbr = m.select(col("cluster"), col(idCol).as("va"), col("qv").as("qa"))
+      .join(m.select(col("cluster"), col(idCol).as("vb"), col("qv").as("qb")),
+        Seq("cluster"))
+      .where(col("va") =!= col("vb") &&
+        sqDist(col("qa"), col("qb")) <= lit(theta))
+      .groupBy(col("va"))
+      .agg(count(lit(1)).as("n_near"), min(col("vb")).as("mn"))
+      .withColumnRenamed("va", idCol)
+    asg.join(nbr, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        least(coalesce(col("mn"), col(idCol)), col(idCol)).as("keep_vec_id"))
+  }
 
   /** Runs `iters` Lloyd iterations from content-addressed seeds and
     * returns the final k×dim centroid table (row index = cluster id).

@@ -24,6 +24,12 @@ object ClusteringQueries {
   private val Dim = 64
   /** q100: total sample budget spread over clusters ∝ size^0.5. */
   private val SampleTotal = 60
+  /** q111: squared-L2 near-dup radius in the quantized (·2^20) space —
+    * sits between the fixture's global 0.1 % and 1 % pair-distance
+    * percentiles at every SF (measured: min pair ≈ 1.07e12, p1 ≈
+    * 1.56e12), so intra-cluster neighborhoods are nontrivial without
+    * flooding the output. */
+  private val Theta = 1450000000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -81,7 +87,21 @@ object ClusteringQueries {
         .select(col("cluster").cast("long").as("cluster"), col("vec_id"),
           col("n_members"), col("budget"), col("rank"))
         .orderBy("cluster", "rank")
-    }))
+    }),
+
+    // Cluster-blocked semantic near-dup — the SemDeDup blocking
+    // structure (cluster the embedding space, then compare only within
+    // clusters), complementing the LSH-bucketed q54/q89 path: LSH
+    // blocks by random hyperplanes and pays a recall tail; this blocks
+    // by the learned k-means partition, so within-cluster recall is
+    // exact. One row per vector: cluster, in-cluster neighbor count
+    // within the exact-int64 Theta ball, and the surviving
+    // representative min(self ∪ neighbors). Engine + 100 TB analysis
+    // in KMeans.nearDup's scaladoc.
+    "q111_cluster_semantic_dedup" -> ((s, dir) =>
+      KMeans.nearDup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = K, iters = Iters, theta = Theta)
+        .orderBy("vec_id")))
 
   /** The k-means Lloyd chain as DuckDB CTEs, ending in `sf` (vec_id ×
     * centroid scored, rk = 1 is the final assignment). Shared by the
@@ -151,5 +171,29 @@ object ClusteringQueries {
          |SELECT ranked.cluster, vec_id, b.n_members, b.budget, rank
          |FROM ranked JOIN b USING (cluster)
          |WHERE rank <= b.budget
-         |ORDER BY cluster, rank""".stripMargin)
+         |ORDER BY cluster, rank""".stripMargin,
+
+    // q111: the Lloyd chain's final assignment, capped per cluster
+    // exactly as Dedup.capBuckets does (row_number over vec_id), then
+    // the within-cluster pair filter under the identical exact-int64
+    // squared-L2 — the cap and the distance are both mirrored, so the
+    // contract is two-sided. mcap is AS MATERIALIZED: it feeds both
+    // sides of the self-join, and DuckDB's default inlining would
+    // re-derive the whole k-means chain per reference.
+    "q111_cluster_semantic_dedup" ->
+      s"""$kmeansOracleCtes,
+         |casg AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM sf WHERE rk = 1),
+         |mcap AS MATERIALIZED (SELECT vec_id, cluster, qv FROM (
+         |  SELECT a.vec_id, a.cluster, q.qv,
+         |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS crk
+         |  FROM casg a JOIN q USING (vec_id)) WHERE crk <= ${graft.operators.Dedup.MaxBucket}),
+         |nbr AS (SELECT a.vec_id, count(*) AS n_near, min(b.vec_id) AS mn
+         |  FROM mcap a JOIN mcap b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+         |  WHERE ${KMeans.sqDistSql("a.qv", "b.qv", Dim)} <= $Theta
+         |  GROUP BY 1)
+         |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+         |  coalesce(n.n_near, CAST(0 AS BIGINT)) AS n_near,
+         |  least(coalesce(n.mn, a.vec_id), a.vec_id) AS keep_vec_id
+         |FROM casg a LEFT JOIN nbr n ON n.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
 }

@@ -44,6 +44,30 @@ class ClusteringSpec extends SparkSpec {
     assert(nulls.isNullAt(0))
   }
 
+  test("graft_sqdist matches the interpreted HOF fold and its null contract") {
+    val rng = new scala.util.Random(19)
+    val df = (0 until 80).map(i => (i.toLong,
+        Seq.fill(16)(rng.nextLong() % 4194304L),
+        Seq.fill(16)(rng.nextLong() % 4194304L)))
+      .toDF("id", "a", "b")
+    val kernel = df.select($"id",
+        call_function("graft_sqdist", $"a", $"b").as("d"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    val hof = df.select($"id",
+        aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(kernel == hof)
+    // null contract: null array, null element, mismatched lengths → null
+    val edge = Seq(
+      (Option(Seq(1L, 2L)), Option.empty[Seq[Long]]),
+      (Option(Seq(1L, 2L)), Option(Seq(1L))),
+      (Option(Seq(1L, 2L)), Option(Seq(1L, 2L)))).toDF("a", "b")
+      .select(call_function("graft_sqdist", $"a", $"b")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    assert(edge(2).getLong(0) == 0L)
+  }
+
   test("quantize is floor(x * 2^20) exactly") {
     val df = vecs(0L -> Seq(0.5f, -0.5f, 0.0f, 1.0f / 3.0f))
     val q = df.select(KMeans.quantize($"embedding")).head.getSeq[Long](0)
@@ -138,6 +162,46 @@ class ClusteringSpec extends SparkSpec {
     // floor allocation never overshoots the total
     val budgetSum = rows.groupBy(_.getLong(0)).values.map(_.head.getLong(3)).sum
     assert(budgetSum <= 60L)
+  }
+
+  test("nearDup finds planted duplicates and elects the minimal representative") {
+    // two far-apart groups; ids 0/1/5 identical in group A, 2/3 identical
+    // in group B, 4 near-but-outside-theta in B. theta = 0 keeps only
+    // exact quantized duplicates.
+    val a = Seq(1.0f, 0.0f, 0.0f); val b = Seq(0.0f, 1.0f, 0.0f)
+    val df = vecs(
+      0L -> a, 1L -> a, 5L -> a,
+      2L -> b, 3L -> b, 4L -> Seq(0.0f, 1.0f, 0.1f))
+    val out = KMeans.nearDup(df, "vec_id", "embedding",
+        k = 2, iters = 2, theta = 0L)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(0L) == ((2L, 0L)) && out(1L) == ((2L, 0L)) && out(5L) == ((2L, 0L)))
+    assert(out(2L) == ((1L, 2L)) && out(3L) == ((1L, 2L)))
+    assert(out(4L) == ((0L, 4L))) // near B but outside theta: kept, no dups
+    // the A and B triples landed in different clusters
+    val cl = KMeans.nearDup(df, "vec_id", "embedding", 2, 2, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(0L) == cl(1L) && cl(1L) == cl(5L))
+    assert(cl(2L) == cl(3L) && cl(0L) != cl(2L))
+  }
+
+  test("nearDup on the fixture: linear output, keep <= id, threshold bites") {
+    val out = graft.queries.ClusteringQueries.queries(
+      "q111_cluster_semantic_dedup")(spark, "/root/testdata/sf0.001").collect()
+    val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert(out.length.toLong == n) // one row per vector, always
+    out.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(0)) // keep = min(self, neighbors)
+      assert(r.getLong(2) >= 0L)
+    }
+    // Theta is calibrated to make neighborhoods nontrivial at every SF
+    assert(out.exists(_.getLong(2) > 0L), "threshold never bit — Theta miscalibrated")
+    // representative symmetry: if v keeps w < v then w has a neighbor too
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    out.filter(r => r.getLong(3) != r.getLong(0)).foreach { r =>
+      assert(m(r.getLong(3)).getLong(2) > 0L)
+    }
   }
 
   test("cluster sizes in q98 sum to the corpus and match the assignment") {
