@@ -75,10 +75,10 @@ object ReferenceQueries {
         .orderBy("post_id")),
 
     // F1 inclusive time-range filter. Source arm + filter arm: the
-    // bounds are ALSO applied in the raw nanos domain at the scan
-    // (Tables.loadEventsRange — parquet row-group pruning; the µs
-    // conversion expression would otherwise block pushdown), then the
-    // exact F1 µs-domain filter runs over the pruned rows.
+    // bounds are applied directly on the scan column at the source
+    // (Tables.loadEventsRange — both comparisons push into the parquet
+    // scan for row-group pruning), then the exact F1 filter runs over
+    // the pruned rows.
     "q06_range_filter" -> ((s, dir) =>
       Incremental.rangeFilter(
           Tables.loadEventsRange(s, dir,

@@ -65,12 +65,14 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  /** `ts` is parquet TIMESTAMP(NANOS) — Spark has no nanosecond timestamp,
-    * so it is read as a nanos Long (legacy nanosAsLong) and floored to
-    * micros in `load`, matching DuckDB's ns→µs truncation exactly. */
+  /** `ts` is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — a naive
+    * wall-clock column. Declaring it `TimestampType` under the pinned
+    * UTC session reads the identical wall-clock instants DuckDB's naive
+    * TIMESTAMP sees, and (unlike a post-read conversion expression)
+    * keeps range predicates eligible for parquet row-group pushdown. */
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -116,38 +118,22 @@ object Tables {
     StructField("technologies", ArrayType(StringType))))
 
   /** Read one fixture table with its declared schema. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = {
-      if (name == "events")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    }
-    if (name == "events")
-      // integer division — a double round-trip would lose precision on
-      // ~1.7e18 nanos values (53-bit mantissa)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
-  /** `events` with a ts range applied in the RAW nanos-long domain,
-    * BEFORE the µs conversion. The post-`load` conversion expression
-    * (`timestamp_micros(ts div 1000)`) is a pushdown barrier — a
-    * predicate over it reaches parquet as bare `IsNotNull`, so a range
-    * query scans every row group. Translating the bounds instead of the
-    * column (`floor(n/1000) ∈ [lo_µs, hi_µs] ⟺ n ∈ [lo_µs·1000,
-    * hi_µs·1000 + 999]`, exact for the non-negative fixture domain)
-    * pushes both comparisons into the scan, where parquet min/max stats
-    * skip whole row groups — the difference between a bounded
-    * incremental read and a full-table scan at 100 TB. Callers layer
-    * the exact µs-domain filter on top (cheap, already pruned). */
+  /** `events` with the ts range applied DIRECTLY on the scan column —
+    * no conversion expression sits between the filter and the parquet
+    * reader, so both comparisons push into the scan where min/max
+    * row-group stats skip whole chunks: the difference between a
+    * bounded incremental read and a full-table scan at 100 TB.
+    * (Historical note: when the fixture carried TIMESTAMP(NANOS) this
+    * required translating the bounds into the raw nanos-long domain;
+    * the µs fixture makes the natural predicate pushdown-eligible.) */
   def loadEventsRange(spark: SparkSession, sfDir: String,
                       from: org.apache.spark.sql.Column,
                       to: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.schema(events).parquet(s"$sfDir/events.parquet")
-      .where(col("ts") >= unix_micros(from) * lit(1000L) &&
-             col("ts") <= unix_micros(to) * lit(1000L) + lit(999L))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .where(col("ts") >= from && col("ts") <= to)
   }
 }
