@@ -21,7 +21,7 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       SamplingQueries.queries ++ CorpusQueries.queries ++
-      ClusteringQueries.queries
+      ClusteringQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -30,5 +30,5 @@ object SparkEntry {
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       SamplingQueries.oracleSql ++ CorpusQueries.oracleSql ++
-      ClusteringQueries.oracleSql
+      ClusteringQueries.oracleSql ++ GraphQueries.oracleSql
 }

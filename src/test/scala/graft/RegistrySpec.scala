@@ -17,7 +17,8 @@ class RegistrySpec extends AnyFunSuite {
     "multimodal" -> MultimodalQueries.queries.keySet,
     "sampling" -> SamplingQueries.queries.keySet,
     "corpus" -> CorpusQueries.queries.keySet,
-    "clustering" -> ClusteringQueries.queries.keySet)
+    "clustering" -> ClusteringQueries.queries.keySet,
+    "graph" -> GraphQueries.queries.keySet)
 
   test("no query-name collisions across modules") {
     val total = modules.map(_._2.size).sum
