@@ -251,9 +251,97 @@ object CorpusQueries {
         |LEFT JOIN tp ON tp.source_a = pairs.source_a AND tp.source_b = pairs.source_b
         |LEFT JOIN sp ON sp.source_a = pairs.source_a AND sp.source_b = pairs.source_b
         |ORDER BY source_a, source_b""".stripMargin)
-    }))
+    }),
+
+    // DSIR-shaped importance weighting (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"):
+    // score every raw-pool document by how much more target-like than
+    // raw-like its hashed unigram features are. The target
+    // distribution is the held-out reference slice (doc_id % 10 = 0,
+    // the q108 held-out-model trick); features are md5-hashed tokens
+    // in B = 1024 buckets (the paper's hashed n-gram feature space);
+    // per-bucket add-one smoothing over B buckets. Differential
+    // portability: the paper's log-likelihood-ratio is replaced by the
+    // LINEAR-domain contrast s(f) = ⌊1e6·(ct+1)/(Tt+B)⌋ −
+    // ⌊1e6·(cr+1)/(Tr+B)⌋ — a fixed-point probability difference per
+    // feature, summed with multiplicity per doc — because a log is
+    // libm-vs-JVM ulp-unstable while integer divisions are exact
+    // (the q77 log-free-TF-IDF argument; ranking quality keeps the
+    // high-contrast buckets that dominate selection in either domain).
+    // Scale shape: token explode → map-side-combinable (doc, bucket)
+    // counts; BOTH models are ≤ B rows (bounded by the hash space, not
+    // the corpus) so the scoring join broadcasts; totals are broadcast
+    // 1-row aggregates; one row per raw doc out.
+    "q115_importance_weights" -> ((s, dir) =>
+      importanceWeights(docs(s, dir))))
+
+  /** q115's engine body over any (doc_id, text) frame — public so the
+    * spec can feed a synthetic corpus and assert the SIGNAL (target-
+    * like docs outrank gibberish), which the fixture's homogeneous
+    * text cannot show. */
+  def importanceWeights(docsDf: DataFrame): DataFrame = {
+      val fb = docsDf
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 6), 16, 10)
+            .cast("long"), lit(HashBuckets)).as("f"))
+        .groupBy("doc_id", "f").agg(count(lit(1)).as("c"))
+      val ct = fb.where(col("doc_id") % 10 === 0)
+        .groupBy("f").agg(sum("c").as("ct"))
+      val cr = fb.where(col("doc_id") % 10 =!= 0)
+        .groupBy("f").agg(sum("c").as("cr"))
+      val tt = ct.agg(coalesce(sum("ct"), lit(0L)).as("tt"))
+      val tr = cr.agg(coalesce(sum("cr"), lit(0L)).as("tr"))
+      val model = ct.join(cr, Seq("f"), "full_outer")
+        .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+        .select(col("f"),
+          (expr(s"(1000000 * (coalesce(ct, 0L) + 1)) div (tt + $HashBuckets)") -
+            expr(s"(1000000 * (coalesce(cr, 0L) + 1)) div (tr + $HashBuckets)"))
+            .as("s"))
+      val sc = fb.where(col("doc_id") % 10 =!= 0)
+        .join(broadcast(model), Seq("f"))
+        .groupBy("doc_id").agg(
+          sum("c").cast("long").as("n_tokens"),
+          sum(col("c") * col("s")).cast("long").as("iw"))
+      docsDf.where(col("doc_id") % 10 =!= 0).select("doc_id")
+        .join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("iw"), lit(0L)).as("iw"))
+        .orderBy("doc_id")
+  }
+
+  /** Hashed feature space size for q115 (the DSIR bucket count). */
+  private val HashBuckets = 1024
 
   val oracleSql: Map[String, String] = Map(
+    "q115_importance_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${TextAnalysis.tokensSql("text")}) AS tok
+         |  FROM documents),
+         |fb AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5('dsir:' || tok), 1, 6) AS BIGINT) % $HashBuckets AS f,
+         |    count(*) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct FROM fb
+         |  WHERE doc_id % 10 = 0 GROUP BY f),
+         |cr AS (SELECT f, CAST(sum(c) AS BIGINT) AS cr FROM fb
+         |  WHERE doc_id % 10 <> 0 GROUP BY f),
+         |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM ct),
+         |tr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM cr),
+         |m AS (SELECT coalesce(ct.f, cr.f) AS f,
+         |    (1000000 * (coalesce(ct, 0) + 1)) // (tt + $HashBuckets) -
+         |    (1000000 * (coalesce(cr, 0) + 1)) // (tr + $HashBuckets) AS s
+         |  FROM ct FULL JOIN cr ON cr.f = ct.f CROSS JOIN tt CROSS JOIN tr),
+         |sc AS (SELECT fb.doc_id, CAST(sum(fb.c) AS BIGINT) AS n_tokens,
+         |    CAST(sum(fb.c * m.s) AS BIGINT) AS iw
+         |  FROM fb JOIN m ON m.f = fb.f WHERE fb.doc_id % 10 <> 0 GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+         |  coalesce(sc.iw, 0) AS iw
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
     "q76_stratified_sample" ->
       s"""SELECT lang, rank, doc_id, h FROM (
          |  SELECT lang, doc_id, h,

@@ -2,17 +2,18 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.PageRank
+import graft.operators.{Bfs, PageRank, TopK}
 import graft.sources.Tables
 
-/** Graph / link-analysis extension queries (q112): deterministic
-  * integer PageRank over the customer–supplier purchase graph derived
-  * from the fact tables — the centrality-as-quality-signal operator
-  * (web-corpus pipelines weight documents by the link centrality of
-  * their hosts before sampling; this is that computation with the
-  * fixture's bipartite purchase relation standing in for the host
-  * graph). Engine + exact-arithmetic + 100 TB analysis in
-  * [[graft.operators.PageRank]]'s scaladoc.
+/** Graph / link-analysis extension queries (q112–q114): deterministic
+  * integer PageRank, multi-source BFS seed distance, and
+  * centrality-weighted sampling over the customer–supplier purchase
+  * graph derived from the fact tables — the link-structure quality
+  * signals a web-corpus curation pipeline ranks and selects documents
+  * by (host centrality, hop distance from a trusted whitelist), with
+  * the fixture's bipartite purchase relation standing in for the host
+  * graph. Engine + exact-arithmetic + 100 TB analysis in
+  * [[graft.operators.PageRank]] / [[graft.operators.Bfs]] scaladoc.
   */
 object GraphQueries {
 
@@ -20,9 +21,28 @@ object GraphQueries {
     * oracle (the GraphFrames maxIter contract). */
   private val Iters = 3
 
+  /** BFS rounds: the bipartite purchase graph reaches everything
+    * connected within a few alternations; 4 keeps the oracle short
+    * while leaving genuinely isolated islands at the sentinel. */
+  private val BfsIters = 4
+
   /** Node encoding for the bipartite purchase graph: customers at
     * 2·custkey, suppliers at 2·suppkey+1 — disjoint integer ids
     * without a string tag in the shuffle key. */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    orders.join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+  }
+
+  /** The oracle twin of [[purchaseEdges]], as the `e` CTE body. */
+  private val purchaseEdgesSql =
+    """SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Purchase-graph PageRank: distinct (customer, supplier) edges
@@ -32,29 +52,91 @@ object GraphQueries {
     // node count: (node, kind, deg, rank), ranks on the Mass = 10^12
     // integer scale.
     "q112_pagerank" -> ((s, dir) => {
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      val edges = orders.join(lineitem,
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .distinct()
-      PageRank.run(edges, Iters)
+      PageRank.run(purchaseEdges(s, dir), Iters)
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
           col("deg"), col("rank"))
         .orderBy("node")
+    }),
+
+    // Seed-distance BFS: hop distance from the nation-0 suppliers
+    // (standing in for a trusted host whitelist) to every node of the
+    // purchase graph — the curation signal "how far is this document's
+    // host from known-good sites". Exact min-plus integers; unreached
+    // nodes surface as -1. Output linear in node count.
+    "q113_seed_distance" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "supplier")
+        .where(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      Bfs.run(purchaseEdges(s, dir), seeds, BfsIters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          when(col("dist") >= Bfs.Inf, lit(-1L)).otherwise(col("dist"))
+            .as("dist"))
+        .orderBy("node")
+    }),
+
+    // Centrality-weighted sample: the q85 sequential-Poisson order
+    // sampling scheme with PageRank as the weight — inclusion
+    // probability ∝ link centrality, the web-corpus "sample documents
+    // proportional to host quality" recipe. Priority ξ = u / rank is
+    // ONE IEEE division of a 48-bit content-addressed uniform by an
+    // exact integer rank (engine-identical, re-run-stable, no RNG
+    // state); the per-segment k-smallest stream through the custom
+    // TopKPerKey operator instead of a full sort. Customer side only
+    // (the sampling frame); segment from the customer dimension via
+    // broadcast join.
+    "q114_centrality_sample" -> ((s, dir) => {
+      val ranks = PageRank.run(purchaseEdges(s, dir), Iters)
+        .where(col("node") % 2 === 0)
+        .select(col("node"), col("rank").as("pr"))
+      val cust = Tables.load(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_mktsegment").as("segment"))
+      val d = ranks.join(broadcast(cust), Seq("node"))
+        .withColumn("u", conv(substring(
+            md5(concat(lit("prs:"), col("node").cast("string"))), 1, 12), 16, 10)
+          .cast("double"))
+        .withColumn("priority", col("u") / col("pr").cast("double"))
+        .select("segment", "node", "pr", "priority")
+      TopK.perKey(d, Seq("segment"),
+          Seq("priority" -> true, "node" -> true), k = 10)
+        .select("segment", "node", "pr", "priority", "rank")
+        .orderBy("segment", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
     "q112_pagerank" ->
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
-         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
          |${PageRank.oracleCtes(Iters)}
          |SELECT node,
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  deg, rank
-         |FROM pr ORDER BY node""".stripMargin)
+         |FROM pr ORDER BY node""".stripMargin,
+
+    "q113_seed_distance" ->
+      s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
+         |seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+         |  WHERE s_nationkey = 0),
+         |${Bfs.oracleCtes(BfsIters)}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  CASE WHEN dist >= ${Bfs.Inf} THEN -1 ELSE dist END AS dist
+         |FROM bfs ORDER BY node""".stripMargin,
+
+    "q114_centrality_sample" ->
+      s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
+         |${PageRank.oracleCtes(Iters)},
+         |w AS (
+         |  SELECT c.c_mktsegment AS segment, pr.node, pr.rank AS pr,
+         |    CAST(CAST('0x' || substr(md5('prs:' || CAST(pr.node AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+         |      / CAST(pr.rank AS DOUBLE) AS priority
+         |  FROM pr JOIN customer c ON c.c_custkey * 2 = pr.node
+         |  WHERE pr.node % 2 = 0),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY segment ORDER BY priority, node) AS rank FROM w)
+         |SELECT segment, node, pr, priority, rank FROM r WHERE rank <= 10
+         |ORDER BY segment, rank""".stripMargin)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.PageRank
+import graft.operators.{Bfs, PageRank}
 
 /** Exact-integer PageRank invariants: bit-identical agreement with a
   * driver-side reference fold (the property that makes the unrolled
@@ -77,6 +77,57 @@ class GraphSpec extends SparkSpec {
         scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(7), 2)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(base == shuffled)
+  }
+
+  /** Driver-side BFS reference: plain queue BFS from the seed set. */
+  private def refDists(edges: Seq[(Long, Long)], seeds: Set[Long],
+                       iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map { case (s, d) => (d, s) })
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var dist = adj.keys.map(v => v -> (if (seeds(v)) 0L else Bfs.Inf)).toMap
+    for (_ <- 1 to iters) {
+      val next = dist.map { case (v, dv) =>
+        val best = adj(v).map(dist).filter(_ < Bfs.Inf) match {
+          case Nil => Bfs.Inf
+          case ds  => ds.min + 1
+        }
+        v -> math.min(dv, best)
+      }
+      dist = next
+    }
+    dist
+  }
+
+  test("BFS matches the driver-side reference fold on a random graph with islands") {
+    val rng = new scala.util.Random(17)
+    // two components: 0..19 dense, 100..104 an island far from the seeds
+    val edges = ((0 until 100).map(_ =>
+        (rng.nextInt(20).toLong, rng.nextInt(20).toLong)) ++
+        Seq((100L, 101L), (101L, 102L), (102L, 103L), (103L, 104L)))
+      .filter { case (s, d) => s != d }.distinct
+    val seeds = Set(0L, 5L)
+    val got = Bfs.run(edges.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refDists(edges, seeds, 4))
+    // the island stays at the sentinel
+    assert(got(100L) == Bfs.Inf && got(104L) == Bfs.Inf)
+    // seeds are at distance 0
+    assert(got(0L) == 0L && got(5L) == 0L)
+  }
+
+  test("BFS distances satisfy the edge-relaxation invariant once converged") {
+    val rng = new scala.util.Random(19)
+    val edges = (0 until 60).map(_ =>
+      (rng.nextInt(15).toLong, rng.nextInt(15).toLong))
+      .filter { case (s, d) => s != d }.distinct
+    // 15 nodes: 14 rounds always converge
+    val dist = Bfs.run(edges.toDF("src", "dst"),
+        Seq(0L).toDF("node"), 14)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((s, d) <- edges if dist(s) < Bfs.Inf && dist(d) < Bfs.Inf)
+      assert(math.abs(dist(s) - dist(d)) <= 1,
+        s"edge ($s,$d) violates relaxation: ${dist(s)} vs ${dist(d)}")
   }
 
   test("deg column is the undirected degree") {
