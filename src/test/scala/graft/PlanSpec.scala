@@ -132,6 +132,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("q112: PageRank iterations are map-side-combined equi-joins; scalar n broadcasts") {
+    val p = plan("q112_pagerank")
+    // contribution sums must carry partials (map-side combine) so the
+    // per-iteration exchange moves at most |nodes| rows per map task
+    assert(p.contains("partial_sum"), p)
+    // the 1-row node count joins as a broadcast, never a cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q114: centrality sample runs through TopKPerKeyExec; no cartesian") {
+    val p = plan("q114_centrality_sample")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q115: DSIR scoring join broadcasts the hash-space-bounded model") {
+    val p = plan("q115_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q94: CMS builds map-side in ObjectHashAggregate; no cartesian") {
     // the sketch must aggregate as a TypedImperativeAggregate with
     // partials (ObjectHashAggregate pair), so the token stream is
