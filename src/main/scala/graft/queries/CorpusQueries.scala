@@ -273,7 +273,41 @@ object CorpusQueries {
     // the corpus) so the scoring join broadcasts; totals are broadcast
     // 1-row aggregates; one row per raw doc out.
     "q115_importance_weights" -> ((s, dir) =>
-      importanceWeights(docs(s, dir))))
+      importanceWeights(docs(s, dir))),
+
+    // Global shard manifest — the last step before training: every doc
+    // gets a deterministic global position (content-addressed shuffle:
+    // order by md5(doc_id), the industry-standard "shuffle once,
+    // reproducibly" recipe) and a training-shard id by greedy
+    // sequential token packing (shard = tokens-before div ShardTokens;
+    // a shard never splits a doc). The SCALE pattern is the point: a
+    // naive global window is ONE reducer holding the whole corpus, so
+    // the prefix sum runs TWO-LEVEL — partial cumsums inside 16
+    // hash-prefix ranges of the order key (parallel, range = leading
+    // hex char so ranges ARE contiguous slices of the global order),
+    // range totals fold to broadcast offsets (16-row window, bounded
+    // by construction), offset + local cumsum = exact global position.
+    // At 100 TB the prefix length is the parallelism knob (3 hex chars
+    // = 4096-way). All-integer arithmetic; one shuffle on the range
+    // key, one broadcast join back.
+    "q116_shard_manifest" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("r", substring(col("h"), 1, 1))
+      val win = Window.partitionBy("r").orderBy("h", "doc_id")
+      val local = d.withColumn("cum_in", sum("n_tokens").over(win))
+      val offW = Window.partitionBy().orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy("r").agg(sum("n_tokens").as("rtot"))
+        .withColumn("off", coalesce(sum("rtot").over(offW), lit(0L)))
+        .select("r", "off")
+      local.join(broadcast(offsets), Seq("r"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("off") + col("cum_in") - col("n_tokens")).as("start_tok"),
+          expr(s"(off + cum_in - n_tokens) div $ShardTokens").as("shard"))
+        .orderBy("doc_id")
+    }))
 
   /** q115's engine body over any (doc_id, text) frame — public so the
     * spec can feed a synthetic corpus and assert the SIGNAL (target-
@@ -315,6 +349,9 @@ object CorpusQueries {
   /** Hashed feature space size for q115 (the DSIR bucket count). */
   private val HashBuckets = 1024
 
+  /** q116's shard capacity in tokens (greedy packing bound). */
+  val ShardTokens = 2000L
+
   val oracleSql: Map[String, String] = Map(
     "q115_importance_weights" ->
       s"""WITH tok AS (
@@ -341,6 +378,29 @@ object CorpusQueries {
          |  coalesce(sc.iw, 0) AS iw
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "q116_shard_manifest" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
+         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |l AS (SELECT *, substr(h, 1, 1) AS r,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_in
+         |  FROM d),
+         |o AS (SELECT r, coalesce(CAST(sum(rtot) OVER (ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS off
+         |  FROM (SELECT substr(h, 1, 1) AS r, sum(n_tokens) AS rtot
+         |        FROM d GROUP BY 1))
+         |SELECT l.doc_id, l.n_tokens,
+         |  o.off + l.cum_in - l.n_tokens AS start_tok,
+         |  (o.off + l.cum_in - l.n_tokens) // $ShardTokens AS shard
+         |FROM l JOIN o ON o.r = l.r
+         |ORDER BY l.doc_id""".stripMargin,
 
     "q76_stratified_sample" ->
       s"""SELECT lang, rank, doc_id, h FROM (

@@ -33,6 +33,35 @@ class CorpusSpec extends SparkSpec {
     assert(gibMax < 0L)
   }
 
+  test("q116 shard manifest: two-level prefix sum equals the naive global scan") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q116_shard_manifest")(spark, dir)
+      .select("doc_id", "n_tokens", "start_tok", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver-side reference: ONE global scan in (md5, doc_id) order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      md.reset()
+      md.digest(s"shard:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    var cum = 0L
+    val ref = rows.map(r => (h(r._1), r._1, r._2)).sortBy(t => (t._1, t._2))
+      .map { case (_, id, n) => val s = cum; cum += n; id -> s }.toMap
+    for ((id, n, start, shard) <- rows) {
+      assert(start == ref(id), s"doc $id: start $start != global-scan ${ref(id)}")
+      assert(shard == start / CorpusQueries.ShardTokens)
+      assert(n >= 0L)
+    }
+    // greedy packing bound: a shard holds < cap + its largest doc
+    val maxDoc = rows.map(_._2).max
+    rows.groupBy(_._4).foreach { case (sh, ds) =>
+      val tot = ds.map(_._2).sum
+      assert(tot < CorpusQueries.ShardTokens + maxDoc,
+        s"shard $sh overpacked: $tot tokens")
+    }
+  }
+
   test("importance weights: linear output, n_tokens exact, iw bounded") {
     val docsDf = Seq(
       (0L, "alpha beta gamma"), // target slice
