@@ -20,6 +20,16 @@ object SimilarityQueries {
     * 2k-vector fixture. */
   private val NumCells = 8
 
+  /** q117: every `vec_id % BenchMod == 0` vector plays benchmark item. */
+  private val BenchMod = 20
+  /** q117: contamination radius — q111's measured near-dup ball
+    * (between the fixture's global 0.1 % and 1 % pair-distance
+    * percentiles) reused as the "suspiciously close to a benchmark
+    * item" threshold. */
+  private val DeconTheta = 1450000000000L
+  /** Fixture embedding dimensionality (oracle rendering only). */
+  private val Dim = 64
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -122,11 +132,68 @@ object SimilarityQueries {
         |  FROM scored)
         |SELECT query_id, vec_id, cell, cosine, rank FROM ranked
         |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin)
+    }),
+
+    // Benchmark decontamination in EMBEDDING space — the semantic
+    // complement of q78's n-gram decontamination (published eval-
+    // hygiene recipe: drop training docs whose embedding sits within a
+    // tight ball of any benchmark item, catching paraphrases n-gram
+    // overlap misses). The fixture's % $BenchMod slice stands in for
+    // the benchmark suite; distances are exact int64 squared-L2 in the
+    // quantized (·2^20) space with q111's radius, so the differential
+    // oracle is hash-exact. Scale shape — the decisive property: a
+    // benchmark suite is FIXED-SIZE (thousands of items, not corpus-
+    // proportional), so it rides into the plan as a literal exactly
+    // like q98's centroids, and scoring is a SHUFFLE-FREE corpus scan:
+    // per row one codegen'd graft_nearest argmin + one bounded HOF
+    // count over the suite. No join, no exchange, linear output, any
+    // corpus size. (A corpus-proportional "benchmark" would instead
+    // use the q54/q89 LSH-bucketed path.)
+    "q117_embedding_decontamination" -> ((s, dir) => {
+      import graft.operators.KMeans
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val benchRows = q.where(col("vec_id") % BenchMod === 0)
+        .orderBy("vec_id").collect()
+      val benchIds = benchRows.map(_.getLong(0)).toSeq
+      val benchVecs = benchRows.map(_.getSeq[Long](1)).toSeq
+      val bLit = typedLit(benchVecs)
+      q.where(col("vec_id") % BenchMod =!= 0)
+        .select(col("vec_id"),
+          size(filter(bLit,
+            b => call_function("graft_sqdist", col("qv"), b) <= lit(DeconTheta)))
+            .cast("long").as("n_bench_hits"),
+          call_function("graft_nearest", col("qv"), bLit).as("nb"))
+        .select(col("vec_id"), col("n_bench_hits"),
+          element_at(typedLit(benchIds), (col("nb.c") + 1).cast("int"))
+            .as("near_bench"),
+          col("nb.d").as("near_dist"),
+          (col("n_bench_hits") > 0).as("contaminated"))
+        .orderBy("vec_id")
     }))
 
   val oracleSql: Map[String, String] = {
     val dot = Dedup.dotProductSql("q.embedding", "c.embedding")
     Map(
+      "q117_embedding_decontamination" -> {
+        val d = graft.operators.KMeans.sqDistSql("c.qv", "b.bv", Dim)
+        s"""WITH q AS (SELECT vec_id,
+           |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
+           |  FROM embeddings),
+           |b AS (SELECT vec_id AS bid, qv AS bv FROM q WHERE vec_id % $BenchMod = 0),
+           |c AS (SELECT vec_id, qv FROM q WHERE vec_id % $BenchMod <> 0),
+           |sc AS (SELECT c.vec_id, b.bid, $d AS dd FROM c CROSS JOIN b),
+           |h AS (SELECT vec_id,
+           |    CAST(sum(CASE WHEN dd <= $DeconTheta THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_bench_hits
+           |  FROM sc GROUP BY vec_id),
+           |r AS (SELECT vec_id, bid, dd, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dd, bid) AS rk FROM sc)
+           |SELECT h.vec_id, h.n_bench_hits, r.bid AS near_bench,
+           |  r.dd AS near_dist, h.n_bench_hits > 0 AS contaminated
+           |FROM h JOIN r ON r.vec_id = h.vec_id AND r.rk = 1
+           |ORDER BY h.vec_id""".stripMargin
+      },
       "q55_knn_bruteforce" ->
         s"""WITH e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings),
            |scored AS (

@@ -13,6 +13,31 @@ class ClusteringSpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "embedding")
 
+  test("q117 decontamination matches a driver-side exhaustive recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q117_embedding_decontamination")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    // reference: quantize and scan all (corpus, bench) pairs
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * (1L << 20)).toLong))
+    val bench = all.filter(_._1 % 20 == 0).sortBy(_._1)
+    val theta = 1450000000000L
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(got.keySet == all.filter(_._1 % 20 != 0).map(_._1).toSet)
+    for ((id, v) <- all if id % 20 != 0) {
+      val ds = bench.map { case (bid, bv) => (d2(v, bv), bid) }
+      val hits = ds.count(_._1 <= theta).toLong
+      val (nd, nb) = ds.min
+      assert(got(id) == ((hits, nb, nd, hits > 0)),
+        s"vec $id: got ${got(id)}, want ${(hits, nb, nd, hits > 0)}")
+    }
+  }
+
   test("graft_nearest matches the interpreted HOF argmin and breaks ties to the smaller index") {
     val rng = new scala.util.Random(3)
     val df = (0 until 50).map(i =>
