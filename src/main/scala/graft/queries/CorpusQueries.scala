@@ -290,24 +290,74 @@ object CorpusQueries {
     // At 100 TB the prefix length is the parallelism knob (3 hex chars
     // = 4096-way). All-integer arithmetic; one shuffle on the range
     // key, one broadcast join back.
-    "q116_shard_manifest" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-          md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("r", substring(col("h"), 1, 1))
-      val win = Window.partitionBy("r").orderBy("h", "doc_id")
-      val local = d.withColumn("cum_in", sum("n_tokens").over(win))
-      val offW = Window.partitionBy().orderBy("r")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = d.groupBy("r").agg(sum("n_tokens").as("rtot"))
-        .withColumn("off", coalesce(sum("rtot").over(offW), lit(0L)))
-        .select("r", "off")
-      local.join(broadcast(offsets), Seq("r"))
+    "q116_shard_manifest" -> ((s, dir) =>
+      shardManifest(docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
+        .orderBy("doc_id")),
+
+    // Selection pipeline — the SECOND flagship composition (q95 curates
+    // by surface quality; this one curates by LEARNED signals):
+    // DSIR importance weights (q115) → benchmark decontamination gate
+    // (q78's gram semi-join, strict: one shared 5-gram drops the doc)
+    // → top-half importance selection → global shard manifest (q116's
+    // two-level prefix sum) over the survivors. The selection cutoff
+    // is the q102 trick applied to selection: per-token importance
+    // avg' = (iw + n·1e6) div n is VALUE-SPACE-BOUNDED (≈[0, 2e6]), so
+    // the median threshold comes from a tiny value histogram + one
+    // bounded cumulative window — never a global sort, at any corpus
+    // size (ties at the cutoff are included, so ≥ half survives
+    // deterministically). Every stage is an already-oracled primitive;
+    // the DuckDB twin chains the same CTEs, so one hash-compare
+    // certifies the composition.
+    "q118_selection_pipeline" -> ((s, dir) => {
+      val iw = importanceWeights(docs(s, dir)) // raw pool: doc_id % 10 <> 0
+      val g = docGrams(s, dir)
+      val bench = g.where(col("doc_id") % 13 === 0)
+        .select(col("gram")).distinct()
+      val dirty = g.where(col("doc_id") % 13 =!= 0)
+        .join(broadcast(bench), Seq("gram"))
+        .select(col("doc_id")).distinct()
+      val pool = iw.where(col("doc_id") % 13 =!= 0 && col("n_tokens") > 0)
+        .join(dirty.withColumn("dirty", lit(true)), Seq("doc_id"), "left")
+        .where(col("dirty").isNull)
         .select(col("doc_id"), col("n_tokens"),
-          (col("off") + col("cum_in") - col("n_tokens")).as("start_tok"),
-          expr(s"(off + cum_in - n_tokens) div $ShardTokens").as("shard"))
+          expr("(iw + n_tokens * 1000000L) div n_tokens").as("avg_iw"))
+      val hist = pool.groupBy("avg_iw").agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy().orderBy(col("avg_iw").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val n = pool.agg(count(lit(1)).as("n"))
+      val cutoff = hist.withColumn("cum", sum("cnt").over(cumW))
+        .crossJoin(broadcast(n))
+        .agg(max(when(col("cum") >= expr("(n + 1L) div 2"), col("avg_iw")))
+          .as("vstar"))
+      val survivors = pool.crossJoin(broadcast(cutoff))
+        .where(col("avg_iw") >= col("vstar"))
+        .select("doc_id", "n_tokens", "avg_iw")
+      shardManifest(survivors).join(survivors, Seq("doc_id", "n_tokens"))
+        .select("doc_id", "n_tokens", "avg_iw", "start_tok", "shard")
         .orderBy("doc_id")
     }))
+
+  /** q116/q118's two-level global prefix sum over a (doc_id, n_tokens)
+    * frame: content-addressed global order (md5 of the doc id), local
+    * cumsums inside 16 hash-prefix ranges, 16-row offsets broadcast
+    * back. Returns (doc_id, n_tokens, start_tok, shard). */
+  def shardManifest(d0: DataFrame): DataFrame = {
+    val d = d0.select(col("doc_id"), col("n_tokens"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("r", substring(col("h"), 1, 1))
+    val win = Window.partitionBy("r").orderBy("h", "doc_id")
+    val local = d.withColumn("cum_in", sum("n_tokens").over(win))
+    val offW = Window.partitionBy().orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("r").agg(sum("n_tokens").as("rtot"))
+      .withColumn("off", coalesce(sum("rtot").over(offW), lit(0L)))
+      .select("r", "off")
+    local.join(broadcast(offsets), Seq("r"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("off") + col("cum_in") - col("n_tokens")).as("start_tok"),
+        expr(s"(off + cum_in - n_tokens) div $ShardTokens").as("shard"))
+  }
 
   /** q115's engine body over any (doc_id, text) frame — public so the
     * spec can feed a synthetic corpus and assert the SIGNAL (target-
@@ -352,55 +402,98 @@ object CorpusQueries {
   /** q116's shard capacity in tokens (greedy packing bound). */
   val ShardTokens = 2000L
 
+  /** The q115 DSIR chain as CTEs, ending in `dsir_iw` = (doc_id,
+    * n_tokens, iw) over the raw pool — shared by the q115 and q118
+    * oracles. */
+  private def dsirCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.tokensSql("text")}) AS tok
+       |  FROM documents),
+       |fb AS MATERIALIZED (SELECT doc_id,
+       |    CAST('0x' || substr(md5('dsir:' || tok), 1, 6) AS BIGINT) % $HashBuckets AS f,
+       |    count(*) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |ct AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct FROM fb
+       |  WHERE doc_id % 10 = 0 GROUP BY f),
+       |cr AS (SELECT f, CAST(sum(c) AS BIGINT) AS cr FROM fb
+       |  WHERE doc_id % 10 <> 0 GROUP BY f),
+       |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM ct),
+       |tr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM cr),
+       |m AS (SELECT coalesce(ct.f, cr.f) AS f,
+       |    (1000000 * (coalesce(ct, 0) + 1)) // (tt + $HashBuckets) -
+       |    (1000000 * (coalesce(cr, 0) + 1)) // (tr + $HashBuckets) AS s
+       |  FROM ct FULL JOIN cr ON cr.f = ct.f CROSS JOIN tt CROSS JOIN tr),
+       |sc AS (SELECT fb.doc_id, CAST(sum(fb.c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(fb.c * m.s) AS BIGINT) AS iw
+       |  FROM fb JOIN m ON m.f = fb.f WHERE fb.doc_id % 10 <> 0 GROUP BY 1),
+       |dsir_iw AS (SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+       |    coalesce(sc.iw, 0) AS iw
+       |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |  WHERE d.doc_id % 10 <> 0)""".stripMargin
+
+  /** q116/q118's two-level shard chain over a (doc_id, n_tokens) CTE
+    * named `src`, ending in `sm` = (doc_id, n_tokens, start_tok,
+    * shard). */
+  private def shardCtesSql(src: String): String =
+    s"""sd AS (SELECT doc_id, n_tokens,
+       |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM $src),
+       |sl AS (SELECT *, substr(h, 1, 1) AS r,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+       |      ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_in
+       |  FROM sd),
+       |so AS (SELECT r, coalesce(CAST(sum(rtot) OVER (ORDER BY r
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS off
+       |  FROM (SELECT substr(h, 1, 1) AS r, sum(n_tokens) AS rtot
+       |        FROM sd GROUP BY 1)),
+       |sm AS (SELECT sl.doc_id, sl.n_tokens,
+       |    so.off + sl.cum_in - sl.n_tokens AS start_tok,
+       |    (so.off + sl.cum_in - sl.n_tokens) // $ShardTokens AS shard
+       |  FROM sl JOIN so ON so.r = sl.r)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q115_importance_weights" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(${TextAnalysis.tokensSql("text")}) AS tok
-         |  FROM documents),
-         |fb AS (SELECT doc_id,
-         |    CAST('0x' || substr(md5('dsir:' || tok), 1, 6) AS BIGINT) % $HashBuckets AS f,
-         |    count(*) AS c
-         |  FROM tok GROUP BY 1, 2),
-         |ct AS (SELECT f, CAST(sum(c) AS BIGINT) AS ct FROM fb
-         |  WHERE doc_id % 10 = 0 GROUP BY f),
-         |cr AS (SELECT f, CAST(sum(c) AS BIGINT) AS cr FROM fb
-         |  WHERE doc_id % 10 <> 0 GROUP BY f),
-         |tt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS tt FROM ct),
-         |tr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM cr),
-         |m AS (SELECT coalesce(ct.f, cr.f) AS f,
-         |    (1000000 * (coalesce(ct, 0) + 1)) // (tt + $HashBuckets) -
-         |    (1000000 * (coalesce(cr, 0) + 1)) // (tr + $HashBuckets) AS s
-         |  FROM ct FULL JOIN cr ON cr.f = ct.f CROSS JOIN tt CROSS JOIN tr),
-         |sc AS (SELECT fb.doc_id, CAST(sum(fb.c) AS BIGINT) AS n_tokens,
-         |    CAST(sum(fb.c * m.s) AS BIGINT) AS iw
-         |  FROM fb JOIN m ON m.f = fb.f WHERE fb.doc_id % 10 <> 0 GROUP BY 1)
-         |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
-         |  coalesce(sc.iw, 0) AS iw
-         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
-         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_tokens, iw FROM dsir_iw
+         |ORDER BY doc_id""".stripMargin,
+
+    "q118_selection_pipeline" ->
+      s"""WITH $dsirCtes,
+         |g AS ($docGramsSql),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+         |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+         |  WHERE g.doc_id % 13 <> 0),
+         |pool AS MATERIALIZED (SELECT doc_id, n_tokens,
+         |    (iw + n_tokens * 1000000) // n_tokens AS avg_iw
+         |  FROM dsir_iw
+         |  WHERE doc_id % 13 <> 0 AND n_tokens > 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+         |hist AS (SELECT avg_iw, count(*) AS cnt FROM pool GROUP BY 1),
+         |cum AS (SELECT avg_iw, CAST(sum(cnt) OVER (ORDER BY avg_iw DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum
+         |  FROM hist),
+         |nn AS (SELECT count(*) AS n FROM pool),
+         |vs AS (SELECT max(CASE WHEN cum >= (n + 1) // 2 THEN avg_iw END)
+         |    AS vstar FROM cum CROSS JOIN nn),
+         |surv AS MATERIALIZED (SELECT doc_id, n_tokens, avg_iw
+         |  FROM pool CROSS JOIN vs WHERE avg_iw >= vstar),
+         |${shardCtesSql("surv")}
+         |SELECT sm.doc_id, sm.n_tokens, surv.avg_iw, sm.start_tok, sm.shard
+         |FROM sm JOIN surv ON surv.doc_id = sm.doc_id
+         |ORDER BY sm.doc_id""".stripMargin,
 
     "q116_shard_manifest" ->
       s"""WITH d AS (
          |  SELECT doc_id,
-         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
-         |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens
          |  FROM documents),
-         |l AS (SELECT *, substr(h, 1, 1) AS r,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
-         |      ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |      AS cum_in
-         |  FROM d),
-         |o AS (SELECT r, coalesce(CAST(sum(rtot) OVER (ORDER BY r
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-         |      0) AS off
-         |  FROM (SELECT substr(h, 1, 1) AS r, sum(n_tokens) AS rtot
-         |        FROM d GROUP BY 1))
-         |SELECT l.doc_id, l.n_tokens,
-         |  o.off + l.cum_in - l.n_tokens AS start_tok,
-         |  (o.off + l.cum_in - l.n_tokens) // $ShardTokens AS shard
-         |FROM l JOIN o ON o.r = l.r
-         |ORDER BY l.doc_id""".stripMargin,
+         |${shardCtesSql("d")}
+         |SELECT doc_id, n_tokens, start_tok, shard FROM sm
+         |ORDER BY doc_id""".stripMargin,
 
     "q76_stratified_sample" ->
       s"""SELECT lang, rank, doc_id, h FROM (

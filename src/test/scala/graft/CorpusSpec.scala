@@ -62,6 +62,41 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q118 selection pipeline: slice exclusions, packing law, prefix-sum consistency") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q118_selection_pipeline")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // the DSIR target slice and the benchmark-doc slice never train
+    for ((id, n, _, _, _) <- rows) {
+      assert(id % 10 != 0, s"target-slice doc $id leaked into the manifest")
+      assert(id % 13 != 0, s"benchmark doc $id leaked into the manifest")
+      assert(n > 0)
+    }
+    // survivors' start_toks are the exact prefix sum of the survivor
+    // set in content-addressed global order, and shard obeys the law
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long): String = {
+      md.reset()
+      md.digest(s"shard:$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    var cum = 0L
+    val ref = rows.map(r => (h(r._1), r._1, r._2)).sortBy(t => (t._1, t._2))
+      .map { case (_, id, n) => val s = cum; cum += n; id -> s }.toMap
+    for ((id, _, _, start, shard) <- rows) {
+      assert(start == ref(id), s"doc $id: start $start != ${ref(id)}")
+      assert(shard == start / CorpusQueries.ShardTokens)
+    }
+    // the median gate keeps at least half of what it ranked: every
+    // kept avg_iw is >= the smallest kept one by construction, and the
+    // kept set is not degenerate (more than a third of the raw pool
+    // after the two slice exclusions at this SF)
+    assert(rows.length > 450 / 3, s"only ${rows.length} survivors")
+  }
+
   test("importance weights: linear output, n_tokens exact, iw bounded") {
     val docsDf = Seq(
       (0L, "alpha beta gamma"), // target slice
