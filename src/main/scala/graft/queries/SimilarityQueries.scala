@@ -20,8 +20,14 @@ object SimilarityQueries {
     * 2k-vector fixture. */
   private val NumCells = 8
 
-  /** q117: every `vec_id % BenchMod == 0` vector plays benchmark item. */
+  /** q117: every `vec_id % BenchMod == 0` vector plays benchmark item,
+    * capped at the first [[BenchSize]] by vec_id — a benchmark suite
+    * is FIXED-SIZE by nature, and the cap is what keeps the scoring
+    * scan linear in the corpus (an uncapped %-slice grows with the
+    * corpus and was measured super-linear at sf1: corpus × suite =
+    * quadratic). */
   private val BenchMod = 20
+  private val BenchSize = 100
   /** q117: contamination radius — q111's measured near-dup ball
     * (between the fixture's global 0.1 % and 1 % pair-distance
     * percentiles) reused as the "suspiciously close to a benchmark
@@ -154,7 +160,7 @@ object SimilarityQueries {
       val q = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
       val benchRows = q.where(col("vec_id") % BenchMod === 0)
-        .orderBy("vec_id").collect()
+        .orderBy("vec_id").limit(BenchSize).collect()
       val benchIds = benchRows.map(_.getLong(0)).toSeq
       val benchVecs = benchRows.map(_.getSeq[Long](1)).toSeq
       val bLit = typedLit(benchVecs)
@@ -180,7 +186,8 @@ object SimilarityQueries {
         s"""WITH q AS (SELECT vec_id,
            |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
            |  FROM embeddings),
-           |b AS (SELECT vec_id AS bid, qv AS bv FROM q WHERE vec_id % $BenchMod = 0),
+           |b AS (SELECT vec_id AS bid, qv AS bv FROM q
+           |  WHERE vec_id % $BenchMod = 0 ORDER BY vec_id LIMIT $BenchSize),
            |c AS (SELECT vec_id, qv FROM q WHERE vec_id % $BenchMod <> 0),
            |sc AS (SELECT c.vec_id, b.bid, $d AS dd FROM c CROSS JOIN b),
            |h AS (SELECT vec_id,

@@ -24,7 +24,7 @@ class ClusteringSpec extends SparkSpec {
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)
         .map(x => math.floor(x.toDouble * (1L << 20)).toLong))
-    val bench = all.filter(_._1 % 20 == 0).sortBy(_._1)
+    val bench = all.filter(_._1 % 20 == 0).sortBy(_._1).take(100)
     val theta = 1450000000000L
     def d2(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
