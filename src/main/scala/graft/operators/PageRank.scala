@@ -64,12 +64,7 @@ object PageRank {
     * pass each undirected edge once. Returns (node, deg, rank). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val adj = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
-      .persist()
-    val deg = adj.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    val (adj, deg) = adjacency(edges)
     val n = deg.agg(count(lit(1)).as("n"))
     // (node, deg, rank0, base): the scalar n is broadcast-joined ONCE —
     // the uniform start and the damping base term become row-local
@@ -82,6 +77,47 @@ object PageRank {
         expr(s"${Mass}L div n").as("rank"),
         expr(s"(15 * (${Mass}L div n)) div 100").as("base"))
       .persist()
+    iterate(adj, degBase, iters)
+  }
+
+  /** TrustRank (Gyöngyi et al. 2004): the same damped propagation with
+    * the teleport/base mass concentrated on a trusted SEED set instead
+    * of spread uniformly — rank becomes "trust flowed from the
+    * whitelist through the link structure", 0 for nodes unreachable
+    * from any seed. Identical iteration machinery and scale shape as
+    * [[run]]; only the (rank0, base) columns differ: Mass splits over
+    * the seed nodes present in the graph. */
+  def runTrust(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val (adj, deg) = adjacency(edges)
+    val seedSet = seeds.select(col("node")).distinct()
+    val ns = deg.join(broadcast(seedSet), Seq("node"), "left_semi")
+      .agg(count(lit(1)).as("ns"))
+    val degBase = deg
+      .join(broadcast(seedSet.withColumn("is_seed", lit(1))), Seq("node"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("node"), col("deg"),
+        when(col("is_seed") === 1, expr(s"${Mass}L div ns"))
+          .otherwise(lit(0L)).as("rank"),
+        when(col("is_seed") === 1, expr(s"(15 * (${Mass}L div ns)) div 100"))
+          .otherwise(lit(0L)).as("base"))
+      .persist()
+    iterate(adj, degBase, iters)
+  }
+
+  /** Symmetrized adjacency (persisted, src-partitioned) + degrees. */
+  private def adjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+    val adj = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    (adj, adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+  }
+
+  /** The shared synchronous-update loop over a cached (node, deg,
+    * rank0, base) frame. */
+  private def iterate(adj: DataFrame, degBase: DataFrame,
+                      iters: Int): DataFrame = {
     val r0 = degBase.select(col("node"), col("deg"), col("rank"))
     (1 to iters).foldLeft(r0) { (r, _) =>
       // contribution projected BEFORE the message join: the exchange
@@ -103,21 +139,47 @@ object PageRank {
     * rank). Every sum is cast back to BIGINT (DuckDB widens to
     * HUGEINT) and every division is `//` on non-negative operands,
     * matching Spark's `div` exactly. */
-  def oracleCtes(iters: Int): String = {
-    val base = s"((15 * ($Mass // nn.n)) // 100)"
-    def step(i: Int): String =
-      s"""m$i AS (SELECT a.dst AS node, CAST(sum(r.rank // r.deg) AS BIGINT) AS insum
-         |  FROM adj a JOIN r${i - 1} r ON r.node = a.src GROUP BY 1),
-         |r$i AS (SELECT d.node, d.deg,
-         |    CAST(($DampNum * coalesce(m$i.insum, 0)) // $DampDen AS BIGINT) + $base AS rank
-         |  FROM deg d LEFT JOIN m$i ON m$i.node = d.node CROSS JOIN nn)""".stripMargin
+  def oracleCtes(iters: Int): String =
     s"""adj AS MATERIALIZED (
        |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
        |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM adj GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM deg),
-       |r0 AS (SELECT node, deg, CAST($Mass // nn.n AS BIGINT) AS rank
+       |db AS MATERIALIZED (SELECT node, deg,
+       |    CAST($Mass // nn.n AS BIGINT) AS rank,
+       |    CAST((15 * ($Mass // nn.n)) // 100 AS BIGINT) AS base
        |  FROM deg CROSS JOIN nn),
-       |${(1 to iters).map(step).mkString(",\n")},
+       |${stepCtes(iters)},
        |pr AS (SELECT node, deg, rank FROM r$iters)""".stripMargin
+
+  /** [[runTrust]]'s twin: expects `e` (src, dst) AND `seeds` (node);
+    * ends in `pr` = (node, deg, rank). */
+  def oracleTrustCtes(iters: Int): String =
+    s"""adj AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM adj GROUP BY 1),
+       |sn AS (SELECT DISTINCT s.node FROM seeds s JOIN deg d ON d.node = s.node),
+       |nn AS (SELECT count(*) AS ns FROM sn),
+       |db AS MATERIALIZED (SELECT d.node, d.deg,
+       |    CASE WHEN sn.node IS NOT NULL
+       |      THEN CAST($Mass // nn.ns AS BIGINT) ELSE 0 END AS rank,
+       |    CASE WHEN sn.node IS NOT NULL
+       |      THEN CAST((15 * ($Mass // nn.ns)) // 100 AS BIGINT) ELSE 0 END AS base
+       |  FROM deg d LEFT JOIN sn ON sn.node = d.node CROSS JOIN nn),
+       |${stepCtes(iters)},
+       |pr AS (SELECT node, deg, rank FROM r$iters)""".stripMargin
+
+  /** The shared unrolled update steps over the `db` = (node, deg,
+    * rank0, base) CTE, mirroring [[iterate]]: r0 projects db, each
+    * round is message-min join + damped base add. */
+  private def stepCtes(iters: Int): String = {
+    def step(i: Int): String =
+      s"""m$i AS (SELECT a.dst AS node, CAST(sum(r.rank // r.deg) AS BIGINT) AS insum
+         |  FROM adj a JOIN r${i - 1} r ON r.node = a.src GROUP BY 1),
+         |r$i AS (SELECT d.node, d.deg,
+         |    CAST(($DampNum * coalesce(m$i.insum, 0)) // $DampDen AS BIGINT)
+         |      + d.base AS rank
+         |  FROM db d LEFT JOIN m$i ON m$i.node = d.node)""".stripMargin
+    s"""r0 AS (SELECT node, deg, rank FROM db),
+       |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
   }
 }

@@ -78,6 +78,25 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // TrustRank: the q112 damped propagation with the teleport mass
+    // concentrated on the q113 seed set (nation-0 suppliers) — "trust
+    // flowed from the whitelist through the link structure", the
+    // actual anti-spam/host-quality signal (Gyöngyi et al. 2004) that
+    // seed-distance (q113) only approximates hop-wise. Zero for nodes
+    // unreachable from any seed; same one-shuffle-per-iteration
+    // machinery as q112.
+    "q119_trustrank" -> ((s, dir) => {
+      val seeds = Tables.load(s, dir, "supplier")
+        .where(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      PageRank.runTrust(purchaseEdges(s, dir), seeds, Iters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("deg"), col("rank"))
+        .orderBy("node")
+    }),
+
     // Centrality-weighted sample: the q85 sequential-Poisson order
     // sampling scheme with PageRank as the weight — inclusion
     // probability ∝ link centrality, the web-corpus "sample documents
@@ -125,6 +144,16 @@ object GraphQueries {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  CASE WHEN dist >= ${Bfs.Inf} THEN -1 ELSE dist END AS dist
          |FROM bfs ORDER BY node""".stripMargin,
+
+    "q119_trustrank" ->
+      s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
+         |seeds AS (SELECT s_suppkey * 2 + 1 AS node FROM supplier
+         |  WHERE s_nationkey = 0),
+         |${PageRank.oracleTrustCtes(Iters)}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  deg, rank
+         |FROM pr ORDER BY node""".stripMargin,
 
     "q114_centrality_sample" ->
       s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),

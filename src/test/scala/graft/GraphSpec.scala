@@ -79,6 +79,46 @@ class GraphSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  /** Driver-side TrustRank reference: seed-concentrated base/start. */
+  private def refTrust(edges: Seq[(Long, Long)], seeds: Set[Long],
+                       iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map { case (s, d) => (d, s) })
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val deg = adj.map { case (s, ds) => s -> ds.size.toLong }
+    val present = deg.keySet & seeds
+    val ns = present.size.toLong
+    def base(v: Long) =
+      if (present(v)) (15L * (PageRank.Mass / ns)) / 100L else 0L
+    var r = deg.map { case (v, _) =>
+      v -> (if (present(v)) PageRank.Mass / ns else 0L) }
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, ds) <- adj; d <- ds) in(d) += r(u) / deg(u)
+      r = deg.map { case (v, _) =>
+        v -> ((PageRank.DampNum * in(v)) / PageRank.DampDen + base(v)) }
+    }
+    r
+  }
+
+  test("TrustRank matches the reference fold; trust is zero off the seed component") {
+    val rng = new scala.util.Random(23)
+    // component A: 0..14 (contains the seeds); island B: 100..103
+    val edges = ((0 until 60).map(_ =>
+        (rng.nextInt(15).toLong, rng.nextInt(15).toLong)) ++
+        Seq((100L, 101L), (101L, 102L), (102L, 103L)))
+      .filter { case (s, d) => s != d }.distinct
+    val seeds = Set(0L, 3L, 999L) // 999 absent from the graph: ignored
+    val got = PageRank.runTrust(edges.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == refTrust(edges, seeds, 3))
+    // the island never receives trust; seeds hold positive trust
+    for (v <- Seq(100L, 101L, 102L, 103L)) assert(got(v) == 0L)
+    assert(got(0L) > 0L && got(3L) > 0L)
+    // truncating arithmetic never creates mass
+    assert(got.values.sum <= PageRank.Mass)
+  }
+
   /** Driver-side BFS reference: plain queue BFS from the seed set. */
   private def refDists(edges: Seq[(Long, Long)], seeds: Set[Long],
                        iters: Int): Map[Long, Long] = {
