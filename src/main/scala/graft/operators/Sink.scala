@@ -21,6 +21,21 @@ object Sink {
       .partitionBy("dt")
       .parquet(path)
 
+  /** Training-shard write — the PHYSICAL end of the q116/q118 shard
+    * manifest: files partitioned by `shard`, rows inside each shard in
+    * exact global order (`start_tok`), so a trainer streams `shard=N`
+    * directories and reads tokens in the manifest's deterministic
+    * content-addressed order with zero further sorting. One shuffle on
+    * the shard key; each shard is token-bounded by construction
+    * (ShardTokens + one doc), so output files are uniformly sized at
+    * any corpus scale. */
+  def writeShardPartitioned(df: DataFrame, path: String): Unit =
+    df.repartition(col("shard"))
+      .sortWithinPartitions(col("start_tok"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Small-files compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. Streaming/incremental sinks accrete
     * tiny files (one per micro-batch per partition); at 100 TB the

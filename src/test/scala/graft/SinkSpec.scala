@@ -55,6 +55,35 @@ class SinkSpec extends SparkSpec {
     assert(pruned.count() == 1) // only the touched day's rows are read
   }
 
+  test("writeShardPartitioned: shard=N layout, in-file global order, lossless") {
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "shardsink").toString + "/shards"
+    val manifest = graft.queries.CorpusQueries.shardManifest(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")))
+    Sink.writeShardPartitioned(manifest, base)
+    // physical layout: one directory per shard id
+    val dirs = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    val wantShards = manifest.select("shard").distinct()
+      .collect().map(r => s"shard=${r.getLong(0)}").toSet
+    assert(dirs == wantShards)
+    // lossless round-trip
+    val back = spark.read.parquet(base)
+    assert(back.count() == manifest.count())
+    assert(back.select(sum("n_tokens")).head.getLong(0) ==
+      manifest.select(sum("n_tokens")).head.getLong(0))
+    // every physical file is internally ordered by start_tok (the
+    // trainer's zero-sort streaming contract)
+    for (d <- new java.io.File(base).listFiles() if d.getName.startsWith("shard=");
+         f <- d.listFiles() if f.getName.endsWith(".parquet")) {
+      val starts = spark.read.parquet(f.getAbsolutePath)
+        .select("start_tok").collect().map(_.getLong(0)).toSeq
+      assert(starts == starts.sorted, s"${f.getName} not in manifest order")
+    }
+  }
+
   test("quarantine splits rows by named rules, nulls count as violations") {
     val df = Seq(
       (1L, Some("ok"), 5),
