@@ -54,6 +54,14 @@ object Bench {
       }
       // a failed run must never be the recorded time (a fast-fail would
       // masquerade as a fast query); both runs failing → sentinel -1
+      //
+      // Iterative operators (PageRank/BFS/k-means loops) persist or
+      // checkpoint intermediate state that stays referenced by the
+      // LAZY result plan, so it cannot be freed inside the query;
+      // dropped HERE so one query's cached graph never pressures the
+      // next query's memory (measured: dimension-table queries
+      // inflated ~10× when benched after the graph family).
+      spark.catalog.clearCache()
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // The driver captures a ~2.2 KB stdout TAIL, and sbt appends its own
