@@ -597,6 +597,30 @@ object RelationalQueries {
                col("first_click") < col("first_purchase"))
         .orderBy("user_id")),
 
+    // Behavioral transition matrix — the event-type Markov chain over
+    // per-user ordered sequences (the sessionized-behavior model the
+    // funnel (q72) is a special path through): lag-1 pairs via one
+    // window on (user, ts, event_id), then a |types|²-bounded count
+    // matrix with fixed-point row-normalized probabilities (1e6·c div
+    // row total — exact integers, no float fold). Scale: one shuffle
+    // on user_id for the sequence window (sessions are short; no skew
+    // beyond per-user event counts), then aggregation onto a matrix
+    // whose size is VALUE-SPACE-bounded (#event types²), so the
+    // normalizing window costs nothing at any event volume.
+    "q120_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val seqW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val totW = Window.partitionBy("src")
+      t(s, dir, "events")
+        .withColumn("next", lead(col("event_type"), 1).over(seqW))
+        .where(col("next").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("row_total", sum("c").over(totW))
+        .withColumn("p_ppm", expr("(1000000 * c) div row_total"))
+        .orderBy("src", "dst")
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted by
     // weeks-since-cohort for each later activity week.
     "q73_cohort_retention" -> ((s, dir) => {
@@ -954,6 +978,19 @@ object RelationalQueries {
         |  FROM events GROUP BY user_id)
         |WHERE first_view < first_click AND first_click < first_purchase
         |ORDER BY user_id""".stripMargin,
+
+    "q120_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS src,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |m AS (SELECT src, dst, count(*) AS c FROM p
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, c,
+        |  CAST(sum(c) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+        |  (1000000 * c) // CAST(sum(c) OVER (PARTITION BY src) AS BIGINT) AS p_ppm
+        |FROM m ORDER BY src, dst""".stripMargin,
 
     "q73_cohort_retention" ->
       """WITH firsts AS (

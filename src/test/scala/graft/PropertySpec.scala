@@ -17,6 +17,28 @@ class PropertySpec extends SparkSpec {
 
   private val word = Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(8))
 
+  test("q120 transition matrix: row-stochastic within floor loss, pair-count conserving") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q120_event_transitions")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((src, g) <- rows.groupBy(_._1)) {
+      val tot = g.head._4
+      assert(g.forall(_._4 == tot), s"$src: inconsistent row_total")
+      assert(g.map(_._3).sum == tot, s"$src: counts don't sum to row_total")
+      val psum = g.map(_._5).sum
+      // floors lose < 1 ppm per cell, never exceed 1e6
+      assert(psum <= 1000000L && psum > 1000000L - g.length,
+        s"$src: p_ppm sums to $psum over ${g.length} cells")
+    }
+    // total pair count = events - one per user with >= 1 event
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val want = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == want)
+  }
+
   test("salary extraction: lower==g2*1000 and upper==g3*1000 for generated ranges") {
     val cases = samples(Gen.zip(Gen.choose(1, 999), Gen.choose(1, 999), word), 20)
     val df = cases.map { case (lo, hi, w) => (s"$w hiring ${lo}k - ${hi}k", lo, hi) }
