@@ -105,6 +105,71 @@ object PageRank {
     iterate(adj, degBase, iters)
   }
 
+  /** Weighted PageRank: edges carry an integer multiplicity `w` (link
+    * count between hosts in the web-graph reading) and a node's rank
+    * flows out PROPORTIONALLY to edge weight — contribution u→v =
+    * (r(u) · w(u,v)) div W(u) with W(u) the node's total out-weight.
+    * Exact integers throughout: r ≤ Mass = 10^12, so the r·w product
+    * stays inside int64 for any w ≤ ~9·10^6 — far above real link
+    * multiplicities. Same uniform teleport as [[run]]; same
+    * one-shuffle-per-iteration scale shape, with (deg → W) the only
+    * structural change. */
+  def runWeighted(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val adj = edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("src"))
+      .persist()
+    val wsum = adj.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("wtot"))
+    val n = wsum.agg(count(lit(1)).as("n"))
+    val degBase = wsum.crossJoin(broadcast(n))
+      .select(col("node"), col("wtot"),
+        expr(s"${Mass}L div n").as("rank"),
+        expr(s"(15 * (${Mass}L div n)) div 100").as("base"))
+      .persist()
+    val r0 = degBase.select(col("node"), col("wtot"), col("rank"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      // per-edge contribution: the weight rides in the adjacency, so
+      // the join payload is still (src, rank, wtot) and the product
+      // is row-local after the join
+      val contribs = adj.join(
+          r.select(col("node").as("src"), col("rank"), col("wtot")), "src")
+        .select(col("dst").as("node"),
+          expr("(rank * w) div wtot").as("contrib"))
+      val in = contribs.groupBy("node").agg(sum("contrib").as("insum"))
+      degBase.join(in, Seq("node"), "left")
+        .select(col("node"), col("wtot"),
+          (expr(s"($DampNum * coalesce(insum, 0L)) div $DampDen") +
+            col("base")).as("rank"))
+    }
+  }
+
+  /** [[runWeighted]]'s twin: expects `e` (src, dst, w); ends in `pr` =
+    * (node, wtot, rank). */
+  def oracleWeightedCtes(iters: Int): String = {
+    def step(i: Int): String =
+      s"""m$i AS (SELECT a.dst AS node,
+         |    CAST(sum((r.rank * a.w) // r.wtot) AS BIGINT) AS insum
+         |  FROM adj a JOIN r${i - 1} r ON r.node = a.src GROUP BY 1),
+         |r$i AS (SELECT d.node, d.wtot,
+         |    CAST(($DampNum * coalesce(m$i.insum, 0)) // $DampDen AS BIGINT)
+         |      + d.base AS rank
+         |  FROM db d LEFT JOIN m$i ON m$i.node = d.node)""".stripMargin
+    s"""adj AS MATERIALIZED (
+       |  SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+       |ws AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wtot
+       |  FROM adj GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM ws),
+       |db AS MATERIALIZED (SELECT node, wtot,
+       |    CAST($Mass // nn.n AS BIGINT) AS rank,
+       |    CAST((15 * ($Mass // nn.n)) // 100 AS BIGINT) AS base
+       |  FROM ws CROSS JOIN nn),
+       |r0 AS (SELECT node, wtot, rank FROM db),
+       |${(1 to iters).map(step).mkString(",\n")},
+       |pr AS (SELECT node, wtot, rank FROM r$iters)""".stripMargin
+  }
+
   /** Symmetrized adjacency (persisted, src-partitioned) + degrees. */
   private def adjacency(edges: DataFrame): (DataFrame, DataFrame) = {
     val adj = edges.select(col("src"), col("dst"))

@@ -78,6 +78,29 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // Weighted PageRank: the purchase graph with edge MULTIPLICITY —
+    // w(customer, supplier) = number of distinct orders between them —
+    // and rank flowing out proportionally to weight (the web-graph
+    // link-count weighting). The aggregation that builds w replaces
+    // q112's distinct; everything downstream is the same
+    // one-shuffle-per-iteration machinery with total out-weight in
+    // place of degree.
+    "q121_weighted_pagerank" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val edges = orders.join(lineitem,
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(countDistinct(col("o_orderkey")).as("w"))
+      PageRank.runWeighted(edges, Iters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("wtot"), col("rank"))
+        .orderBy("node")
+    }),
+
     // TrustRank: the q112 damped propagation with the teleport mass
     // concentrated on the q113 seed set (nation-0 suppliers) — "trust
     // flowed from the whitelist through the link structure", the
@@ -144,6 +167,18 @@ object GraphQueries {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  CASE WHEN dist >= ${Bfs.Inf} THEN -1 ELSE dist END AS dist
          |FROM bfs ORDER BY node""".stripMargin,
+
+    "q121_weighted_pagerank" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+         |    CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS w
+         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |${PageRank.oracleWeightedCtes(Iters)}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  wtot, rank
+         |FROM pr ORDER BY node""".stripMargin,
 
     "q119_trustrank" ->
       s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),

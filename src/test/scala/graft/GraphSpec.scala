@@ -79,6 +79,43 @@ class GraphSpec extends SparkSpec {
     assert(base == shuffled)
   }
 
+  test("weighted PageRank with unit weights reduces exactly to the unweighted ranks") {
+    val rng = new scala.util.Random(29)
+    val edges = (0 until 90).map(_ =>
+      (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+      .filter { case (s, d) => s != d }.distinct
+    val plain = runToMap(edges, 3)
+    val weighted = PageRank.runWeighted(
+        edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(weighted == plain)
+  }
+
+  test("weighted PageRank matches a driver-side weighted reference fold") {
+    val rng = new scala.util.Random(31)
+    val edges = (0 until 70).map(_ =>
+        (rng.nextInt(18).toLong, rng.nextInt(18).toLong,
+          (rng.nextInt(5) + 1).toLong))
+      .filter { case (s, d, _) => s != d }
+      .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq // unique pairs
+    val sym = edges ++ edges.map { case (s, d, w) => (d, s, w) }
+    val adj = sym.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(e => (e._2, e._3)) }
+    val wtot = adj.map { case (s, es) => s -> es.map(_._2).sum }
+    val n = wtot.size.toLong
+    val base = (15L * (PageRank.Mass / n)) / 100L
+    var r = wtot.map { case (v, _) => v -> PageRank.Mass / n }
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, es) <- adj; (d, w) <- es) in(d) += (r(u) * w) / wtot(u)
+      r = wtot.map { case (v, _) =>
+        v -> ((PageRank.DampNum * in(v)) / PageRank.DampDen + base) }
+    }
+    val got = PageRank.runWeighted(edges.toDF("src", "dst", "w"), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(got == r)
+  }
+
   /** Driver-side TrustRank reference: seed-concentrated base/start. */
   private def refTrust(edges: Seq[(Long, Long)], seeds: Set[Long],
                        iters: Int): Map[Long, Long] = {
