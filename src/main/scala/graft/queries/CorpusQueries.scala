@@ -336,7 +336,38 @@ object CorpusQueries {
       shardManifest(survivors).join(survivors, Seq("doc_id", "n_tokens"))
         .select("doc_id", "n_tokens", "avg_iw", "start_tok", "shard")
         .orderBy("doc_id")
+    }),
+
+    // Curriculum manifest — q118's shards in training ORDER (mean
+    // importance descending, the "cleanest data first" curriculum
+    // recipe). Shard-sized output; the rank window is over thousands
+    // of rows at any corpus scale. Token-weighted mean as exact
+    // integer division of two exact sums.
+    "q122_curriculum" -> ((s, dir) => {
+      val manifest = queries("q118_selection_pipeline")(s, dir)
+      curriculum(manifest).orderBy("curriculum_pos")
     }))
+
+  /** q122: the curriculum view of q118's manifest — shard-level
+    * training ORDER. Curriculum learning feeds easier/cleaner data
+    * first; with importance as the difficulty proxy, the curriculum
+    * position is just shards ranked by mean importance (descending:
+    * most target-like first). Output is SHARD-sized (thousands of
+    * rows for a 100 TB corpus), so the ranking window is trivially
+    * cheap — all heavy lifting happened in the doc-level stages, and
+    * the mean is an exact integer div of two exact sums. */
+  def curriculum(manifest: DataFrame): DataFrame = {
+    val shards = manifest.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      sum(col("avg_iw") * col("n_tokens")).as("iw_tok"))
+    val w = Window.partitionBy().orderBy(
+      expr("iw_tok div total_tokens").desc, col("shard").asc)
+    shards
+      .withColumn("mean_iw", expr("iw_tok div total_tokens"))
+      .withColumn("curriculum_pos", row_number().over(w))
+      .select("curriculum_pos", "shard", "n_docs", "total_tokens", "mean_iw")
+  }
 
   /** q116/q118's two-level global prefix sum over a (doc_id, n_tokens)
     * frame: content-addressed global order (md5 of the doc id), local
@@ -431,6 +462,32 @@ object CorpusQueries {
        |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
        |  WHERE d.doc_id % 10 <> 0)""".stripMargin
 
+  /** The q118 selection chain (DSIR → decon gate → median cutoff →
+    * shard manifest), ending in `surv` + `sm` — shared by the q118 and
+    * q122 oracles. */
+  private def selectionCtes: String =
+    s"""$dsirCtes,
+       |g AS ($docGramsSql),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+       |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+       |  WHERE g.doc_id % 13 <> 0),
+       |pool AS MATERIALIZED (SELECT doc_id, n_tokens,
+       |    (iw + n_tokens * 1000000) // n_tokens AS avg_iw
+       |  FROM dsir_iw
+       |  WHERE doc_id % 13 <> 0 AND n_tokens > 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |hist AS (SELECT avg_iw, count(*) AS cnt FROM pool GROUP BY 1),
+       |cum AS (SELECT avg_iw, CAST(sum(cnt) OVER (ORDER BY avg_iw DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum
+       |  FROM hist),
+       |nn AS (SELECT count(*) AS n FROM pool),
+       |vs AS (SELECT max(CASE WHEN cum >= (n + 1) // 2 THEN avg_iw END)
+       |    AS vstar FROM cum CROSS JOIN nn),
+       |surv AS MATERIALIZED (SELECT doc_id, n_tokens, avg_iw
+       |  FROM pool CROSS JOIN vs WHERE avg_iw >= vstar),
+       |${shardCtesSql("surv")}""".stripMargin
+
   /** q116/q118's two-level shard chain over a (doc_id, n_tokens) CTE
     * named `src`, ending in `sm` = (doc_id, n_tokens, start_tok,
     * shard). */
@@ -461,30 +518,24 @@ object CorpusQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q118_selection_pipeline" ->
-      s"""WITH $dsirCtes,
-         |g AS ($docGramsSql),
-         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
-         |dirty AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
-         |  WHERE g.doc_id % 13 <> 0),
-         |pool AS MATERIALIZED (SELECT doc_id, n_tokens,
-         |    (iw + n_tokens * 1000000) // n_tokens AS avg_iw
-         |  FROM dsir_iw
-         |  WHERE doc_id % 13 <> 0 AND n_tokens > 0
-         |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
-         |hist AS (SELECT avg_iw, count(*) AS cnt FROM pool GROUP BY 1),
-         |cum AS (SELECT avg_iw, CAST(sum(cnt) OVER (ORDER BY avg_iw DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS cum
-         |  FROM hist),
-         |nn AS (SELECT count(*) AS n FROM pool),
-         |vs AS (SELECT max(CASE WHEN cum >= (n + 1) // 2 THEN avg_iw END)
-         |    AS vstar FROM cum CROSS JOIN nn),
-         |surv AS MATERIALIZED (SELECT doc_id, n_tokens, avg_iw
-         |  FROM pool CROSS JOIN vs WHERE avg_iw >= vstar),
-         |${shardCtesSql("surv")}
+      s"""WITH $selectionCtes
          |SELECT sm.doc_id, sm.n_tokens, surv.avg_iw, sm.start_tok, sm.shard
          |FROM sm JOIN surv ON surv.doc_id = sm.doc_id
          |ORDER BY sm.doc_id""".stripMargin,
+
+    "q122_curriculum" ->
+      s"""WITH $selectionCtes,
+         |sh AS (SELECT sm.shard, count(*) AS n_docs,
+         |    CAST(sum(sm.n_tokens) AS BIGINT) AS total_tokens,
+         |    CAST(sum(surv.avg_iw * sm.n_tokens) AS BIGINT) AS iw_tok
+         |  FROM sm JOIN surv ON surv.doc_id = sm.doc_id
+         |  GROUP BY sm.shard)
+         |SELECT row_number() OVER (
+         |    ORDER BY iw_tok // total_tokens DESC, shard ASC)
+         |    AS curriculum_pos,
+         |  shard, n_docs, total_tokens,
+         |  iw_tok // total_tokens AS mean_iw
+         |FROM sh ORDER BY curriculum_pos""".stripMargin,
 
     "q116_shard_manifest" ->
       s"""WITH d AS (

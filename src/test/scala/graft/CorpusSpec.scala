@@ -97,6 +97,27 @@ class CorpusSpec extends SparkSpec {
     assert(rows.length > 450 / 3, s"only ${rows.length} survivors")
   }
 
+  test("q122 curriculum: dense positions, monotone difficulty, conserves the manifest") {
+    val dir = "/root/testdata/sf0.001"
+    val manifest = SparkEntry.queries("q118_selection_pipeline")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(4))) // (n_tokens, shard)
+    val rows = SparkEntry.queries("q122_curriculum")(spark, dir)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // positions are 1..n in order
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    // curriculum = easiest (highest mean importance) first
+    val means = rows.map(_._5)
+    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+      "mean_iw must be non-increasing along curriculum order")
+    // shard set, doc counts, and token totals conserve the manifest
+    val wantByShard = manifest.groupBy(_._2)
+      .map { case (sh, ds) => sh -> ((ds.length.toLong, ds.map(_._1).sum)) }
+    val gotByShard = rows.map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(gotByShard == wantByShard)
+  }
+
   test("importance weights: linear output, n_tokens exact, iw bounded") {
     val docsDf = Seq(
       (0L, "alpha beta gamma"), // target slice
