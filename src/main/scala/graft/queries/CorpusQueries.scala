@@ -317,11 +317,16 @@ object CorpusQueries {
       val dirty = g.where(col("doc_id") % 13 =!= 0)
         .join(broadcast(bench), Seq("gram"))
         .select(col("doc_id")).distinct()
+      // pool feeds the histogram, the count, AND the survivor filter —
+      // persisted so the three references hit one materialization
+      // instead of re-running the DSIR chain per reference (Catalyst
+      // has no CTE sharing across DataFrame references)
       val pool = iw.where(col("doc_id") % 13 =!= 0 && col("n_tokens") > 0)
         .join(dirty.withColumn("dirty", lit(true)), Seq("doc_id"), "left")
         .where(col("dirty").isNull)
         .select(col("doc_id"), col("n_tokens"),
           expr("(iw + n_tokens * 1000000L) div n_tokens").as("avg_iw"))
+        .persist()
       val hist = pool.groupBy("avg_iw").agg(count(lit(1)).as("cnt"))
       val cumW = Window.partitionBy().orderBy(col("avg_iw").desc)
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -333,6 +338,7 @@ object CorpusQueries {
       val survivors = pool.crossJoin(broadcast(cutoff))
         .where(col("avg_iw") >= col("vstar"))
         .select("doc_id", "n_tokens", "avg_iw")
+        .persist() // referenced by the shard build AND the attach join
       shardManifest(survivors).join(survivors, Seq("doc_id", "n_tokens"))
         .select("doc_id", "n_tokens", "avg_iw", "start_tok", "shard")
         .orderBy("doc_id")
