@@ -282,14 +282,17 @@ object CorpusQueries {
     // sequential token packing (shard = tokens-before div ShardTokens;
     // a shard never splits a doc). The SCALE pattern is the point: a
     // naive global window is ONE reducer holding the whole corpus, so
-    // the prefix sum runs TWO-LEVEL — partial cumsums inside 16
-    // hash-prefix ranges of the order key (parallel, range = leading
-    // hex char so ranges ARE contiguous slices of the global order),
-    // range totals fold to broadcast offsets (16-row window, bounded
-    // by construction), offset + local cumsum = exact global position.
-    // At 100 TB the prefix length is the parallelism knob (3 hex chars
-    // = 4096-way). All-integer arithmetic; one shuffle on the range
-    // key, one broadcast join back.
+    // the prefix sum runs TWO-LEVEL — partial cumsums inside
+    // 16^prefixLen hash-prefix ranges of the order key (parallel,
+    // range = leading hex chars so ranges ARE contiguous slices of the
+    // global order), range totals fold to broadcast offsets (bounded
+    // window by construction), offset + local cumsum = exact global
+    // position. The prefix length is a real PARAMETER of shardManifest
+    // since round 7 (the 100 TB parallelism knob: prefixLen = 3 is
+    // 4096-way), with the output invariant in it — ScaleSpec pins
+    // prefixLen 1 vs 2 bit-identical; this declared binding keeps the
+    // 16-way default, mirrored in the oracle. All-integer arithmetic;
+    // one shuffle on the range key, one broadcast join back.
     "q116_shard_manifest" -> ((s, dir) =>
       shardManifest(docs(s, dir).select(col("doc_id"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
@@ -377,12 +380,28 @@ object CorpusQueries {
 
   /** q116/q118's two-level global prefix sum over a (doc_id, n_tokens)
     * frame: content-addressed global order (md5 of the doc id), local
-    * cumsums inside 16 hash-prefix ranges, 16-row offsets broadcast
-    * back. Returns (doc_id, n_tokens, start_tok, shard). */
-  def shardManifest(d0: DataFrame): DataFrame = {
+    * cumsums inside 16^prefixLen hash-prefix ranges, range offsets
+    * broadcast back. Returns (doc_id, n_tokens, start_tok, shard).
+    *
+    * `prefixLen` IS the parallelism knob at scale: each range is one
+    * window-sort task holding 1/16^prefixLen of the corpus, so a
+    * 100 TB run wants prefixLen = 3 (4096-way) while the fixture
+    * default stays 1 (16-way — fewer, fuller partitions at local
+    * scale). The OUTPUT is prefix-length-invariant by construction:
+    * ranges are contiguous slices of the global (h, doc_id) order for
+    * any length (a longer prefix only splits each slice), and the
+    * offset fold is ordered by the same prefix strings — ScaleSpec
+    * pins bit-identical frames for prefixLen 1 vs 2, and the oracle
+    * rendering ([[shardCtesSql]]) takes the same parameter. The
+    * offsets window is bounded by construction (16^prefixLen rows);
+    * prefixLen ≤ 8 keeps it ≤ 4×10^9 — far past any real cluster's
+    * useful task count. */
+  def shardManifest(d0: DataFrame, prefixLen: Int = 1): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen must be in [1, 8], got $prefixLen")
     val d = d0.select(col("doc_id"), col("n_tokens"),
         md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("r", substring(col("h"), 1, 1))
+      .withColumn("r", substring(col("h"), 1, prefixLen))
     val win = Window.partitionBy("r").orderBy("h", "doc_id")
     val local = d.withColumn("cum_in", sum("n_tokens").over(win))
     val offW = Window.partitionBy().orderBy("r")
@@ -496,13 +515,16 @@ object CorpusQueries {
 
   /** q116/q118's two-level shard chain over a (doc_id, n_tokens) CTE
     * named `src`, ending in `sm` = (doc_id, n_tokens, start_tok,
-    * shard). */
-  private def shardCtesSql(src: String): String =
+    * shard). `prefixLen` mirrors [[shardManifest]]'s fan-out knob —
+    * the rendered SQL must use the same value as the engine binding
+    * (both default to 1; output is invariant in it, see
+    * [[shardManifest]]). */
+  private def shardCtesSql(src: String, prefixLen: Int = 1): String =
     s"""sd AS (SELECT doc_id, n_tokens,
        |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM $src),
-       |sl AS (SELECT *, substr(h, 1, 1) AS r,
-       |    CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, 1)
+       |sl AS (SELECT *, substr(h, 1, $prefixLen) AS r,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, $prefixLen)
        |      ORDER BY h, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS cum_in
@@ -510,7 +532,7 @@ object CorpusQueries {
        |so AS (SELECT r, coalesce(CAST(sum(rtot) OVER (ORDER BY r
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
        |      0) AS off
-       |  FROM (SELECT substr(h, 1, 1) AS r, sum(n_tokens) AS rtot
+       |  FROM (SELECT substr(h, 1, $prefixLen) AS r, sum(n_tokens) AS rtot
        |        FROM sd GROUP BY 1)),
        |sm AS (SELECT sl.doc_id, sl.n_tokens,
        |    so.off + sl.cum_in - sl.n_tokens AS start_tok,

@@ -277,6 +277,40 @@ class PlanSpec extends SparkSpec {
       s"nested-loop join is not the 1-row bloom attach:\n$j"))
   }
 
+  test("q118/q122: every global (un-partitioned) window sits on an aggregate, never the corpus") {
+    // the bounded-window contract made structural: q118's median-cutoff
+    // cumulative window and q122's curriculum ranking are
+    // empty-partitionBy windows — safe ONLY because their input is a
+    // value-space-/shard-bounded AGGREGATE, not a corpus-sized frame.
+    // Pin it: walking down from each global WindowExec through
+    // narrow/exchange operators must reach an Aggregate before any
+    // scan, join, or other window. A revert (windowing the pool
+    // directly) funnels the corpus through one reducer and fails here.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: SortExec | _: ProjectExec | _: FilterExec |
+           _: exchange.ShuffleExchangeExec | _: InputAdapter |
+           _: WholeStageCodegenExec | _: CoalesceExec =>
+        boundedBelow(p.children.head)
+      case _ => false
+    }
+    for (q <- Seq("q118_selection_pipeline", "q122_curriculum")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      val global = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.nonEmpty, s"$q: expected global windows to pin")
+      global.foreach(w => assert(boundedBelow(w.child),
+        s"$q: global window over a non-aggregate input:\n$w"))
+    }
+    // the q118 builder persists its pool/survivor frames (the
+    // caller-must-clearCache contract) — release them here
+    spark.catalog.clearCache()
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"

@@ -270,6 +270,34 @@ class ScaleSpec extends SparkSpec {
     assert(rep == one.map { case (a, b, d, n) => (a, b, d, n * k * k) })
   }
 
+  test("shardManifest is prefix-length invariant: fan-out 16 vs 256 is bit-identical") {
+    // the 100 TB parallelism knob must not change the answer: ranges
+    // are contiguous slices of the global (h, doc_id) order for ANY
+    // prefix length, so widening the fan-out only splits slices. A
+    // divergence here means the offset fold stopped matching the
+    // global order (e.g. a non-lexicographic range key) — exactly the
+    // bug class that would silently corrupt every manifest at scale.
+    import graft.queries.CorpusQueries
+    val d = spark.range(2000).select(
+      (col("id") * 7 % 2311).as("doc_id"),       // non-contiguous ids
+      (col("id") % 37 + 1).as("n_tokens"))
+    def manifest(p: Int): Seq[(Long, Long, Long, Long)] =
+      CorpusQueries.shardManifest(d, prefixLen = p)
+        .orderBy("doc_id")
+        .collect().toSeq.map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val one = manifest(1)
+    assert(one == manifest(2))
+    // and the result is a true global prefix sum: sorted by start_tok,
+    // each start is the previous start + previous n_tokens, from 0
+    val byPos = one.sortBy(_._3)
+    assert(byPos.head._3 == 0L)
+    byPos.sliding(2).foreach { case Seq((_, n0, s0, _), (_, _, s1, _)) =>
+      assert(s1 == s0 + n0, s"gap in global order at start_tok $s1")
+    case _ => ()
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wh = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "warehouse").toString
