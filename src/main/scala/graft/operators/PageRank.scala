@@ -19,10 +19,16 @@ import org.apache.spark.sql.functions._
   *    0.85 as exact integer cross-multiplication, every division an
   *    integral `div` on non-negative operands (truncation = floor), so
   *    both engines produce bit-identical ranks at every iteration.
-  *  - the graph is undirected (each edge contributes both directions),
-  *    so every node in the edge list has deg ≥ 1 and out-mass — no
+  *  - [[run]]/[[runTrust]]/[[runWeighted]] treat the graph as
+  *    undirected (each edge contributes both directions), so every
+  *    node in the edge list has deg ≥ 1 and out-mass — no
   *    dangling-mass redistribution term is needed; isolated nodes are
-  *    simply absent from the edge list (they'd keep base mass forever).
+  *    simply absent from the edge list (they'd keep base mass
+  *    forever). [[runDirected]] is the web-graph case proper: edges
+  *    flow one way, sink nodes (outdeg 0) exist, and their mass is
+  *    redistributed uniformly each iteration — still exact-integer
+  *    (share = danglingMass div n, truncation loss ≤ n-1 units of
+  *    10^-12 mass per round).
   *
   * Scale shape (the Pregel/GraphX message-passing pattern expressed
   * relationally, which is how GraphFrames runs it too):
@@ -48,6 +54,16 @@ import org.apache.spark.sql.functions._
   * ranking-as-a-feature (GraphFrames defaults to maxIter rather than
   * tolerance for the same reason): the judge-facing differential
   * oracle unrolls the same iterations as CTEs.
+  *
+  * CACHE CONTRACT: every run* variant `persist()`s its adjacency and
+  * degree/base frames — they are re-read each iteration and by the
+  * caller's (lazy) result plan, so they cannot be unpersisted inside
+  * the operator. The CALLER owns the release once the result is
+  * consumed: Verify/Bench call `spark.catalog.clearCache()` after
+  * every query; library users should do the same (or track
+  * `sparkSession.sharedState.cacheManager`) between unrelated jobs.
+  * [[graft.operators.Bfs]] and the q118 selection pipeline share this
+  * contract.
   */
 object PageRank {
 
@@ -143,6 +159,94 @@ object PageRank {
           (expr(s"($DampNum * coalesce(insum, 0L)) div $DampDen") +
             col("base")).as("rank"))
     }
+  }
+
+  /** DIRECTED PageRank with dangling-mass redistribution — the actual
+    * web-graph formulation (Page et al. 1999; Langville & Meyer's
+    * "dangling node" fix): edges flow src → dst only, a node's rank
+    * streams out over its OUT-degree, and the mass held by sink nodes
+    * (outdeg 0 — a page with no outlinks) teleports uniformly to every
+    * node each iteration instead of evaporating. Exact integers:
+    * r'(v) = base + (85 · (Σ_{u→v} r(u) div outdeg(u) + D div n))
+    * div 100 with D = Σ_{outdeg(u)=0} r(u) — every division integral
+    * on non-negative operands, so the unrolled-CTE oracle agrees
+    * bit-for-bit. On a SYMMETRIC edge list (both directions present,
+    * no sinks) D = 0 and this reproduces [[run]] exactly — pinned in
+    * GraphSpec.
+    *
+    * Scale shape = [[run]] plus one 1-row aggregate per iteration:
+    * the dangling sum is a tree-reduced scalar broadcast back (the
+    * q77 scalar-join idiom), NOT a data shuffle — the per-iteration
+    * exchange still carries only (dst, partial contribution) rows.
+    * The node universe is src ∪ dst (distinct), built once and
+    * persisted with the adjacency (cache contract above). Returns
+    * (node, outdeg, rank). */
+  def runDirected(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val adj = edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .persist()
+    val outdeg = adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nodes = adj.select(col("src").as("node"))
+      .unionByName(adj.select(col("dst").as("node"))).distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    // (node, outdeg, n, rank0, base): n rides as a column so the
+    // per-iteration dangling share D div n is row-local after the
+    // 1-row dangling-mass broadcast joins in
+    val degBase = nodes
+      .join(outdeg, Seq("node"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        col("n"),
+        expr(s"${Mass}L div n").as("rank"),
+        expr(s"(15 * (${Mass}L div n)) div 100").as("base"))
+      .persist()
+    val r0 = degBase.select(col("node"), col("outdeg"), col("n"), col("rank"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      // contribution projected BEFORE the message join (exchange
+      // carries (src, contrib) only); src ∈ adj ⇒ outdeg ≥ 1, so the
+      // filter guards the division without losing mass
+      val contribs = r.where(col("outdeg") > 0)
+        .select(col("node").as("src"), expr("rank div outdeg").as("contrib"))
+      val in = adj.join(contribs, "src")
+        .groupBy(col("dst").as("node")).agg(sum("contrib").as("insum"))
+      val dangling = r.where(col("outdeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
+      degBase.join(in, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("outdeg"), col("n"),
+          (expr(s"($DampNum * (coalesce(insum, 0L) + dm div n)) div $DampDen") +
+            col("base")).as("rank"))
+    }.select("node", "outdeg", "rank")
+  }
+
+  /** [[runDirected]]'s twin: expects `e` (src, dst); ends in `pr` =
+    * (node, outdeg, rank). Each round unrolls a 1-row dangling-mass
+    * CTE cross-joined back, mirroring the engine's scalar broadcast. */
+  def oracleDirectedCtes(iters: Int): String = {
+    def step(i: Int): String =
+      s"""d$i AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm
+         |  FROM r${i - 1} WHERE outdeg = 0),
+         |m$i AS (SELECT a.dst AS node,
+         |    CAST(sum(r.rank // r.outdeg) AS BIGINT) AS insum
+         |  FROM adj a JOIN r${i - 1} r ON r.node = a.src GROUP BY 1),
+         |r$i AS (SELECT db.node, db.outdeg, db.n,
+         |    CAST(($DampNum * (coalesce(m$i.insum, 0) + d$i.dm // db.n))
+         |      // $DampDen AS BIGINT) + db.base AS rank
+         |  FROM db LEFT JOIN m$i ON m$i.node = db.node CROSS JOIN d$i)""".stripMargin
+    s"""adj AS MATERIALIZED (SELECT src, dst FROM e),
+       |od AS (SELECT src AS node, count(*) AS outdeg FROM adj GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |db AS MATERIALIZED (SELECT nodes.node,
+       |    CAST(coalesce(od.outdeg, 0) AS BIGINT) AS outdeg, nn.n,
+       |    CAST($Mass // nn.n AS BIGINT) AS rank,
+       |    CAST((15 * ($Mass // nn.n)) // 100 AS BIGINT) AS base
+       |  FROM nodes LEFT JOIN od ON od.node = nodes.node CROSS JOIN nn),
+       |r0 AS (SELECT node, outdeg, n, rank FROM db),
+       |${(1 to iters).map(step).mkString(",\n")},
+       |pr AS (SELECT node, outdeg, rank FROM r$iters)""".stripMargin
   }
 
   /** [[runWeighted]]'s twin: expects `e` (src, dst, w); ends in `pr` =

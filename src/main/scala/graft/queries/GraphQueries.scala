@@ -120,6 +120,26 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // DIRECTED PageRank over the purchase graph: edges flow
+    // customer → supplier only (money/attention flows to the supplier),
+    // which makes EVERY supplier a dangling node (no out-edges) — the
+    // web-graph sink case q112's undirected symmetrization cannot
+    // express. Dangling mass redistributes uniformly each iteration
+    // (exact-integer share), so supplier rank accumulates purchase
+    // in-links while customers keep only teleport + dangling shares —
+    // rank now measures "how much demand flows INTO this node", the
+    // directed citation/authority signal. Same
+    // one-data-shuffle-per-iteration machinery as q112 plus a 1-row
+    // dangling-sum broadcast per round.
+    "q123_directed_pagerank" -> ((s, dir) => {
+      PageRank.runDirected(purchaseEdges(s, dir), Iters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("outdeg"), col("rank"))
+        .orderBy("node")
+    }),
+
     // Centrality-weighted sample: the q85 sequential-Poisson order
     // sampling scheme with PageRank as the weight — inclusion
     // probability ∝ link centrality, the web-corpus "sample documents
@@ -188,6 +208,14 @@ object GraphQueries {
          |SELECT node,
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  deg, rank
+         |FROM pr ORDER BY node""".stripMargin,
+
+    "q123_directed_pagerank" ->
+      s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
+         |${PageRank.oracleDirectedCtes(Iters)}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  outdeg, rank
          |FROM pr ORDER BY node""".stripMargin,
 
     "q114_centrality_sample" ->

@@ -207,6 +207,60 @@ class GraphSpec extends SparkSpec {
         s"edge ($s,$d) violates relaxation: ${dist(s)} vs ${dist(d)}")
   }
 
+  /** Driver-side directed reference: out-degree flow + uniform
+    * dangling-mass redistribution, same truncating arithmetic. */
+  private def refDirected(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val outdeg = nodes.map(v => v -> adj.get(v).map(_.size.toLong).getOrElse(0L)).toMap
+    val n = nodes.size.toLong
+    val base = (15L * (PageRank.Mass / n)) / 100L
+    var r = nodes.map(v => v -> PageRank.Mass / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filter(outdeg(_) == 0L).map(r).sum
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, ds) <- adj; d <- ds) in(d) += r(u) / outdeg(u)
+      r = nodes.map(v =>
+        v -> ((PageRank.DampNum * (in(v) + dm / n)) / PageRank.DampDen + base)).toMap
+    }
+    r
+  }
+
+  test("directed PageRank matches the reference fold; dangling mass reaches sinks") {
+    val rng = new scala.util.Random(37)
+    // a directed graph with guaranteed sinks: nodes 20..24 only ever
+    // appear as destinations (the dangling web pages)
+    val edges = ((0 until 80).map(_ =>
+        (rng.nextInt(20).toLong, rng.nextInt(25).toLong)) :+ (0L, 21L))
+      .filter { case (s, d) => s != d }.distinct
+    val got = PageRank.runDirected(edges.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == refDirected(edges, 3))
+    // sinks exist, hold positive rank, and truncation never creates mass
+    assert(edges.exists(e => e._2 >= 20L))
+    assert((20L to 24L).filter(got.contains).forall(got(_) > 0L))
+    assert(got.values.sum <= PageRank.Mass)
+  }
+
+  test("directed PageRank on a symmetric sink-free edge list reproduces run() exactly") {
+    // the undirected algorithm IS the directed one on a symmetrized
+    // graph (every node has out-edges → dangling mass is identically
+    // zero), so the two code paths must agree bit-for-bit — the
+    // contract that makes runDirected a strict generalization
+    val rng = new scala.util.Random(41)
+    // canonical orientation (s < d) so run()'s symmetrization and the
+    // explicit sym list below produce the same multiset of arcs
+    val edges = (0 until 90).map(_ =>
+      (rng.nextInt(22).toLong, rng.nextInt(22).toLong))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val undirected = runToMap(edges, 3)
+    val sym = (edges ++ edges.map { case (s, d) => (d, s) }).distinct
+    val directed = PageRank.runDirected(sym.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(directed == undirected)
+  }
+
   test("deg column is the undirected degree") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
     val degs = PageRank.run(edges.toDF("src", "dst"), 1)
