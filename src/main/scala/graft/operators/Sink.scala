@@ -29,9 +29,18 @@ object Sink {
     * the shard key; each shard is token-bounded by construction
     * (ShardTokens + one doc), so output files are uniformly sized at
     * any corpus scale. */
+  /* The within-partition sort leads with `shard` so the dynamic
+   * partition writer's required ordering (partition columns) is
+   * satisfied by the existing sort — otherwise FileFormatWriter inserts
+   * its own sort on `shard` alone and the per-file `start_tok` order
+   * would hang on that sort's (unspecified) stability. With the
+   * explicit prefix sort the physical row order inside each shard file
+   * IS the manifest's global order — verified DIFFERENTIALLY by q124
+   * (read-back file positions vs the manifest oracle), not just by
+   * spec. */
   def writeShardPartitioned(df: DataFrame, path: String): Unit =
     df.repartition(col("shard"))
-      .sortWithinPartitions(col("start_tok"))
+      .sortWithinPartitions(col("shard"), col("start_tok"))
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(path)

@@ -347,6 +347,39 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Shard-sink ROUND-TRIP — the physical end of the manifest enters
+    // the differential surface: write q116's manifest through
+    // Sink.writeShardPartitioned (shard=N parquet layout, rows inside
+    // each file in exact global order), read the layout back, and emit
+    // every row with its shard (recovered from the partition DIRECTORY,
+    // not the column — partitionBy moves it into the path) and its
+    // PHYSICAL file-order position. The position comes from
+    // monotonically_increasing_id's partition-local counter (increments
+    // in read order) minus the per-file minimum — no re-sort of the
+    // read-back data, so a writer that scrambled, dropped, duplicated,
+    // or mis-binned rows hash-mismatches the oracle, which derives
+    // (shard, pos) independently from the manifest CTEs. NOTE (the
+    // builder has a side effect): invoking this builder WRITES
+    // target/q124_roundtrip/<sf>; plan-only harnesses pay one
+    // shard-sized write. Verification-scale contract: a shard file must
+    // not split across read partitions (files.maxPartitionBytes above
+    // shard size — shards are token-bounded, so this holds by config at
+    // any corpus scale).
+    "q124_shard_roundtrip" -> ((s, dir) => {
+      val manifest = shardManifest(docs(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
+      val path = "target/q124_roundtrip/" + new java.io.File(dir).getName
+      graft.operators.Sink.writeShardPartitioned(manifest, path)
+      val perFile = Window.partitionBy("fp")
+      s.read.parquet(path)
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("fp", col("_metadata.file_path"))
+        .withColumn("pos", (col("mid") - min("mid").over(perFile)).cast("long"))
+        .select(col("shard").cast("long").as("shard"), col("pos"),
+          col("doc_id"), col("n_tokens"), col("start_tok"))
+        .orderBy("shard", "pos")
+    }),
+
     // Curriculum manifest — q118's shards in training ORDER (mean
     // importance descending, the "cleanest data first" curriculum
     // recipe). Shard-sized output; the rank window is over thousands
@@ -573,6 +606,22 @@ object CorpusQueries {
          |${shardCtesSql("d")}
          |SELECT doc_id, n_tokens, start_tok, shard FROM sm
          |ORDER BY doc_id""".stripMargin,
+
+    // q124: (shard, pos) derived INDEPENDENTLY from the manifest CTEs —
+    // the engine side read them back from the physical layout, so
+    // hash-equality proves the write→read round trip including per-file
+    // row order.
+    "q124_shard_roundtrip" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |${shardCtesSql("d")}
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY start_tok)
+         |    - 1 AS BIGINT) AS pos,
+         |  doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok
+         |FROM sm ORDER BY shard, pos""".stripMargin,
 
     "q76_stratified_sample" ->
       s"""SELECT lang, rank, doc_id, h FROM (
