@@ -61,6 +61,24 @@ object Similarity {
     * with the same seed. */
   val planes: Seq[Seq[Int]] = planesFor(NumPlanes)
 
+  /** Upper bound of the adaptive plane count ([[planesForCorpus]]'s
+    * cap): adaptive oracle renderings embed this many plane literals
+    * per table and gate each bit on `i < b`. */
+  val MaxPlanes = 30
+
+  /** DuckDB scalar mirroring [[planesForCorpus]](count of `tbl`):
+    * buckets = ceil(n / occupancy), b = clamp(ceil_log2(buckets),
+    * [NumPlanes, MaxPlanes]) — all integer ops (`<<` comparison
+    * instead of a float log2, whose rounding near powers of two would
+    * be an engine/oracle divergence waiting to happen). */
+  def planesForCorpusSql(tbl: String = "embeddings",
+                         targetOccupancy: Int = 100): String =
+    s"""least($MaxPlanes, greatest($NumPlanes, coalesce(
+       |  (SELECT min(i) FROM generate_series(0, $MaxPlanes) t(i)
+       |   WHERE (CAST(1 AS BIGINT) << i) >=
+       |     (SELECT (count(*) + ${targetOccupancy - 1}) // $targetOccupancy
+       |      FROM $tbl)), $MaxPlanes)))""".stripMargin
+
   // float literals: graft_dot takes array<float>; the small-int
   // components are exact in float, so values match the SQL rendering's
   // CAST(c AS DOUBLE).
@@ -79,6 +97,18 @@ object Similarity {
   def bucketForSql(vE: String, ps: Seq[Seq[Int]]): String =
     ps.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${Dedup.dotProductSql(vE, planeLitSql(p))} > 0.0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Adaptive-width bucket rendering: all [[MaxPlanes]] plane literals
+    * of `seed`'s table, each bit gated on `i < bE` (a scalar column
+    * holding [[planesForCorpusSql]]'s value). The outer CASE evaluates
+    * its THEN branch lazily, so planes past `b` cost no dot products.
+    * Bit-identical to [[bucketForSql]] over planesFor(b, seed) for any
+    * b ≤ MaxPlanes — the LCG generates planes sequentially, so a wider
+    * table's prefix IS the narrower table. */
+  def bucketForSqlAdaptive(vE: String, bE: String, seed: Long = DefaultSeed): String =
+    planesFor(MaxPlanes, seed).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN $i < $bE THEN (CASE WHEN ${Dedup.dotProductSql(vE, planeLitSql(p))} > 0.0 THEN ${1 << i} ELSE 0 END) ELSE 0 END)"
     }.mkString(" + ")
 
   /** Default-table 8-bit bucket (the q56/q66 surface). */
@@ -332,6 +362,63 @@ object Similarity {
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    ${Dedup.dotProductSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
        |  FROM probes a JOIN cand b ON b.bucket = a.probe AND a.vec_id < b.vec_id)
+       |WHERE cosine >= $minCosine""".stripMargin
+  }
+
+  /** [[nearDupPairsDuckSql]]'s corpus-adaptive twin: the plane count is
+    * not a baked literal but the SQL-computed
+    * [[planesForCorpusSql]] scalar — the rendering that stays correct
+    * when the engine binds numPlanes = planesForCorpus(count). The
+    * probe list is built dynamically (own bucket + one xor per plane
+    * below b) so candidate semantics track the bucket width exactly. */
+  def nearDupPairsAdaptiveDuckSql(minCosine: Double,
+                                  cap: Int = Dedup.MaxBucket,
+                                  seed: Long = DefaultSeed): String =
+    s"""WITH nb AS (SELECT ${planesForCorpusSql()} AS b),
+       |e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm,
+       |    ${bucketForSqlAdaptive("embedding", "nb.b", seed)} AS bucket, nb.b AS b
+       |  FROM embeddings CROSS JOIN nb),
+       |cand AS (SELECT vec_id, embedding, nrm, bucket FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk FROM e)
+       |  WHERE rk <= $cap),
+       |probes AS (SELECT vec_id, embedding, nrm,
+       |    unnest(list_concat([CAST(bucket AS BIGINT)],
+       |      list_transform(range(0, b),
+       |        i -> xor(CAST(bucket AS BIGINT), CAST(1 AS BIGINT) << i)))) AS probe
+       |  FROM e)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${Dedup.dotProductSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |  FROM probes a JOIN cand b ON CAST(b.bucket AS BIGINT) = a.probe AND a.vec_id < b.vec_id)
+       |WHERE cosine >= $minCosine""".stripMargin
+
+  /** [[multiTableNearDupPairsDuckSql]]'s corpus-adaptive twin — same
+    * dynamic plane count applied to every independent table. */
+  def multiTableNearDupPairsAdaptiveDuckSql(minCosine: Double, numTables: Int,
+                                            cap: Int = Dedup.MaxBucket): String = {
+    val arms = (0 until numTables).map { t =>
+      s"""SELECT vec_id, $t AS t,
+         |  ${bucketForSqlAdaptive("embedding", "nb.b", tableSeed(t))} AS bucket, nb.b AS b
+         |FROM e CROSS JOIN nb""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH nb AS (SELECT ${planesForCorpusSql()} AS b),
+       |e AS (SELECT vec_id, embedding, ${Dedup.normSql("embedding")} AS nrm FROM embeddings),
+       |mt AS ($arms),
+       |capped AS (SELECT vec_id, t, bucket FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rk FROM mt)
+       |  WHERE rk <= $cap),
+       |probes AS (SELECT vec_id, t,
+       |    unnest(list_concat([CAST(bucket AS BIGINT)],
+       |      list_transform(range(0, b),
+       |        i -> xor(CAST(bucket AS BIGINT), CAST(1 AS BIGINT) << i)))) AS probe
+       |  FROM mt),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probes a JOIN capped b
+       |    ON b.t = a.t AND CAST(b.bucket AS BIGINT) = a.probe AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT vec_a, vec_b,
+       |    ${Dedup.dotProductSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cosine
+       |  FROM cand JOIN e ea ON ea.vec_id = vec_a JOIN e eb ON eb.vec_id = vec_b)
        |WHERE cosine >= $minCosine""".stripMargin
   }
 

@@ -39,6 +39,26 @@ object DedupQueries {
     PostsProxy.df(s, dir).where(col("title") =!= "")
       .select(col("doc_id"), col("title"))
 
+  /** Corpus-sized plane count for the declared q54/q88 bindings:
+    * planesForCorpus over the embeddings row count. The count is an
+    * EAGER driver-side aggregate (one column-pruned parquet scan) —
+    * cached per (session, dir) so repeat builder invocations
+    * (bench's two runs, plan extraction) pay it once; entries of
+    * stopped sessions are dropped like PostsProxy's cache. At the
+    * fixture SFs this resolves to the 8-plane default; at sf1's
+    * 10× corpus it widens to keep mean occupancy ≤ 100, and the
+    * oracle computes the SAME width in SQL
+    * (Similarity.planesForCorpusSql). */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  private def adaptivePlanes(s: SparkSession, dir: String): Int = {
+    planeCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) planeCache.remove(k)
+    }
+    planeCache.getOrElseUpdate((s, dir),
+      Similarity.planesForCorpus(Tables.load(s, dir, "embeddings").count()))
+  }
+
   /** Title-level near-dup pairs — the MinHash+LSH candidate pipeline up
     * to (but not including) the member expansion: registers the
     * `mh_members` (doc_id, title) and `mh_sh` (title, rep, n_docs, sh)
@@ -261,8 +281,15 @@ object DedupQueries {
     // (≈66° apart; expected bucket Hamming ≈ 2.9 over 8 planes) is kept
     // at ~15 % for a ~27× candidate reduction. q88's multi-table union
     // is the recall lever when the tail matters.
+    // Since round 7 the plane count is CORPUS-SIZED, not the fixed
+    // 8-plane default: numPlanes = planesForCorpus(count), so the
+    // bucket space grows with the corpus and the cap only guards
+    // adversarial skew instead of doing all the occupancy work (the
+    // documented 100 TB lever, now actually bound). The oracle computes
+    // the same width in SQL.
     "q54_embedding_dup" -> ((s, dir) =>
-      Similarity.nearDupPairs(s, Tables.load(s, dir, "embeddings"), 0.4)
+      Similarity.nearDupPairs(s, Tables.load(s, dir, "embeddings"), 0.4,
+          numPlanes = adaptivePlanes(s, dir))
         .orderBy("vec_a", "vec_b")),
 
     // Multi-table LSH near-dup — the parameterized recall lever
@@ -272,7 +299,8 @@ object DedupQueries {
     // pins q88 ⊇ q54 structurally).
     "q88_embedding_dup_multitable" -> ((s, dir) =>
       Similarity.multiTableNearDupPairs(s,
-        Tables.load(s, dir, "embeddings"), 0.4, NumTables)
+        Tables.load(s, dir, "embeddings"), 0.4, NumTables,
+        numPlanes = adaptivePlanes(s, dir))
         .orderBy("vec_a", "vec_b")),
 
     // Semantic dedup — q87's production contract transplanted to the
@@ -557,10 +585,10 @@ object DedupQueries {
           |ORDER BY doc_id""".stripMargin,
 
       "q54_embedding_dup" ->
-        (Similarity.nearDupPairsDuckSql(0.4) + "\nORDER BY vec_a, vec_b"),
+        (Similarity.nearDupPairsAdaptiveDuckSql(0.4) + "\nORDER BY vec_a, vec_b"),
 
       "q88_embedding_dup_multitable" ->
-        (Similarity.multiTableNearDupPairsDuckSql(0.4, NumTables) +
+        (Similarity.multiTableNearDupPairsAdaptiveDuckSql(0.4, NumTables) +
           "\nORDER BY vec_a, vec_b"),
 
       // q87: q70's recursive-closure clusters (doc-level, pair-list
