@@ -451,7 +451,20 @@ object CorpusQueries {
   /** q115's engine body over any (doc_id, text) frame — public so the
     * spec can feed a synthetic corpus and assert the SIGNAL (target-
     * like docs outrank gibberish), which the fixture's homogeneous
-    * text cannot show. */
+    * text cannot show.
+    *
+    * INT64 BOUND (documented, not guarded): the fixed-point model term
+    * `1000000 * (coalesce(ct, 0) + 1)` wraps silently once a single
+    * hash bucket accumulates more than (2^63 − 1)/10^6 ≈ 9.2 × 10^12
+    * target-slice tokens, while DuckDB widens to HUGEINT — a latent
+    * engine/oracle divergence past that point. With B = 1024 buckets
+    * that is ≈ 9.4 × 10^15 tokens of TARGET text (the held-out slice,
+    * not the raw pool) before the first bucket can wrap — three orders
+    * of magnitude past a 100 TB corpus's ~10^13 tokens even if every
+    * token landed in one bucket, and ~10^6× headroom at uniform
+    * occupancy. If the target slice ever approaches that scale, scale
+    * the contrast constant down (the ranking only needs the RELATIVE
+    * fixed-point resolution) or widen to Decimal on both sides. */
   def importanceWeights(docsDf: DataFrame): DataFrame = {
       val fb = docsDf
         .select(col("doc_id"),

@@ -21,9 +21,16 @@ object GraphQueries {
     * oracle (the GraphFrames maxIter contract). */
   private val Iters = 3
 
-  /** BFS rounds: the bipartite purchase graph reaches everything
-    * connected within a few alternations; 4 keeps the oracle short
-    * while leaving genuinely isolated islands at the sentinel. */
+  /** BFS rounds. OUTPUT CONTRACT: dist = -1 means "not reached within
+    * BfsIters rounds", NOT "disconnected" — a node more than BfsIters
+    * alternations from every seed reports the sentinel even when a
+    * longer path exists. 4 suffices on the fixture's dense bipartite
+    * purchase graph (diameter ≈ 2–4 between connected nodes) and keeps
+    * the unrolled oracle short; a deployment chasing true
+    * reachability raises it toward the graph diameter (the engine
+    * loop is O(1) plan size per round via localCheckpoint — see
+    * Bfs.scala). The differential stays exact at any value because
+    * the oracle unrolls the same number of rounds. */
   private val BfsIters = 4
 
   /** Node encoding for the bipartite purchase graph: customers at

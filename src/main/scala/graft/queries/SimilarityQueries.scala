@@ -155,12 +155,21 @@ object SimilarityQueries {
     // count over the suite. No join, no exchange, linear output, any
     // corpus size. (A corpus-proportional "benchmark" would instead
     // use the q54/q89 LSH-bucketed path.)
+    //
+    // NOTE: this BUILDER is not free — collecting the benchmark slice
+    // into plan literals is an EAGER driver-side scan (orderBy/limit
+    // over embeddings), so plan-extraction harnesses pay one bounded
+    // read per invocation. An empty slice is a hard error rather than
+    // a silent empty-literal plan (graft_nearest over a zero-length
+    // suite has no meaningful argmin).
     "q117_embedding_decontamination" -> ((s, dir) => {
       import graft.operators.KMeans
       val q = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
       val benchRows = q.where(col("vec_id") % BenchMod === 0)
         .orderBy("vec_id").limit(BenchSize).collect()
+      require(benchRows.nonEmpty,
+        s"q117: empty benchmark slice (no vec_id % $BenchMod == 0 rows in $dir)")
       val benchIds = benchRows.map(_.getLong(0)).toSeq
       val benchVecs = benchRows.map(_.getSeq[Long](1)).toSeq
       val bLit = typedLit(benchVecs)
