@@ -2,18 +2,39 @@
 """Synthesize an sf1 fixture (10x sf0.1) for the local scale check.
 
 The driver's generators (TESTDATA.md, seed=42) are not shipped, so sf1
-is built by CONSISTENT REPLICATION: 10 disjoint key-offset copies of
-every sf0.1 fact/entity table, sharing the region/nation dimension
-enums. Each copy's keys are offset by a per-table stride so copies form
-disjoint FK-consistent universes; strides are rounded up to a multiple
-of 400 (and hence even) so modulo-derived semantics survive replication
-unchanged — the PostsProxy title universe (doc_id % 400), q08's
-event_id parity, etc. Value distributions are exactly sf0.1's.
+is built from 10 key-offset copies of every sf0.1 fact/entity table,
+sharing the region/nation dimension enums. Each copy's keys are offset
+by a per-table stride so copies form disjoint FK-consistent universes;
+strides are rounded up to a multiple of 400 (and hence even) so
+modulo-derived semantics survive replication unchanged — the PostsProxy
+title universe (doc_id % 400), q08's event_id parity, etc.
 
-Consequence to keep in mind when reading sf1 numbers: replication makes
-every document text an exact 10-way duplicate, so pair-expanded outputs
-(q51/q53/q70 doc pairs, q54 near-dup pairs) grow ~quadratically in the
-copy count by CONSTRUCTION — that is the fixture, not the engine.
+FRESH CONTENT (round 7 — replaces the verbatim replication that made
+every text/vector an exact 10-way duplicate and pushed the pair-dedup
+queries into measuring fixture artifacts):
+
+- documents: copy c >= 1 gets a per-copy deterministic rewrite of each
+  text — a stride permutation of its words (kills n-gram shingles,
+  8-token spans, minhash signatures, char-gram blocks ACROSS copies
+  while preserving the word distribution that drives language-ID /
+  quality / token-count queries) plus a suffix mutation of every 7th
+  word (kills exact bag-of-words equality, so q104's rep-collapse and
+  q50's md5 clusters stay copy-local). Texts that are exact duplicates
+  WITHIN sf0.1 receive the same rewrite, so intra-copy duplicate
+  structure — the thing the dedup queries measure — is preserved
+  exactly; cross-copy exact/near duplication is gone. n_chars is
+  recomputed for the rewritten text.
+- embeddings: copy c >= 1 rotates each vector's dimensions by 7*c
+  (norms and intra-copy equality preserved; cross-copy cosine drops to
+  random-vector levels, so near-dup clusters are copy-local).
+
+What this deliberately does NOT change: the PostsProxy TEMPLATE titles
+are doc_id % 400 arithmetic, so the 11 parameterized template branches
+still repeat every 400 doc_ids at any corpus size — q51/q53/q75's
+doc-pair outputs stay quadratic in per-title multiplicity BY DECLARED
+SEMANTICS (the linear production contracts are q87/q70). Only the
+text-derived titles (branch 11, 1/12 of docs) become copy-fresh.
+BASELINE.md reattributes the sf1 numbers accordingly.
 
 Usage: python3 scripts/make_sf1.py [out_dir (default /root/repo/target/sf1)]
 """
@@ -43,10 +64,63 @@ FK_SOURCE = {"o_custkey": "customer", "l_orderkey": "orders",
              "l_partkey": "part", "l_suppkey": "supplier"}
 SHARED_DIMS = ["region", "nation"]  # fixed enums: single copy
 
+PRIMES = [3, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43]
+
 
 def stride_of(table: pa.Table, key: str) -> int:
     mx = pa.compute.max(table.column(key)).as_py()
     return ((mx + 400) // 400) * 400
+
+
+def rewrite_text(text, c):
+    """Deterministic per-copy rewrite: stride-permute words, suffix
+    every 7th. Same input text + copy -> same output, so intra-copy
+    exact-duplicate clusters survive the rewrite verbatim."""
+    if text is None:
+        return None
+    words = text.split()
+    n = len(words)
+    if n == 0:
+        return text
+    s = next(p for p in PRIMES[c - 1:] + PRIMES if n % p != 0) if n > 1 else 1
+    out = [words[(i * s + c) % n] for i in range(n)]
+    out = [w + "c%d" % c if i % 7 == 3 else w for i, w in enumerate(out)]
+    return " ".join(out)
+
+
+def fresh_documents(t: pa.Table, c: int, key_off) -> pa.Table:
+    texts = t.column("text").to_pylist()
+    new_texts = [rewrite_text(x, c) for x in texts]
+    cols, names = [], []
+    for name in t.column_names:
+        if name == "doc_id":
+            cols.append(pa.compute.add(t.column(name), key_off))
+        elif name == "text":
+            cols.append(pa.array(new_texts, type=pa.string()))
+        elif name == "n_chars":
+            cols.append(pa.array(
+                [None if x is None else len(x) for x in new_texts],
+                type=t.column(name).type))
+        else:
+            cols.append(t.column(name))
+        names.append(name)
+    return pa.table(cols, names=names)
+
+
+def fresh_embeddings(t: pa.Table, c: int, key_off) -> pa.Table:
+    rot = (7 * c) % 64
+    vecs = t.column("embedding").to_pylist()
+    rotated = [None if v is None else v[rot:] + v[:rot] for v in vecs]
+    cols, names = [], []
+    for name in t.column_names:
+        if name == "vec_id":
+            cols.append(pa.compute.add(t.column(name), key_off))
+        elif name == "embedding":
+            cols.append(pa.array(rotated, type=t.column(name).type))
+        else:
+            cols.append(t.column(name))
+        names.append(name)
+    return pa.table(cols, names=names)
 
 
 def main(out_dir: str) -> None:
@@ -62,6 +136,14 @@ def main(out_dir: str) -> None:
         t = tables[n]
         parts = [t]
         for c in range(1, COPIES):
+            if n == "documents":
+                off = pa.scalar(c * strides[n], type=t.column("doc_id").type)
+                parts.append(fresh_documents(t, c, off))
+                continue
+            if n == "embeddings":
+                off = pa.scalar(c * strides[n], type=t.column("vec_id").type)
+                parts.append(fresh_embeddings(t, c, off))
+                continue
             cols = []
             for name in t.column_names:
                 col = t.column(name)

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) for community
+  * detection over an undirected edge list — the cheap clustering signal
+  * corpus pipelines use to group near-duplicate/same-site documents
+  * when full connected components over-merge (LPA communities respect
+  * local density; components chain through any single weak edge).
+  *
+  * Made DETERMINISTIC (the paper's random tie-break and vertex order
+  * would be unverifiable): updates are synchronous, label'(v) = the
+  * most frequent label among v's neighbors with ties broken by the
+  * SMALLEST label, and every node starts labeled with its own id.
+  * Integer counts + total tie order ⇒ bit-identical across engines and
+  * partitionings; the oracle unrolls the same rounds as CTEs.
+  *
+  * Scale shape, per round: ONE map-side-combinable shuffle builds the
+  * (node, label, cnt) message histogram over the persisted
+  * src-partitioned adjacency, then the argmax-per-node streams through
+  * the custom TopKPerKeyExec (k = 1 — an O(1) heap per node, no full
+  * per-node sort). Plan size is linear in round count; the fixed-round
+  * contract matches the rest of the graph family ([[PageRank]]'s
+  * scaladoc, incl. the caller-must-clearCache cache contract).
+  */
+object LabelProp {
+
+  /** Labels after `iters` synchronous rounds over the UNDIRECTED graph
+    * given by `edges` (src, dst) — both directions added here, pass
+    * each undirected edge once. Returns (node, label). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val adj = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
+    // every node of an undirected edge list appears as a src
+    val nodes = adj.select(col("src").as("node")).distinct().persist()
+    val l0 = nodes.withColumn("label", col("node"))
+    (1 to iters).foldLeft(l0) { (l, _) =>
+      val msgs = adj
+        .join(l.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      TopK.perKey(msgs, keys = Seq("node"),
+          order = Seq("cnt" -> false, "label" -> true), k = 1)
+        .select(col("node"), col("label"))
+    }
+  }
+
+  /** DuckDB rendering over an edge CTE named `e` (src, dst); ends in
+    * `lp` = (node, label). The TopKPerKey argmax is rendered as the
+    * equivalent rank-1 window (same (cnt DESC, label ASC) total
+    * order). */
+  def oracleCtes(iters: Int): String = {
+    def step(i: Int): String =
+      s"""m$i AS (SELECT a.dst AS node, l.label, count(*) AS cnt
+         |  FROM adj a JOIN l${i - 1} l ON l.node = a.src GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (
+         |    PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk
+         |  FROM m$i) WHERE rk = 1)""".stripMargin
+    s"""adj AS MATERIALIZED (
+       |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT src AS node FROM adj),
+       |l0 AS (SELECT node, node AS label FROM nodes),
+       |${(1 to iters).map(step).mkString(",\n")},
+       |lp AS (SELECT node, label FROM l$iters)""".stripMargin
+  }
+}

@@ -221,6 +221,37 @@ object PageRank {
     }.select("node", "outdeg", "rank")
   }
 
+  /** [[runHits]]'s twin: expects `e` (src, dst); ends in `hits` =
+    * (node, hub, auth). Each round unrolls authority-then-hub updates
+    * with 1-row normalization CTEs mirroring the scalar broadcasts. */
+  def oracleHitsCtes(iters: Int): String = {
+    def norm(rawName: String, rawBody: String, pfx: String, i: Int,
+             outCol: String): String = {
+      val (full, sumC, out) = (s"${pfx}f$i", s"${pfx}s$i", s"$pfx$i")
+      s"""$rawName AS ($rawBody),
+         |$full AS (SELECT n.node, coalesce(r.x, 0) AS x
+         |  FROM nodes n LEFT JOIN $rawName r ON r.node = n.node),
+         |$sumC AS (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS s FROM $full),
+         |$out AS (SELECT node,
+         |    CAST((x * $HMass) // greatest(s, 1) AS BIGINT) AS $outCol
+         |  FROM $full CROSS JOIN $sumC)""".stripMargin
+    }
+    def step(i: Int): String = {
+      val araw = s"""SELECT a.dst AS node, CAST(sum(h.h) AS BIGINT) AS x
+                    |  FROM adj a JOIN h${i - 1} h ON h.node = a.src GROUP BY 1""".stripMargin
+      val hraw = s"""SELECT a.src AS node, CAST(sum(aa.a) AS BIGINT) AS x
+                    |  FROM adj a JOIN a$i aa ON aa.node = a.dst GROUP BY 1""".stripMargin
+      norm(s"ar$i", araw, "a", i, "a") + ",\n" +
+        norm(s"hr$i", hraw, "h", i, "h")
+    }
+    s"""adj AS MATERIALIZED (SELECT src, dst FROM e),
+       |nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj),
+       |h0 AS (SELECT node, CAST($HMass AS BIGINT) AS h FROM nodes),
+       |${(1 to iters).map(step).mkString(",\n")},
+       |hits AS (SELECT h$iters.node, h$iters.h AS hub, a$iters.a AS auth
+       |  FROM h$iters JOIN a$iters ON a$iters.node = h$iters.node)""".stripMargin
+  }
+
   /** [[runDirected]]'s twin: expects `e` (src, dst); ends in `pr` =
     * (node, outdeg, rank). Each round unrolls a 1-row dangling-mass
     * CTE cross-joined back, mirroring the engine's scalar broadcast. */
@@ -247,6 +278,60 @@ object PageRank {
        |r0 AS (SELECT node, outdeg, n, rank FROM db),
        |${(1 to iters).map(step).mkString(",\n")},
        |pr AS (SELECT node, outdeg, rank FROM r$iters)""".stripMargin
+  }
+
+  /** Hub mass scale for [[runHits]] — 10^6 instead of [[Mass]]: the
+    * normalization step multiplies un-normalized sums (≤ indeg ·
+    * HMass) by HMass before the integral division, so the product
+    * stays inside int64 for any in/out-degree ≤ ~9 · 10^6 — above
+    * real host-graph fan-in at 100 TB (and an explicit documented
+    * bound, like runWeighted's w ≤ 9 · 10^6). */
+  val HMass = 1000000L
+
+  /** HITS hubs & authorities (Kleinberg 1999, the other classic
+    * link-analysis signal: a good HUB points at good authorities, a
+    * good AUTHORITY is pointed at by good hubs) over a DIRECTED edge
+    * list — exact-integer like the rest of the family so the unrolled
+    * CTE oracle agrees bit-for-bit. Update order is Kleinberg's:
+    * authorities from the PREVIOUS hubs, then hubs from the NEW
+    * authorities, each renormalized to total mass HMass via
+    * x := (x · HMass) div Σx (truncating; Σ ≥ 1 guarded — an edge
+    * list is non-empty by contract).
+    *
+    * Scale shape: the adjacency persists TWICE — src-partitioned for
+    * the hub→authority message join and dst-partitioned for the
+    * authority→hub join — so each of the two per-round joins is
+    * co-located and only (key, partial-sum) rows cross the wire;
+    * normalization sums are 1-row tree-reduced broadcasts (the q77
+    * scalar-join idiom). Returns (node, hub, auth). */
+  def runHits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val adjS = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val adjD = adjS.repartition(col("dst")).persist()
+    val nodes = adjS.select(col("src").as("node"))
+      .unionByName(adjS.select(col("dst").as("node"))).distinct().persist()
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val full = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("x"), lit(0L)).as("x"))
+      val s = full.agg(coalesce(sum("x"), lit(0L)).as("s"))
+      full.crossJoin(broadcast(s))
+        .select(col("node"),
+          expr(s"(x * $HMass) div greatest(s, 1L)").as(out))
+    }
+    val h0 = nodes.withColumn("h", lit(HMass))
+    val (h, a) = (1 to iters).foldLeft(
+      (h0, nodes.withColumn("a", lit(HMass)))) { case ((h, _), _) =>
+      val aNew = normalized(
+        adjS.join(h.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum("h").as("x")), "a")
+      val hNew = normalized(
+        adjD.join(aNew.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum("a").as("x")), "h")
+      (hNew, aNew)
+    }
+    h.join(a, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
 
   /** [[runWeighted]]'s twin: expects `e` (src, dst, w); ends in `pr` =

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bfs, PageRank, TopK}
+import graft.operators.{Bfs, LabelProp, PageRank, TopK}
 import graft.sources.Tables
 
 /** Graph / link-analysis extension queries (q112–q114): deterministic
@@ -147,6 +147,44 @@ object GraphQueries {
         .orderBy("node")
     }),
 
+    // HITS hubs & authorities over the DIRECTED purchase graph: a
+    // customer is a good HUB if it buys from authoritative suppliers,
+    // a supplier a good AUTHORITY if authoritative... if hub-heavy
+    // customers buy from it — the mutually-recursive link signal
+    // (Kleinberg 1999) that complements PageRank's single score (in
+    // web-corpus curation: hub quality finds link DIRECTORIES, while
+    // authority finds canonical content pages). Exact-integer
+    // normalization per round; on this bipartite graph hubs
+    // concentrate on customers and authorities on suppliers (the
+    // sides' scores separate by construction — a useful structural
+    // sanity the spec pins).
+    "q125_hits" -> ((s, dir) => {
+      PageRank.runHits(purchaseEdges(s, dir), Iters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("hub"), col("auth"))
+        .orderBy("node")
+    }),
+
+    // Label-propagation communities over the purchase graph — the
+    // deterministic LPA variant (sync rounds, most-frequent neighbor
+    // label, smallest-label ties). Communities respect local density
+    // where q70's connected components chain through any single shared
+    // edge — the distinction that matters when grouping documents by
+    // host/near-dup affinity for mixing decisions. The per-round
+    // argmax runs through the custom TopKPerKeyExec (k = 1), i.e. the
+    // operator inventory composes inside iterative loops, not just as
+    // a terminal stage.
+    "q126_label_propagation" -> ((s, dir) => {
+      LabelProp.run(purchaseEdges(s, dir), Iters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          col("label").as("community"))
+        .orderBy("node")
+    }),
+
     // Centrality-weighted sample: the q85 sequential-Poisson order
     // sampling scheme with PageRank as the weight — inclusion
     // probability ∝ link centrality, the web-corpus "sample documents
@@ -224,6 +262,22 @@ object GraphQueries {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  outdeg, rank
          |FROM pr ORDER BY node""".stripMargin,
+
+    "q125_hits" ->
+      s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
+         |${PageRank.oracleHitsCtes(Iters)}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  hub, auth
+         |FROM hits ORDER BY node""".stripMargin,
+
+    "q126_label_propagation" ->
+      s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
+         |${LabelProp.oracleCtes(Iters)}
+         |SELECT node,
+         |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  label AS community
+         |FROM lp ORDER BY node""".stripMargin,
 
     "q114_centrality_sample" ->
       s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),

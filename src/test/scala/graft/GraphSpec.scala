@@ -261,6 +261,88 @@ class GraphSpec extends SparkSpec {
     assert(directed == undirected)
   }
 
+  /** Driver-side HITS reference: authority-from-previous-hubs, hub-
+    * from-new-authorities, HMass renormalization each half-step. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val in = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1) }
+    def normalize(x: Map[Long, Long]): Map[Long, Long] = {
+      val s = math.max(x.values.sum, 1L)
+      x.map { case (v, xv) => v -> (xv * PageRank.HMass) / s }
+    }
+    var h = nodes.map(_ -> PageRank.HMass).toMap
+    var a = nodes.map(_ -> PageRank.HMass).toMap
+    for (_ <- 1 to iters) {
+      a = normalize(nodes.map(v =>
+        v -> in.getOrElse(v, Nil).map(h).sum).toMap)
+      h = normalize(nodes.map(v =>
+        v -> out.getOrElse(v, Nil).map(a).sum).toMap)
+    }
+    nodes.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("HITS matches the driver-side reference fold; bipartite sides separate") {
+    val rng = new scala.util.Random(43)
+    // bipartite: sources 0..14 point at targets 100..109 only
+    val edges = (0 until 70).map(_ =>
+      (rng.nextInt(15).toLong, 100L + rng.nextInt(10))).distinct
+    val got = PageRank.runHits(edges.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == refHits(edges, 3))
+    // pure hubs hold zero authority, pure authorities zero hub mass
+    assert((0L to 14L).filter(got.contains).forall(got(_)._2 == 0L))
+    assert((100L to 109L).filter(got.contains).forall(got(_)._1 == 0L))
+    // normalization keeps totals at ≤ HMass per side (truncation only loses)
+    assert(got.values.map(_._1).sum <= PageRank.HMass)
+    assert(got.values.map(_._2).sum <= PageRank.HMass)
+  }
+
+  /** Driver-side LPA reference: sync rounds, most-frequent neighbor
+    * label, smallest-label tie-break. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map { case (s, d) => (d, s) })
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var l = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      l = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(l).map { case (lab, xs) => lab -> xs.size }
+        v -> counts.toSeq.minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    l
+  }
+
+  test("label propagation matches the reference fold; cliques separate where components merge") {
+    import graft.operators.{Components, LabelProp}
+    // two 4-cliques joined by ONE bridge edge — a single component,
+    // but two density communities
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L))).distinct
+    val got = LabelProp.run(edges.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refLpa(edges, 3))
+    val aLabels = Seq(0L, 1L, 2L, 3L).map(got).distinct
+    val bLabels = Seq(10L, 11L, 12L, 13L).map(got).distinct
+    assert(aLabels.size == 1 && bLabels.size == 1 && aLabels != bLabels,
+      s"cliques must form two uniform communities, got $got")
+    // connected components would merge them through the bridge
+    val comp = Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet.size == 1)
+    // and a random graph agrees with the reference bit-for-bit
+    val rng = new scala.util.Random(47)
+    val rand = (0 until 100).map(_ =>
+      (rng.nextInt(24).toLong, rng.nextInt(24).toLong))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val got2 = LabelProp.run(rand.toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == refLpa(rand, 4))
+  }
+
   test("deg column is the undirected degree") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
     val degs = PageRank.run(edges.toDF("src", "dst"), 1)
