@@ -318,7 +318,59 @@ object TextQueries {
     // join, no shuffle; the model rides as plan literals. Scale +
     // lossless-ness in graft.operators.Bpe.encode's scaladoc.
     "q110_bpe_encode" -> ((s, dir) =>
-      graft.operators.Bpe.encode(docs(s, dir))))
+      graft.operators.Bpe.encode(docs(s, dir))),
+
+    // BM25-shaped top-k retrieval — the ranked-lookup contract behind
+    // "find the training docs most relevant to this probe" (targeted
+    // decontamination, quality auditing, retrieval-augmented
+    // curation). The query is a fixed literal term set, so the whole
+    // plan is corpus-linear: the posting stream is FILTERED to query
+    // terms before its one shuffle (tf per (doc, term)), df/N/T ride
+    // back as broadcast scalars (df is ≤ |query| rows by
+    // construction), and the final top-k is a TakeOrdered, never a
+    // global sort. Scoring is the BM25 SHAPE made differentially
+    // exact, the q77/q115 log-free pattern: idf' = ⌊1e6·(N−df+1)/
+    // (df+1)⌋ replaces the ulp-unstable log-idf (same df-monotone
+    // ranking), and the tf-saturation term tf·(k1+1)/(tf + k1·(1−b+
+    // b·dl/avgdl)) with k1 = 1.2, b = 0.75 is cross-multiplied into
+    // one integral division st = (44000·tf·avg) div (20·avg·tf +
+    // 6·avg + 18·dl) over avg = max(1, T div N) — int64-safe at any
+    // corpus scale (st ≤ 2200; the per-term product idf'·st stays
+    // inside int64 for N up to ~10^9 docs; beyond that, drop the
+    // 1e6 contrast scale a decade).
+    "q127_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("dl", size(col("toks")).cast("long"))
+      val stats = d.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("t_tokens"))
+      val tf = d.select(col("doc_id"), col("dl"),
+          explode(col("toks")).as("token"))
+        .where(col("token").isInCollection(Bm25Query))
+        .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avg", expr("greatest(1L, t_tokens div n_docs)"))
+        .withColumn("idf", expr("(1000000L * (n_docs - df + 1)) div (df + 1)"))
+        .withColumn("st", expr(
+          "(44000L * tf * avg) div (20L * avg * tf + 6L * avg + 18L * dl)"))
+        .groupBy("doc_id", "dl")
+        .agg(sum(expr("idf * st")).as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(Bm25K)
+        .select(col("doc_id"), col("dl"), col("n_terms"), col("score"))
+        .orderBy("doc_id")
+    }))
+
+  /** q127's fixed probe terms (present in the fixture vocabulary) and
+    * result size. A production binding parameterizes both; the
+    * declared query pins them so the oracle is one static statement.
+    * (defs, not vals: `oracleSql` above initializes eagerly before
+    * later vals would be assigned.) */
+  private def Bm25Query = Seq("spark", "vector", "stream")
+  private def Bm25K = 10
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
@@ -328,6 +380,32 @@ object TextQueries {
       "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
 
       "q110_bpe_encode" -> bpeEncodeSql(toksE),
+
+      "q127_bm25_topk" -> {
+        val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+        s"""WITH dd AS (SELECT doc_id,
+           |    CAST(len($toksE) AS BIGINT) AS dl, $toksE AS toks
+           |  FROM documents),
+           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS t_tokens FROM dd),
+           |av AS (SELECT n_docs, greatest(1, t_tokens // n_docs) AS avg FROM st),
+           |tfq AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd)
+           |  WHERE token IN ($terms) GROUP BY 1, 2, 3),
+           |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+           |sc AS (SELECT tfq.doc_id, tfq.dl,
+           |    CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(sum(
+           |      ((1000000 * (av.n_docs - dfq.df + 1)) // (dfq.df + 1)) *
+           |      ((44000 * tfq.tf * av.avg) //
+           |        (20 * av.avg * tfq.tf + 6 * av.avg + 18 * tfq.dl))) AS BIGINT)
+           |      AS score
+           |  FROM tfq JOIN dfq ON dfq.token = tfq.token CROSS JOIN av
+           |  GROUP BY 1, 2),
+           |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K)
+           |SELECT doc_id, dl, n_terms, score FROM top
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "q40_lang_id" ->
         s"""WITH t AS (SELECT doc_id, lang, $toksE AS toks FROM documents),

@@ -277,6 +277,18 @@ class PlanSpec extends SparkSpec {
       s"nested-loop join is not the 1-row bloom attach:\n$j"))
   }
 
+  test("q127: BM25 scoring joins broadcast; top-k is TakeOrdered, not a global sort") {
+    // the retrieval plan's scale contract: df (≤ |query| rows) and the
+    // 1-row corpus stats must broadcast, and the final top-k must be
+    // the streaming TakeOrderedAndProject — a SortMergeJoin or a full
+    // Sort before the limit would shuffle/sort the whole scored corpus
+    val df = SparkEntry.queries("q127_bm25_topk")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q118/q122: every global (un-partitioned) window sits on an aggregate, never the corpus") {
     // the bounded-window contract made structural: q118's median-cutoff
     // cumulative window and q122's curriculum ranking are
