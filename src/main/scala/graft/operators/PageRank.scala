@@ -232,14 +232,20 @@ object PageRank {
     * (node, hub, auth). Each round unrolls authority-then-hub updates
     * with 1-row normalization CTEs mirroring the scalar broadcasts. */
   def oracleHitsCtes(iters: Int): String = {
+    // MATERIALIZED is load-bearing on every multiply-referenced CTE:
+    // DuckDB inlines plain CTEs per reference, so the un-materialized
+    // rendering re-expands the whole upstream chain 2^(2·rounds) times
+    // — the sf1 run spilled past the disk before failing (the oracle
+    // twin of the engine-side plan doubling runHits solves with
+    // localCheckpoint).
     def norm(rawName: String, rawBody: String, pfx: String, i: Int,
              outCol: String): String = {
       val (full, sumC, out) = (s"${pfx}f$i", s"${pfx}s$i", s"$pfx$i")
       s"""$rawName AS ($rawBody),
-         |$full AS (SELECT n.node, coalesce(r.x, 0) AS x
+         |$full AS MATERIALIZED (SELECT n.node, coalesce(r.x, 0) AS x
          |  FROM nodes n LEFT JOIN $rawName r ON r.node = n.node),
          |$sumC AS (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS s FROM $full),
-         |$out AS (SELECT node,
+         |$out AS MATERIALIZED (SELECT node,
          |    CAST((x * $HMass) // greatest(s, 1) AS BIGINT) AS $outCol
          |  FROM $full CROSS JOIN $sumC)""".stripMargin
     }
@@ -252,7 +258,7 @@ object PageRank {
         norm(s"hr$i", hraw, "h", i, "h")
     }
     s"""adj AS MATERIALIZED (SELECT src, dst FROM e),
-       |nodes AS (SELECT src AS node FROM adj UNION SELECT dst FROM adj),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM adj UNION SELECT dst FROM adj),
        |h0 AS (SELECT node, CAST($HMass AS BIGINT) AS h FROM nodes),
        |${(1 to iters).map(step).mkString(",\n")},
        |hits AS (SELECT h$iters.node, h$iters.h AS hub, a$iters.a AS auth
@@ -269,7 +275,7 @@ object PageRank {
          |m$i AS (SELECT a.dst AS node,
          |    CAST(sum(r.rank // r.outdeg) AS BIGINT) AS insum
          |  FROM adj a JOIN r${i - 1} r ON r.node = a.src GROUP BY 1),
-         |r$i AS (SELECT db.node, db.outdeg, db.n,
+         |r$i AS MATERIALIZED (SELECT db.node, db.outdeg, db.n,
          |    CAST(($DampNum * (coalesce(m$i.insum, 0) + d$i.dm // db.n))
          |      // $DampDen AS BIGINT) + db.base AS rank
          |  FROM db LEFT JOIN m$i ON m$i.node = db.node CROSS JOIN d$i)""".stripMargin
