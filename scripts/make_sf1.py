@@ -27,6 +27,14 @@ queries into measuring fixture artifacts):
 - embeddings: copy c >= 1 rotates each vector's dimensions by 7*c
   (norms and intra-copy equality preserved; cross-copy cosine drops to
   random-vector levels, so near-dup clusters are copy-local).
+- events: copy c >= 1 shifts every timestamp by c * (span + 1h), so a
+  10x event stream spans ~10x the time instead of 10x the density —
+  the time-range/asof/containment joins (q58/q59/q81) stay linear in
+  corpus size as a real longer history would, and literal-window
+  filters (q06/q09) prune 9/10 of the history exactly like a
+  date-partitioned production sink. (orders/lineitem dates are NOT
+  shifted: TPC-H's own generators keep the date range fixed across
+  scale factors, so density growth there is the faithful model.)
 
 What this deliberately does NOT change: the PostsProxy TEMPLATE titles
 are doc_id % 400 arithmetic, so the 11 parameterized template branches
@@ -123,6 +131,26 @@ def fresh_embeddings(t: pa.Table, c: int, key_off) -> pa.Table:
     return pa.table(cols, names=names)
 
 
+PER_SECOND = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def fresh_events(t: pa.Table, c: int, key_offs, span: int) -> pa.Table:
+    ts_type = t.schema.field("ts").type
+    unit = ts_type.unit  # shift in the column's NATIVE unit
+    shift = pa.scalar((span + 3600 * PER_SECOND[unit]) * c,
+                      type=pa.duration(unit))
+    cols, names = [], []
+    for name in t.column_names:
+        col = t.column(name)
+        if name in key_offs:
+            col = pa.compute.add(col, key_offs[name])
+        elif name == "ts":
+            col = pa.compute.add(col, shift).cast(ts_type)
+        cols.append(col)
+        names.append(name)
+    return pa.table(cols, names=names)
+
+
 def main(out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     tables = {n: pq.read_table(f"{SRC}/{n}.parquet")
@@ -143,6 +171,14 @@ def main(out_dir: str) -> None:
             if n == "embeddings":
                 off = pa.scalar(c * strides[n], type=t.column("vec_id").type)
                 parts.append(fresh_embeddings(t, c, off))
+                continue
+            if n == "events":
+                ts = t.column("ts")
+                span = (pa.compute.max(ts).cast(pa.int64()).as_py()
+                        - pa.compute.min(ts).cast(pa.int64()).as_py())
+                offs = {k: pa.scalar(c * strides[n], type=t.column(k).type)
+                        for k in keys}
+                parts.append(fresh_events(t, c, offs, span))
                 continue
             cols = []
             for name in t.column_names:
