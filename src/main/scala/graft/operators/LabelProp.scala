@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   * (node, label, cnt) message histogram over the persisted
   * src-partitioned adjacency, then the argmax-per-node streams through
   * the custom TopKPerKeyExec (k = 1 — an O(1) heap per node, no full
-  * per-node sort). Plan size is linear in round count; the fixed-round
-  * contract matches the rest of the graph family ([[PageRank]]'s
-  * scaladoc, incl. the caller-must-clearCache cache contract).
+  * per-node sort). The label state is referenced ONCE per round, so
+  * plan growth is only linear (not the doubling of Bfs/HITS) — but a
+  * user raising iters toward convergence would still pay linearly
+  * growing analysis cost per round, so the loop localCheckpoints every
+  * OTHER round: plan depth stays bounded at two rounds' worth while
+  * only half the rounds pay an eager materialization job (the
+  * scheduling floor of checkpoint-every-round is what dominates these
+  * loops at small scale). Fixed-round contract and the
+  * caller-must-clearCache cache contract match the rest of the graph
+  * family ([[PageRank]]'s scaladoc).
   */
 object LabelProp {
 
@@ -38,14 +45,18 @@ object LabelProp {
     // every node of an undirected edge list appears as a src
     val nodes = adj.select(col("src").as("node")).distinct().persist()
     val l0 = nodes.withColumn("label", col("node"))
-    (1 to iters).foldLeft(l0) { (l, _) =>
+    (1 to iters).foldLeft(l0) { (l, i) =>
       val msgs = adj
         .join(l.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      TopK.perKey(msgs, keys = Seq("node"),
+      val next = TopK.perKey(msgs, keys = Seq("node"),
           order = Seq("cnt" -> false, "label" -> true), k = 1)
         .select(col("node"), col("label"))
+      // bounded-depth lineage truncation (scaladoc above): every other
+      // round, so analysis stays O(1)-per-round at any iters while the
+      // loop pays only iters/2 eager checkpoint jobs
+      if (i % 2 == 0) next.localCheckpoint() else next
     }
   }
 

@@ -33,14 +33,19 @@ object Sink {
    * partition writer's required ordering (partition columns) is
    * satisfied by the existing sort — otherwise FileFormatWriter inserts
    * its own sort on `shard` alone and the per-file `start_tok` order
-   * would hang on that sort's (unspecified) stability. With the
-   * explicit prefix sort the physical row order inside each shard file
-   * IS the manifest's global order — verified DIFFERENTIALLY by q124
-   * (read-back file positions vs the manifest oracle), not just by
-   * spec. */
+   * would hang on that sort's (unspecified) stability. `doc_id` is the
+   * tie-breaker: rows with EQUAL start_tok exist whenever a document
+   * tokenizes to zero tokens (consecutive manifest rows share the
+   * prefix-sum value), and without a total order the physical tie
+   * order would be sortWithinPartitions-unspecified — a
+   * nondeterministic flake against any oracle that orders the same
+   * ties. With the total (shard, start_tok, doc_id) sort the physical
+   * row order inside each shard file IS the manifest's global order —
+   * verified DIFFERENTIALLY by q124 (read-back file positions vs the
+   * manifest oracle), not just by spec. */
   def writeShardPartitioned(df: DataFrame, path: String): Unit =
     df.repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("start_tok"))
+      .sortWithinPartitions(col("shard"), col("start_tok"), col("doc_id"))
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(path)

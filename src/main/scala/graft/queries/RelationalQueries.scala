@@ -742,6 +742,35 @@ object RelationalQueries {
           array_contains(col("arr0"), 3L).as("has3"),
           aggregate(col("arr0"), lit(0L), (a, x) => a + x).as("arr_sum"))
         .orderBy("event_id")
+    }),
+
+    // Salted skew join (q128): certifies SkewJoin.saltedInnerJoin's
+    // RESULT EQUIVALENCE with the plain join — the whole point of the
+    // salting rewrite is that it changes the shuffle layout, never the
+    // rows, and until now only a spec (not the DuckDB oracle) said so.
+    // The fact side is deliberately hot-keyed: every third order's
+    // lineitems collapse onto supplier 1 (~1/3 of a 100 TB fact on ONE
+    // key — the viral-post failure mode where even AQE's skew split
+    // leaves every split block fetching the same single dim row while
+    // one executor's shuffle fetch serializes). The salt is
+    // hash(orderkey, linenumber) mod 8 — content-addressed, so retried
+    // or speculative tasks re-salt identically (rand() here would
+    // break exactly-once under retry). The oracle is the UNSALTED SQL
+    // join; the grouped totals hash-match iff the salted join produced
+    // exactly the plain join's multiset of rows.
+    "q128_skew_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("l_suppkey")).as("k"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      val dim = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedInnerJoin(fact, dim, "k",
+          saltBy = hash(col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy(col("k").as("suppkey"), col("s_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"))
+        .orderBy("suppkey")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -1179,5 +1208,18 @@ object RelationalQueries {
         |  array_to_string(CAST(list_slice(range(1, event_id % 5 + 2), 1, 2) AS VARCHAR[]), '|') AS head2,
         |  list_contains(range(1, event_id % 5 + 2), 3) AS has3,
         |  list_reduce(list_concat([CAST(0 AS BIGINT)], range(1, event_id % 5 + 2)), (a, x) -> a + x) AS arr_sum
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // q128: the UNSALTED join — hash-equality of the grouped totals
+    // proves the salted rewrite emitted exactly the plain join's rows.
+    "q128_skew_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN CAST(1 AS BIGINT)
+        |              ELSE l_suppkey END AS k,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT f.k AS suppkey, s.s_nationkey,
+        |  count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty
+        |FROM f JOIN supplier s ON s.s_suppkey = f.k
+        |GROUP BY 1, 2 ORDER BY suppkey""".stripMargin)
 }

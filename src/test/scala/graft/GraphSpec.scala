@@ -343,6 +343,26 @@ class GraphSpec extends SparkSpec {
     assert(got2 == refLpa(rand, 4))
   }
 
+  test("label propagation stays bit-stable at high iteration counts (checkpointed loop)") {
+    import graft.operators.LabelProp
+    // 10 rounds crosses several every-other-round localCheckpoint
+    // truncations — the reference fold agreement proves truncation
+    // changes the PLAN only, never a label; the repartitioned rerun
+    // proves layout invariance through the checkpoints.
+    val rng = new scala.util.Random(11)
+    val edges = (0 until 140).map(_ =>
+      (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val want = refLpa(edges, 10)
+    val got = LabelProp.run(edges.toDF("src", "dst"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val got2 = LabelProp.run(edges.toDF("src", "dst").repartition(7), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want)
+  }
+
   test("deg column is the undirected degree") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
     val degs = PageRank.run(edges.toDF("src", "dst"), 1)

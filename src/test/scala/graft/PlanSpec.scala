@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q128: salted skew join — salt explode feeds the join, keys carry __salt, dim broadcast") {
+    val p = plan("q128_skew_join")
+    // the right side is exploded n× over the salt domain…
+    assert(p.contains("Generate") && p.contains("explode"),
+      p.linesIterator.filter(_.contains("Generate")).mkString("\n"))
+    // …and the join key is (k, __salt), spreading each hot key over
+    // `salts` shuffle partitions
+    assert(p.contains("__salt"), "join keys must carry the salt column")
+    // the exploded dim stays broadcast (|supplier|×salts rows): the
+    // 100 TB fact side never shuffles for this dimension even salted
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q05 transform: pure expressions — no object-level operators") {
     val df = SparkEntry.queries("q05_transform")(spark, dir)
     df.count() // finalize the adaptive plan so codegen spans are assigned
@@ -309,8 +324,16 @@ class PlanSpec extends SparkSpec {
         boundedBelow(p.children.head)
       case _ => false
     }
-    for (q <- Seq("q118_selection_pipeline", "q122_curriculum")) {
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+    // q118's declared binding wraps the chain in a memoized
+    // localCheckpoint (a LogicalRDD hides its operators), so the
+    // structural pin walks the RAW chain; q122's curriculum window
+    // sits above the checkpoint and stays visible in the declared plan.
+    val pinned = Seq(
+      "q118_selection_pipeline(chain)" ->
+        graft.queries.CorpusQueries.selectionChain(spark, dir),
+      "q122_curriculum" -> SparkEntry.queries("q122_curriculum")(spark, dir))
+    for ((q, df) <- pinned) {
+      val plan = df.queryExecution.sparkPlan
       val global = plan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
