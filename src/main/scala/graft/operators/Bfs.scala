@@ -57,15 +57,20 @@ object Bfs {
         .withColumn("zero", lit(0L))), Seq("node"), "left")
       .select(col("node"), coalesce(col("zero"), lit(Inf)).as("dist"))
       .localCheckpoint()
-    (1 to iters).foldLeft(d0) { (d, _) =>
+    (1 to iters).foldLeft(d0) { (d, i) =>
       val msgs = adj
         .join(d.where(col("dist") < Inf).withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg((min(col("dist")) + 1L).as("md"))
-      d.join(msgs, Seq("node"), "left")
+      val next = d.join(msgs, Seq("node"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("md"), lit(Inf))).as("dist"))
-        .localCheckpoint()
+      // every-other-round truncation: the odd rounds persist (lazy —
+      // the state's two references per round still compute it once)
+      // instead of paying an eager checkpoint job, so plan depth stays
+      // bounded at two rounds' subtrees while the loop schedules half
+      // the materialization jobs
+      if (i % 2 == 0) next.localCheckpoint() else next.persist()
     }
   }
 

@@ -203,14 +203,17 @@ object PageRank {
         expr(s"(15 * (${Mass}L div n)) div 100").as("base"))
       .persist()
     val r0 = degBase.select(col("node"), col("outdeg"), col("n"), col("rank"))
-    (1 to iters).foldLeft(r0) { (r0r, _) =>
+    (1 to iters).foldLeft(r0) { (r0r, i) =>
       // the rank frame is referenced TWICE per round (message
       // contributions + the dangling scalar), so the logical plan
       // doubles per round and Catalyst pays 2^rounds re-analysis —
-      // localCheckpoint truncates the lineage per round (the Bfs
-      // pattern; measured 6.5 s → 3.9 s end-to-end at sf0.1). Eager: the loop
-      // runs its per-round jobs at build time.
-      val r = r0r.localCheckpoint()
+      // localCheckpoint truncates the lineage (the Bfs pattern;
+      // measured 6.5 s → 3.9 s end-to-end at sf0.1), on the round-8
+      // every-other-round cadence: odd rounds persist lazily (both
+      // references still compute the state once) instead of paying an
+      // eager checkpoint job, bounding plan depth at two rounds'
+      // subtrees with half the scheduling floor.
+      val r = if (i % 2 == 0) r0r.localCheckpoint() else r0r.persist()
       // contribution projected BEFORE the message join (exchange
       // carries (src, contrib) only); src ∈ adj ⇒ outdeg ≥ 1, so the
       // filter guards the division without losing mass
@@ -330,17 +333,28 @@ object PageRank {
     // grows 2^(2·rounds) even when the data is cached (measured:
     // 3 rounds ran 62–77 s at sf0.1 on driver-side planning alone).
     // localCheckpoint (the Bfs.scala pattern) truncates the lineage to
-    // the materialized |nodes|-row state, keeping every half-step's
-    // plan constant-size — measured 4.9 s end-to-end for the same query. The
-    // checkpoint is eager, so runHits launches its per-step jobs at
-    // BUILD time (the iterative-driver contract shared with
-    // Bfs/KMeans/Bpe).
-    def normalized(raw: DataFrame, out: String): DataFrame = {
-      val full = nodes.join(raw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("x"), lit(0L)).as("x"))
-        .localCheckpoint()
-      val s = full.agg(coalesce(sum("x"), lit(0L)).as("s"))
-      full.crossJoin(broadcast(s))
+    // the materialized state, keeping the plan constant-size per round
+    // — measured 76.8 → 4.9 s for the q125 binding when first
+    // introduced. Round-8 cadence: only the ROUND-END state (hNew's
+    // raw sums) truncates eagerly; the mid-round authority state
+    // persists lazily instead, so its two references (normalization
+    // scalar + join probe) compute it once without paying a separate
+    // scheduling-floor job. (The every-other-ROUND variant was tried
+    // and measured SLOWER at sf0.1 — 4.6 vs 3.9 s: with two frames per
+    // round the un-truncated round's doubled subtrees outweigh the
+    // saved checkpoint job.)
+    //
+    // The loop state is SPARSE: a node absent from a half-step's raw
+    // sums has x = 0, contributes 0 to the normalization sum and 0 to
+    // every next-round message, and normalizes to (0 · HMass) div s =
+    // 0 — so densifying against the node universe INSIDE the loop
+    // (a nodes-join per half-step, 2·iters shuffle joins) changes no
+    // bit of the result and is done ONCE at the end instead, where the
+    // output contract (every node, zeros included) actually needs it.
+    def normalized(raw: DataFrame, out: String, truncate: Boolean): DataFrame = {
+      val r = if (truncate) raw.localCheckpoint() else raw.persist()
+      val s = r.agg(coalesce(sum("x"), lit(0L)).as("s"))
+      r.crossJoin(broadcast(s))
         .select(col("node"),
           expr(s"(x * $HMass) div greatest(s, 1L)").as(out))
     }
@@ -349,14 +363,19 @@ object PageRank {
       (h0, nodes.withColumn("a", lit(HMass)))) { case ((h, _), _) =>
       val aNew = normalized(
         adjS.join(h.select(col("node").as("src"), col("h")), "src")
-          .groupBy(col("dst").as("node")).agg(sum("h").as("x")), "a")
+          .groupBy(col("dst").as("node")).agg(sum("h").as("x")), "a",
+        truncate = false)
       val hNew = normalized(
         adjD.join(aNew.select(col("node").as("dst"), col("a")), "dst")
-          .groupBy(col("src").as("node")).agg(sum("a").as("x")), "h")
+          .groupBy(col("src").as("node")).agg(sum("a").as("x")), "h",
+        truncate = true)
       (hNew, aNew)
     }
-    h.join(a, Seq("node"))
-      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    nodes
+      .join(h, Seq("node"), "left")
+      .join(a, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
+        coalesce(col("a"), lit(0L)).as("auth"))
   }
 
   /** [[runWeighted]]'s twin: expects `e` (src, dst, w); ends in `pr` =
