@@ -398,6 +398,85 @@ object CorpusQueries {
         .orderBy("rule", "doc_id")
     }),
 
+    // Segment-level exact dedup + document RECONSTRUCTION (q130): the
+    // CCNet/RefinedWeb line-dedup recipe restated for the fixture's
+    // unstructured text — "lines" are consecutive non-overlapping
+    // 8-token segments. A segment occurrence survives iff it is the
+    // corpus-wide FIRST occurrence of its content (argmin (doc_id, k)
+    // per segment hash — streamed through the custom TopKPerKey
+    // operator with k = 1: an O(1) heap per hash group, no per-group
+    // sort); each document is then REBUILT from its surviving segments
+    // in position order. Unlike q79 (which MEASURES boilerplate) this
+    // emits the cleaned corpus: per doc, segment counts before/after
+    // plus the md5 and token count of the reconstructed text — the
+    // hash pins the exact rebuilt string, so the differential certifies
+    // the reassembly order, not just the drop set. Scale shape: one
+    // shuffle on the segment hash (TopKPerKey), one shuffle on doc_id
+    // for the rebuild (per-doc state bounded by document length — the
+    // same bound any reassembly carries), linear output. NULL
+    // clean_hash marks a doc whose every segment appeared earlier —
+    // fully-boilerplate docs drop out of the corpus naturally.
+    "q130_segment_dedup" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+      val sp = t.select(col("doc_id"), expr(
+          """explode(transform(sequence(0, (size(toks)-1) div 8),
+            |  k -> named_struct('k', k,
+            |    'seg', concat_ws(' ', slice(toks, k*8+1, 8)))))""".stripMargin).as("u"))
+        .select(col("doc_id"), col("u.k").as("k"), col("u.seg").as("seg"))
+        .withColumn("h", md5(col("seg")))
+      val first = graft.operators.TopK.perKey(sp, keys = Seq("h"),
+        order = Seq("doc_id" -> true, "k" -> true), k = 1)
+      val rec = first.groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+          sort_array(collect_list(struct(col("k"), col("seg")))).as("ss"))
+        .select(col("doc_id"), col("n_kept"),
+          md5(array_join(expr("transform(ss, x -> x.seg)"), " ")).as("clean_hash"),
+          expr("""aggregate(transform(ss, x -> cast(size(split(x.seg, ' ')) as bigint)),
+                 |  cast(0 as bigint), (a, b) -> a + b)""".stripMargin).as("clean_tokens"))
+      t.select(col("doc_id"))
+        .join(sp.groupBy("doc_id").agg(count(lit(1)).as("n_segs")), Seq("doc_id"))
+        .join(rec, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_hash"),
+          coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Host-level boilerplate prior + document gate (q131): the
+    // RefinedWeb/UT1 "host prior" shape — quality decisions made at
+    // SOURCE granularity from source-level aggregates, then broadcast
+    // back onto every document. The prior here is the fraction (in
+    // exact integer permille) of a source's 8-token segments that are
+    // cross-corpus duplicates (q130's segment universe aggregated one
+    // level up): template-farm hosts light up on it while the doc-level
+    // signal stays noisy. Scale shape: segment-hash shuffle for the
+    // distinct-doc count (map-side combinable two-phase distinct), one
+    // join back on the hash, a |sources|-row rollup, and a BROADCAST
+    // join of the prior onto the corpus — the 100 TB doc side never
+    // shuffles for the gate (hosts are bounded; a web corpus has ~10^8
+    // hosts, still broadcastable as (source, 2×int64) rows or bucketed
+    // if not). Threshold 150‰ splits the fixture 375/125.
+    "q131_host_prior" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+      val sp = t.select(col("doc_id"), col("source"), expr(
+          """explode(transform(sequence(0, (size(toks)-1) div 8),
+            |  k -> md5(concat_ws(' ', slice(toks, k*8+1, 8)))))""".stripMargin).as("h"))
+      val nd = sp.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+      val per = sp.join(nd, Seq("h")).groupBy("source")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("nd") > 1, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+        .withColumn("src_dup_permille", expr("1000L * n_dup div n_segs"))
+      t.select(col("doc_id"), col("source"))
+        .join(broadcast(per.select(col("source"), col("n_segs").as("src_segs"),
+          col("src_dup_permille"))), Seq("source"))
+        .select(col("doc_id"), col("source"), col("src_segs"),
+          col("src_dup_permille"), (col("src_dup_permille") < 150).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum manifest — q118's shards in training ORDER (mean
     // importance descending, the "cleanest data first" curriculum
     // recipe). Shard-sized output; the rank window is over thousands
@@ -748,6 +827,53 @@ object CorpusQueries {
         |SELECT '_passed_count' AS rule, count(*) AS doc_id FROM r
         |  WHERE ok_present AND ok_nonempty AND ok_nonneg
         |ORDER BY rule, doc_id""".stripMargin,
+
+    // q130: keep-first rendered as the rank-1 window over the same
+    // (doc_id, k) total order; the ordered string_agg re-derives the
+    // reconstruction independently, so hash-equality certifies the
+    // rebuild order, not just the survivor set.
+    "q130_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |s0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+         |    k -> {'k': k, 'seg': array_to_string(list_slice(toks, k*8+1, k*8+8), ' ')})) AS u
+         |  FROM tt),
+         |sp AS (SELECT doc_id, u.k AS k, u.seg AS seg, md5(u.seg) AS h FROM s0),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, k) AS rn
+         |  FROM sp),
+         |kept AS (SELECT doc_id, k, seg FROM rk WHERE rn = 1),
+         |rec AS (SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(seg, ' ' ORDER BY k)) AS clean_hash,
+         |    CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS clean_tokens
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_segs FROM sp GROUP BY doc_id)
+         |SELECT tot.doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, clean_hash,
+         |  coalesce(clean_tokens, 0) AS clean_tokens
+         |FROM tot LEFT JOIN rec ON rec.doc_id = tot.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+
+    // q131: the same segment universe rolled up one level; integer
+    // permille so the threshold compare is exact in both engines.
+    "q131_host_prior" ->
+      s"""WITH t AS (SELECT doc_id, source, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |tt AS (SELECT doc_id, source, toks FROM t WHERE len(toks) > 0),
+         |sp AS (SELECT doc_id, source,
+         |    unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+         |      k -> md5(array_to_string(list_slice(toks, k*8+1, k*8+8), ' ')))) AS h
+         |  FROM tt),
+         |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h),
+         |per AS (SELECT source, count(*) AS n_segs,
+         |    sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM sp JOIN nd USING (h) GROUP BY source),
+         |p2 AS (SELECT source, CAST(n_segs AS BIGINT) AS src_segs,
+         |    CAST(1000 * n_dup // n_segs AS BIGINT) AS src_dup_permille FROM per)
+         |SELECT tt.doc_id, tt.source, src_segs, src_dup_permille,
+         |  src_dup_permille < 150 AS keep
+         |FROM tt JOIN p2 ON p2.source = tt.source
+         |ORDER BY tt.doc_id""".stripMargin,
 
     "q76_stratified_sample" ->
       s"""SELECT lang, rank, doc_id, h FROM (

@@ -82,6 +82,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q130: keep-first segment dedup streams through TopKPerKey, no window") {
+    val df = SparkEntry.queries("q130_segment_dedup")(spark, dir)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TopKPerKey"), "corpus-wide argmin must stream through the custom operator")
+    assert(!p.contains("Window"), "a window here would sort every segment-hash group")
+  }
+
+  test("q131: the host prior joins back as a broadcast — the doc side never shuffles for the gate") {
+    val p = plan("q131_host_prior")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q05 transform: pure expressions — no object-level operators") {
     val df = SparkEntry.queries("q05_transform")(spark, dir)
     df.count() // finalize the adaptive plan so codegen spans are assigned
