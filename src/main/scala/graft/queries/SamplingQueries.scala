@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -52,6 +53,57 @@ object SamplingQueries {
         |SELECT /*+ BROADCAST(z) */ source, n_docs, total_chars, weight,
         |  weight / z AS share
         |FROM mix_src CROSS JOIN z ORDER BY source""".stripMargin)
+    }),
+
+    // Mixture-budget epoch manifest (q132): the other half of source
+    // mixing — q97 computes the WEIGHTS, this materializes the epoch:
+    // a global token budget (half the corpus) is allocated per source
+    // ∝ its temperature weight (α = 0.5 as floor(sqrt(src_tokens)) —
+    // correctly-rounded IEEE sqrt + floor, identical in both engines),
+    // then each source admits documents greedily in content-addressed
+    // order until its budget is crossed — the deterministic "sample
+    // this epoch's data ∝ size^α" recipe of multi-source training
+    // assembly. Exact-integer throughout: the per-source allocation
+    // uses the overflow-safe decomposition B·w div W =
+    // (B div W)·w + ((B mod W)·w) div W: the naive product B·w wraps
+    // int64 at a 100 TB corpus (B ≈ 10^13 tokens, w_max ≈ √10^13 ≈
+    // 3.2·10^6 → 3.2·10^19 > 2^63), while the decomposition's largest
+    // intermediate is (B mod W)·w < W·w_max ≤ √(|S|·T)·√T = T·√|S|
+    // (Cauchy–Schwarz on W = Σ√tₛ) ≈ 10^17 for T = 10^13, |S| = 10^8
+    // hosts — ~90× inside int64, and exact (no double rounding).
+    // The per-source admission order is a TWO-LEVEL prefix sum (local
+    // cumsums inside (source, leading-hex) ranges, 16 bounded offsets
+    // per source broadcast back) — the q116 pattern, so no reducer
+    // ever holds a whole source even when one source dominates the
+    // corpus. Output is the admitted manifest; the crossing doc is
+    // admitted (cum_before < budget), matching the shard-packing
+    // convention.
+    "q132_mixture_manifest" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("h", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+        .withColumn("r", substring(col("h"), 1, 1))
+      val per = d.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+        .withColumn("w", floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+      val tot = per.agg(sum("src_tokens").as("all_tokens"), sum("w").as("wsum"))
+      val alloc = per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          expr("""(all_tokens div 2) div wsum * w +
+                 |((all_tokens div 2) % wsum * w) div wsum""".stripMargin).as("budget"))
+      val win = Window.partitionBy("source", "r").orderBy("h", "doc_id")
+      val local = d.withColumn("cum_in", sum("n_tokens").over(win))
+      val offW = Window.partitionBy("source").orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = d.groupBy("source", "r").agg(sum("n_tokens").as("rtot"))
+        .withColumn("off", coalesce(sum("rtot").over(offW), lit(0L)))
+        .select("source", "r", "off")
+      local.join(broadcast(offsets), Seq("source", "r"))
+        .withColumn("cum_before", col("off") + col("cum_in") - col("n_tokens"))
+        .join(broadcast(alloc), Seq("source"))
+        .where(col("cum_before") < col("budget"))
+        .select("source", "doc_id", "n_tokens", "cum_before", "budget")
+        .orderBy("source", "cum_before", "doc_id")
     }),
 
     // 10% reproducible sample of documents.
@@ -159,5 +211,40 @@ object SamplingQueries {
         |    list_concat([CAST(0 AS DOUBLE)], list(weight ORDER BY source)),
         |    (acc, x) -> acc + x) AS z FROM w)
         |SELECT source, n_docs, total_chars, weight, weight / z.z AS share
-        |FROM w CROSS JOIN z ORDER BY source""".stripMargin)
+        |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // q132: identical CTE chain — the only float op (sqrt) is floored
+    // into an exact integer weight immediately, so the admission set
+    // is bit-determined in both engines.
+    "q132_mixture_manifest" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(${graft.functions.TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens,
+         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h,
+         |    substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1) AS r
+         |  FROM documents),
+         |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+         |  FROM d GROUP BY source),
+         |pw AS (SELECT source, src_tokens,
+         |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS w FROM per),
+         |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS all_tokens,
+         |    CAST(sum(w) AS BIGINT) AS wsum FROM pw),
+         |alloc AS (SELECT source,
+         |    (all_tokens // 2) // wsum * w + ((all_tokens // 2) % wsum * w) // wsum
+         |      AS budget
+         |  FROM pw CROSS JOIN tot),
+         |l AS (SELECT source, doc_id, n_tokens, h, r,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source, r ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_in
+         |  FROM d),
+         |o AS (SELECT source, r, coalesce(CAST(sum(rtot) OVER (PARTITION BY source
+         |      ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS off
+         |  FROM (SELECT source, r, sum(n_tokens) AS rtot FROM d GROUP BY source, r)),
+         |j AS (SELECT l.source, l.doc_id, l.n_tokens,
+         |    o.off + l.cum_in - l.n_tokens AS cum_before
+         |  FROM l JOIN o ON o.source = l.source AND o.r = l.r)
+         |SELECT j.source, j.doc_id, j.n_tokens, j.cum_before, a.budget
+         |FROM j JOIN alloc a ON a.source = j.source
+         |WHERE j.cum_before < a.budget
+         |ORDER BY j.source, j.cum_before, j.doc_id""".stripMargin)
 }
