@@ -23,6 +23,37 @@ class ScaleSpec extends SparkSpec {
     assert(salted.count() == 902) // 900 hot + k950 + k999
   }
 
+  test("q132's two-level per-source prefix sum equals the naive single window") {
+    // the scale pattern under the mixture manifest: local cumsums in
+    // (source, leading-hex) ranges + bounded broadcast offsets must be
+    // BIT-IDENTICAL to one window per source (which a 100 TB source
+    // would funnel through a single reducer) — same invariant q116's
+    // ScaleSpec pins globally, here per source.
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(13)
+    val d = (0L until 500L).map(i => (i, s"s${rng.nextInt(5)}", rng.nextInt(40).toLong))
+      .toDF("doc_id", "source", "n_tokens")
+      .withColumn("h", md5(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("r", substring(col("h"), 1, 1))
+    val naive = d.withColumn("cum_before",
+        sum("n_tokens").over(Window.partitionBy("source").orderBy("h", "doc_id"))
+          - col("n_tokens"))
+      .select("source", "doc_id", "cum_before")
+    val local = d.withColumn("cum_in", sum("n_tokens").over(
+      Window.partitionBy("source", "r").orderBy("h", "doc_id")))
+    val offsets = d.groupBy("source", "r").agg(sum("n_tokens").as("rtot"))
+      .withColumn("off", coalesce(sum("rtot").over(
+        Window.partitionBy("source").orderBy("r")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "r", "off")
+    val twoLevel = local.join(broadcast(offsets), Seq("source", "r"))
+      .select(col("source"), col("doc_id"),
+        (col("off") + col("cum_in") - col("n_tokens")).as("cum_before"))
+    val a = naive.orderBy("source", "doc_id").collect().toSeq
+    val b = twoLevel.orderBy("source", "doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("capBuckets bounds an adversarial LSH bucket to cap members (no quadratic join)") {
     // 10⁴ distinct near-identical titles landing in ONE candidate bucket
     // — the pathological corpus the q51/q53 cap guards against. Without
