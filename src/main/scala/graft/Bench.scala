@@ -18,6 +18,26 @@ import org.apache.spark.sql.SparkSession
   * proxy persist) amortize into whichever run pays them — exactly as
   * they would across a long-lived session. */
 object Bench {
+
+  /** 2-decimal (10 ms) rendering; Locale.ROOT keeps the decimal point
+    * a '.' regardless of JVM locale (a comma-decimal locale would emit
+    * invalid JSON). */
+  def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  def qmap(rs: Seq[(String, Double)]): String =
+    rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+
+  /** The LAST stdout line — the only payload the driver's ~2 KB tail
+    * parse is guaranteed to see, so it must stay far under that bound
+    * at any surface size (BenchSpec pins it): headline fields plus
+    * only the 3 slowest queries. */
+  def summaryLine(results: Seq[(String, Double)], total: Double,
+                  nFailed: Int, sfName: String): String = {
+    val slowest = results.sortBy(-_._2).take(3)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n_queries":${results.size},"n_failed":$nFailed,"slowest":${qmap(slowest)},"full_record":"BENCH_LOCAL.json"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -82,17 +102,12 @@ object Bench {
     //  (1) the COMPLETE record (full per-query map) goes ONLY to
     //      BENCH_LOCAL.json (repo root, override via
     //      SPARK_GRAFT_BENCH_OUT) — never to stdout;
-    //  (2) stdout's last (and only payload) line is a compact summary —
+    //  (2) stdout's last (and only payload) line is [[summaryLine]] —
     //      headline fields plus only the 3 slowest queries, ~250 bytes —
     //      so the driver's parse of the final JSON line succeeds
-    //      regardless of surface size.
+    //      regardless of surface size (BenchSpec pins the size bound).
     // 2-decimal rendering (10 ms) keeps lines small; bench noise on
     // this shared box is ≫ 10 ms (min-of-2 notes in BASELINE.md).
-    // Locale.ROOT keeps the decimal point a '.' regardless of JVM
-    // locale (a comma-decimal locale would emit invalid JSON).
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    def qmap(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // Exclude -1 both-runs-failed sentinels from the total (they would
     // silently shrink it); surface the failure count at the top level.
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -105,9 +120,7 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File(out))
       try w.println(fullLine) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
-    val slowest = results.sortBy(-_._2).take(3)
-    println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n_queries":${results.size},"n_failed":$nFailed,"slowest":${qmap(slowest)},"full_record":"BENCH_LOCAL.json"}""")
+    println(summaryLine(results, total, nFailed, sfName))
     spark.stop()
   }
 }

@@ -477,6 +477,35 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental shard-manifest APPEND (q133): the daily-crawl path
+    // of the q116 assembly — a delta batch joins an existing corpus
+    // WITHOUT re-sharding history. History keeps its manifest
+    // byte-for-byte (append never rewrites shipped training shards);
+    // the delta gets its own content-addressed two-level prefix sum,
+    // offset by the history's total token count, and shard numbering
+    // CONTINUES across the boundary (the first delta doc packs into
+    // history's partially-filled last shard — greedy packing has no
+    // seam). O(delta) work plus ONE scalar over history (in production
+    // that scalar comes from the stored manifest's footer, not a
+    // rescan — the rescan here keeps the query self-contained on the
+    // fixture). The differential certifies both halves and the splice:
+    // base rows must equal q116's manifest restricted to history, and
+    // delta rows the offset chain — one hash covers the whole append.
+    "q133_shard_append" -> ((s, dir) => {
+      val all = docs(s, dir).select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      val hist = all.where(col("doc_id") % 10 =!= 7)
+      val delta = all.where(col("doc_id") % 10 === 7)
+      val mh = shardManifest(hist).withColumn("batch", lit("base"))
+      val th = hist.agg(coalesce(sum("n_tokens"), lit(0L)).as("t0"))
+      val md = shardManifest(delta).crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("start_tok") + col("t0")).as("start_tok"),
+          expr(s"(start_tok + t0) div $ShardTokens").as("shard"),
+          lit("delta").as("batch"))
+      mh.unionByName(md).orderBy("start_tok", "doc_id")
+    }),
+
     // Curriculum manifest — q118's shards in training ORDER (mean
     // importance descending, the "cleanest data first" curriculum
     // recipe). Shard-sized output; the rank window is over thousands
@@ -726,25 +755,28 @@ object CorpusQueries {
     * the rendered SQL must use the same value as the engine binding
     * (both default to 1; output is invariant in it, see
     * [[shardManifest]]). */
-  private def shardCtesSql(src: String, prefixLen: Int = 1): String =
-    s"""sd AS (SELECT doc_id, n_tokens,
+  /** `suffix` renames the chain's CTEs (sd2/sl2/so2/sm2, …) so two
+    * instantiations compose in one oracle (q133's history + delta). */
+  private def shardCtesSql(src: String, prefixLen: Int = 1,
+                           suffix: String = ""): String =
+    s"""sd$suffix AS (SELECT doc_id, n_tokens,
        |    md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM $src),
-       |sl AS (SELECT *, substr(h, 1, $prefixLen) AS r,
+       |sl$suffix AS (SELECT *, substr(h, 1, $prefixLen) AS r,
        |    CAST(sum(n_tokens) OVER (PARTITION BY substr(h, 1, $prefixLen)
        |      ORDER BY h, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS cum_in
-       |  FROM sd),
-       |so AS (SELECT r, coalesce(CAST(sum(rtot) OVER (ORDER BY r
+       |  FROM sd$suffix),
+       |so$suffix AS (SELECT r, coalesce(CAST(sum(rtot) OVER (ORDER BY r
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
        |      0) AS off
        |  FROM (SELECT substr(h, 1, $prefixLen) AS r, sum(n_tokens) AS rtot
-       |        FROM sd GROUP BY 1)),
-       |sm AS (SELECT sl.doc_id, sl.n_tokens,
-       |    so.off + sl.cum_in - sl.n_tokens AS start_tok,
-       |    (so.off + sl.cum_in - sl.n_tokens) // $ShardTokens AS shard
-       |  FROM sl JOIN so ON so.r = sl.r)""".stripMargin
+       |        FROM sd$suffix GROUP BY 1)),
+       |sm$suffix AS (SELECT sl$suffix.doc_id, sl$suffix.n_tokens,
+       |    so$suffix.off + sl$suffix.cum_in - sl$suffix.n_tokens AS start_tok,
+       |    (so$suffix.off + sl$suffix.cum_in - sl$suffix.n_tokens) // $ShardTokens AS shard
+       |  FROM sl$suffix JOIN so$suffix ON so$suffix.r = sl$suffix.r)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q115_importance_weights" ->
@@ -800,6 +832,25 @@ object CorpusQueries {
          |    - 1 AS BIGINT) AS pos,
          |  doc_id, n_tokens, CAST(start_tok AS BIGINT) AS start_tok
          |FROM sm ORDER BY shard, pos""".stripMargin,
+
+    // q133: two independent instantiations of the shard chain (CTE
+    // suffix "2" for the delta) spliced by the history token total.
+    "q133_shard_append" ->
+      s"""WITH dall AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |hist AS (SELECT * FROM dall WHERE doc_id % 10 <> 7),
+         |delta AS (SELECT * FROM dall WHERE doc_id % 10 = 7),
+         |${shardCtesSql("hist")},
+         |${shardCtesSql("delta", suffix = "2")},
+         |t0 AS (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS t0 FROM hist)
+         |SELECT doc_id, n_tokens, start_tok, shard, 'base' AS batch FROM sm
+         |UNION ALL
+         |SELECT sm2.doc_id, sm2.n_tokens, sm2.start_tok + t0.t0 AS start_tok,
+         |  (sm2.start_tok + t0.t0) // $ShardTokens AS shard, 'delta' AS batch
+         |FROM sm2 CROSS JOIN t0
+         |ORDER BY start_tok, doc_id""".stripMargin,
 
     // q129: the split re-stated declaratively — one boolean per rule,
     // dead-letter rows from the negated rules, the clean count from

@@ -95,6 +95,17 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q130/q131: the documents scan prunes to the referenced columns") {
+    // a curation op that drags lang/n_chars through a 100 TB text scan
+    // reads ~2× the bytes it needs; pin the pruned ReadSchema
+    val p130 = plan("q130_segment_dedup")
+    assert(p130.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p130.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    val p131 = plan("q131_host_prior")
+    assert(p131.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      p131.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
   test("q05 transform: pure expressions — no object-level operators") {
     val df = SparkEntry.queries("q05_transform")(spark, dir)
     df.count() // finalize the adaptive plan so codegen spans are assigned
