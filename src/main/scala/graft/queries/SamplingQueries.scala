@@ -137,6 +137,40 @@ object SamplingQueries {
         .orderBy("lang", "rank")
     }),
 
+    // Split-leakage audit (q134): q64's 80/10/10 hash split is only
+    // sound if near-copies don't straddle the boundary — a test doc
+    // sharing verbatim passages with a train doc inflates eval. This
+    // is the cross-split twin of q78's benchmark decontamination: an
+    // EVAL (val/test) document is contaminated iff it shares ≥ 1
+    // verbatim 8-token segment with ANY train document. Output is
+    // LINEAR (one row per eval doc with its shared-segment count, the
+    // actionable evict list) — never a pair list, so no quadratic blow
+    // -up on heavy duplication. Scale shape: the train segment set is
+    // distinct-hashed (map-side combinable), the eval side joins on
+    // the segment hash (corpus-sized build side → shuffle equi-join,
+    // AQE broadcasts if a small train slice), one groupBy per eval
+    // doc. The split assignment is the SAME content-addressed bucket
+    // as q64, so the audit composes with the declared split exactly.
+    "q134_split_leakage" -> ((s, dir) => {
+      val b = hashBucket(col("doc_id"), "split:", 100)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+      val segs = d.select(col("doc_id"), col("split"), expr(
+        """explode(transform(sequence(0, (size(toks)-1) div 8),
+          |  k -> md5(concat_ws(' ', slice(toks, k*8+1, 8)))))""".stripMargin).as("h"))
+      val trainH = segs.where(col("split") === "train")
+        .select(col("h")).distinct().withColumn("hit", lit(1))
+      segs.where(col("split") =!= "train")
+        .join(trainH, Seq("h"), "left")
+        .groupBy("doc_id", "split")
+        .agg(count(lit(1)).as("n_segs"), count(col("hit")).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy("doc_id")
+    }),
+
     // 80/10/10 train/val/test split + per-split counts as a sanity row.
     "q64_dataset_split" -> ((s, dir) => {
       val b = hashBucket(col("doc_id"), "split:", 100)
@@ -212,6 +246,30 @@ object SamplingQueries {
         |    (acc, x) -> acc + x) AS z FROM w)
         |SELECT source, n_docs, total_chars, weight, weight / z.z AS share
         |FROM w CROSS JOIN z ORDER BY source""".stripMargin,
+
+    // q134: the same split bucket as q64's oracle; eval-side counts
+    // from one left semi-shaped join against the distinct train set.
+    "q134_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN ${hashBucketSql("doc_id", "split:", 100)} < 80 THEN 'train'
+         |         WHEN ${hashBucketSql("doc_id", "split:", 100)} < 90 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    ${graft.functions.TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |dd AS (SELECT doc_id, split, toks FROM d WHERE len(toks) > 0),
+         |segs AS (SELECT doc_id, split,
+         |    unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+         |      k -> md5(array_to_string(list_slice(toks, k*8+1, k*8+8), ' ')))) AS h
+         |  FROM dd),
+         |th AS (SELECT DISTINCT h FROM segs WHERE split = 'train'),
+         |ev AS (SELECT segs.doc_id, segs.split,
+         |    CASE WHEN th.h IS NOT NULL THEN 1 END AS hit
+         |  FROM segs LEFT JOIN th ON th.h = segs.h
+         |  WHERE segs.split <> 'train')
+         |SELECT doc_id, split, count(*) AS n_segs, count(hit) AS n_shared,
+         |  count(hit) > 0 AS contaminated
+         |FROM ev GROUP BY doc_id, split
+         |ORDER BY doc_id""".stripMargin,
 
     // q132: identical CTE chain — the only float op (sqrt) is floored
     // into an exact integer weight immediately, so the admission set
