@@ -417,30 +417,10 @@ object CorpusQueries {
     // clean_hash marks a doc whose every segment appeared earlier —
     // fully-boilerplate docs drop out of the corpus naturally.
     "q130_segment_dedup" -> ((s, dir) => {
-      val t = docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) > 0)
-      val sp = t.select(col("doc_id"), expr(
-          """explode(transform(sequence(0, (size(toks)-1) div 8),
-            |  k -> named_struct('k', k,
-            |    'seg', concat_ws(' ', slice(toks, k*8+1, 8)))))""".stripMargin).as("u"))
-        .select(col("doc_id"), col("u.k").as("k"), col("u.seg").as("seg"))
-        .withColumn("h", md5(col("seg")))
+      val sp = segmentize(docs(s, dir))
       val first = graft.operators.TopK.perKey(sp, keys = Seq("h"),
         order = Seq("doc_id" -> true, "k" -> true), k = 1)
-      val rec = first.groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
-          sort_array(collect_list(struct(col("k"), col("seg")))).as("ss"))
-        .select(col("doc_id"), col("n_kept"),
-          md5(array_join(expr("transform(ss, x -> x.seg)"), " ")).as("clean_hash"),
-          expr("""aggregate(transform(ss, x -> cast(size(split(x.seg, ' ')) as bigint)),
-                 |  cast(0 as bigint), (a, b) -> a + b)""".stripMargin).as("clean_tokens"))
-      t.select(col("doc_id"))
-        .join(sp.groupBy("doc_id").agg(count(lit(1)).as("n_segs")), Seq("doc_id"))
-        .join(rec, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_segs"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_hash"),
-          coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"))
-        .orderBy("doc_id")
+      reconstructDocs(sp, first).orderBy("doc_id")
     }),
 
     // Host-level boilerplate prior + document gate (q131): the
@@ -517,6 +497,39 @@ object CorpusQueries {
     // chain once and the other reads the checkpointed frame.
     "q122_curriculum" -> ((s, dir) =>
       curriculum(selectionManifest(s, dir)).orderBy("curriculum_pos")))
+
+  /** q130/q134's segment universe over any (doc_id, text, …) frame:
+    * one row per non-overlapping 8-token segment, (doc_id, k, seg, h)
+    * with h = md5(seg). Shared by the batch binding and the streaming
+    * twin ([[graft.streaming.StreamingIngest.scrubSeenSegments]]) so
+    * both sides segment IDENTICALLY — the parity spec depends on it. */
+  private[graft] def segmentize(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(0, (size(toks)-1) div 8),
+          |  k -> named_struct('k', k,
+          |    'seg', concat_ws(' ', slice(toks, k*8+1, 8)))))""".stripMargin).as("u"))
+      .select(col("doc_id"), col("u.k").as("k"), col("u.seg").as("seg"))
+      .withColumn("h", md5(col("seg")))
+
+  /** Rebuild per-doc rows from surviving segments: q130's output
+    * contract (doc_id, n_segs, n_kept, clean_hash, clean_tokens),
+    * clean_hash NULL when every segment was dropped. `all` is the full
+    * [[segmentize]] frame (totals), `kept` its surviving subset. */
+  private[graft] def reconstructDocs(all: DataFrame, kept: DataFrame): DataFrame = {
+    val rec = kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(struct(col("k"), col("seg")))).as("ss"))
+      .select(col("doc_id"), col("n_kept"),
+        md5(array_join(expr("transform(ss, x -> x.seg)"), " ")).as("clean_hash"),
+        expr("""aggregate(transform(ss, x -> cast(size(split(x.seg, ' ')) as bigint)),
+               |  cast(0 as bigint), (a, b) -> a + b)""".stripMargin).as("clean_tokens"))
+    all.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(rec, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("clean_hash"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"))
+  }
 
   /** q118's doc-level selection manifest (doc_id, n_tokens, avg_iw,
     * start_tok, shard): DSIR importance weights (q115) → benchmark

@@ -221,6 +221,68 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming twin of q130's segment-level dedup
+    * ([[graft.queries.CorpusQueries.segmentize]] /
+    * `reconstructDocs` — the SAME segmentation and rebuild code, so
+    * stream and batch cannot drift): each micro-batch's documents are
+    * scrubbed of every 8-token segment already seen — in `history`, in
+    * prior batches, or earlier (by (doc_id, k)) in the same batch —
+    * and appended to `targetPath` REBUILT from their surviving
+    * segments. The admission index is the admitNovelTexts two-tier
+    * shape at segment granularity: a constant-size driver-held Bloom
+    * filter answers the common no case per segment with zero state
+    * shuffle, positives are exact-checked by one anti-join against the
+    * accumulated segment store (`targetPath + "_segs"`), so the scrub
+    * is EXACT (no Bloom false-positive ever drops a novel segment).
+    * Restart-safe: the index re-initializes from history ∪ the store.
+    *
+    * Ordering contract: cross-batch precedence is ARRIVAL order (a
+    * segment's first-arriving occurrence survives — the only causal
+    * order a stream has); within a batch it is (doc_id, k), the batch
+    * operator's order. Feeding batches in ascending doc_id order makes
+    * the stream's output bit-identical to batch q130 over the same
+    * corpus — StreamingSpec pins exactly that parity. */
+  def scrubSeenSegments(stream: DataFrame, history: DataFrame,
+                        targetPath: String, checkpoint: String): StreamingQuery = {
+    import graft.functions.Bloom
+    import graft.queries.CorpusQueries
+    val segStore = targetPath + "_segs"
+    def seenHashes(spark: SparkSession): DataFrame = {
+      val hist = CorpusQueries.segmentize(history).select("h")
+      if (new java.io.File(segStore).exists())
+        hist.unionByName(spark.read.parquet(segStore))
+      else hist
+    }
+    var bloom: Array[Byte] = seenHashes(history.sparkSession)
+      .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sp = CorpusQueries.segmentize(batch).persist()
+        val firstInBatch = graft.operators.TopK.perKey(sp, keys = Seq("h"),
+            order = Seq("doc_id" -> true, "k" -> true), k = 1)
+          .select("doc_id", "k", "seg", "h")
+        val flagged = firstInBatch.withColumn("bloom_positive",
+          call_function("graft_bloom_contains", lit(bloom), col("h")))
+        val neg = flagged.where(!col("bloom_positive"))
+        val pos = flagged.where(col("bloom_positive"))
+          .join(seenHashes(spark).distinct(), Seq("h"), "left_anti")
+        val kept = neg.unionByName(pos)
+          .select("doc_id", "k", "seg", "h").persist()
+        CorpusQueries.reconstructDocs(sp, kept)
+          .write.mode("append").parquet(targetPath)
+        kept.select("h").distinct().write.mode("append").parquet(segStore)
+        val delta = kept
+          .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
+        kept.unpersist(); sp.unpersist()
+        bloom = Bloom.or(bloom, delta)
+      }
+      .start()
+  }
+
   /** Streaming k-means inference — classify `(vec_id, embedding)`
     * rows against a FITTED centroid table
     * ([[graft.operators.KMeans.fitCentroids]], the train-on-history /

@@ -318,6 +318,41 @@ class StreamingSpec extends SparkSpec {
     assert(after == Set(11L, 12L, 22L), s"replay re-admitted: $after")
   }
 
+  test("scrubSeenSegments: stream output is bit-identical to batch q130 on ordered batches (incl. restart)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir0 = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(dir0 + "/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val history = rows.filter(_._1 < 200).toDF("doc_id", "text")
+    val out = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "segscrub").toString
+    val input = MemoryStream[(Long, String)]
+    def runOnce(): Unit = {
+      // fresh query per call ⇒ the second batch also exercises restart
+      // (Bloom + store re-initialized from history ∪ prior scrubs)
+      val q = StreamingIngest.scrubSeenSegments(
+        input.toDF().toDF("doc_id", "text"), history,
+        targetPath = s"$out/clean", checkpoint = s"$out/ckpt")
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    input.addData(rows.filter(r => r._1 >= 200 && r._1 < 350): _*); runOnce()
+    input.addData(rows.filter(_._1 >= 350): _*); runOnce()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_segs", "n_kept", "clean_hash", "clean_tokens")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getLong(4))).toSeq
+    val got = canon(spark.read.parquet(s"$out/clean"))
+    // batch q130 over the SAME corpus: its keep-first order (doc_id, k)
+    // coincides with history→batch1→batch2 arrival, so the streamed
+    // scrub of the tail must equal the batch result restricted to it
+    val want = canon(SparkEntry.queries("q130_segment_dedup")(spark, dir0)
+      .where(col("doc_id") >= 200))
+    assert(got.size == want.size && got == want,
+      s"stream/batch divergence: got ${got.size} rows, want ${want.size}")
+  }
+
   test("FailureListener captures failed actions (ST5 alert callback)") {
     val listener = new graft.streaming.FailureListener
     spark.listenerManager.register(listener)
