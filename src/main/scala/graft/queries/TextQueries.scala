@@ -362,7 +362,54 @@ object TextQueries {
         .limit(Bm25K)
         .select(col("doc_id"), col("dl"), col("n_terms"), col("score"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Truncated SUFFIX-ARRAY index build (q135): the index behind
+    // suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better" — public) — every
+    // corpus position ranked by the lexicographic order of its suffix,
+    // TRUNCATED at depth 16 tokens (a truncated-suffix index is the
+    // practical production form: dedup spans are window-bounded, and
+    // depth-d rank needs only d tokens of context; positions with
+    // reps ≥ 2 root a duplicated ≥min(16, remaining)-token span, the
+    // q93/q107 families' exact-index complement). The GLOBAL rank is
+    // never one sort: ranges = the window string's leading characters
+    // — contiguous slices of the global order because ' ' sorts below
+    // every token character, so cross-range comparisons always resolve
+    // at the range prefix — carry local dense_ranks, and per-range
+    // DISTINCT-window counts fold into ≤|charset|^prefixChars
+    // broadcast offsets (the q116 two-level pattern applied to
+    // dense_rank; prefixChars is the same 100 TB parallelism knob,
+    // ScaleSpec pins 1 vs 2 bit-identity). Output is position-linear;
+    // the ~16× window-byte blowup vs raw text is the known cost of a
+    // truncated-suffix index, paid per partition and never collected.
+    "q135_suffix_ranks" -> ((s, dir) => suffixRanks(docs(s, dir))))
+
+  /** q135's body over any (doc_id, text, …) frame; `prefixChars` is
+    * the range-fan-out knob (output invariant in it). */
+  private[graft] def suffixRanks(d: DataFrame, prefixChars: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), expr(
+        """explode(transform(sequence(0, size(toks) - 1),
+          |  i -> named_struct('p', i,
+          |    'w', concat_ws(' ', slice(toks, i+1, 16)))))""".stripMargin).as("u"))
+      .select(col("doc_id"), col("u.p").as("pos"), col("u.w").as("w"))
+      .withColumn("r", substring(col("w"), 1, prefixChars))
+    val local = w1
+      .withColumn("lr",
+        dense_rank().over(Window.partitionBy("r").orderBy("w")).cast("long"))
+      .withColumn("reps", count(lit(1)).over(Window.partitionBy("r", "w")))
+    val offsets = w1.groupBy("r").agg(countDistinct("w").as("nw"))
+      .withColumn("off", coalesce(sum("nw").over(Window.partitionBy()
+        .orderBy("r").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("r", "off")
+    local.join(broadcast(offsets), Seq("r"))
+      .select(col("doc_id"), col("pos"),
+        (col("off") + col("lr")).as("rank16"), col("reps"))
+      .orderBy("doc_id", "pos")
+  }
 
   /** q127's fixed probe terms (present in the fixture vocabulary) and
     * result size. A production binding parameterizes both; the
@@ -378,6 +425,20 @@ object TextQueries {
       stopwordHitsSql("toks", "fr"), stopwordHitsSql("toks", "es"))
     Map(
       "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
+
+      // q135: the oracle is the NAIVE single global dense_rank window —
+      // hash-equality proves the two-level range/offset decomposition
+      // reproduces it exactly (both engines compare strings bytewise).
+      "q135_suffix_ranks" ->
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |w0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+           |    i -> {'p': i, 'w': array_to_string(list_slice(toks, i+1, i+16), ' ')})) AS u
+           |  FROM t WHERE len(toks) > 0),
+           |w1 AS (SELECT doc_id, u.p AS pos, u.w AS w FROM w0)
+           |SELECT doc_id, pos,
+           |  CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank16,
+           |  count(*) OVER (PARTITION BY w) AS reps
+           |FROM w1 ORDER BY doc_id, pos""".stripMargin,
 
       "q110_bpe_encode" -> bpeEncodeSql(toksE),
 

@@ -54,6 +54,18 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q135's two-level dense rank is invariant in the range fan-out (prefixChars 1 vs 2)") {
+    // same q116-style knob contract: a longer range prefix only splits
+    // each contiguous slice of the global window order, so the fold of
+    // offsets over MORE ranges must reproduce the identical ranks.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.queries.TextQueries.suffixRanks(d, prefixChars = 1)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.queries.TextQueries.suffixRanks(d, prefixChars = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("capBuckets bounds an adversarial LSH bucket to cap members (no quadratic join)") {
     // 10⁴ distinct near-identical titles landing in ONE candidate bucket
     // — the pathological corpus the q51/q53 cap guards against. Without
