@@ -383,19 +383,68 @@ object TextQueries {
     // ScaleSpec pins 1 vs 2 bit-identity). Output is position-linear;
     // the ~16× window-byte blowup vs raw text is the known cost of a
     // truncated-suffix index, paid per partition and never collected.
-    "q135_suffix_ranks" -> ((s, dir) => suffixRanks(docs(s, dir))))
+    "q135_suffix_ranks" -> ((s, dir) => suffixRanks(docs(s, dir))),
 
-  /** q135's body over any (doc_id, text, …) frame; `prefixChars` is
-    * the range-fan-out knob (output invariant in it). */
-  private[graft] def suffixRanks(d: DataFrame, prefixChars: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w1 = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+    // LCP ARRAY over the truncated suffix order (q136): the structure
+    // that turns q135's ranks into exact duplicated-SPAN lengths —
+    // lcp_prev = the token-level longest common prefix between each
+    // distinct depth-16 window and its lexicographic predecessor (the
+    // suffix array's companion LCP array). reps ≥ 2 marks a
+    // full-window repeat; lcp_prev < 16 bounds the longest repeated
+    // substring THROUGH this boundary. The predecessor is NEVER a
+    // rank self-join (that computes the chain twice and at corpus
+    // scale would shuffle — or worse, broadcast — a second copy of
+    // every window): within a range it is one lag over the SAME
+    // (r, w) sort the local dense_rank already needs, and the only
+    // cross-range adjacency — each range's first window vs the
+    // previous range's LAST window — is a |ranges|-sized broadcast
+    // fix-up, valid precisely because ranges are contiguous slices of
+    // the global order. The prefix length is one codegen'd zip_with
+    // fold per pair, 16-bounded. Output is distinct-window-linear.
+    "q136_lcp_array" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dw = suffixWindows(docs(s, dir))
+        .groupBy("w").agg(count(lit(1)).as("reps"))
+        .withColumn("r", substring(col("w"), 1, 1))
+      val inRange = Window.partitionBy("r").orderBy("w")
+      val local = dw
+        .withColumn("lr", dense_rank().over(inRange).cast("long"))
+        .withColumn("w_prev_local", lag("w", 1).over(inRange))
+      val ranges = dw.groupBy("r")
+        .agg(count(lit(1)).as("nw"), max("w").as("w_last"))
+        .withColumn("off", coalesce(sum("nw").over(Window.partitionBy()
+          .orderBy("r").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("prev_r_last",
+          lag("w_last", 1).over(Window.partitionBy().orderBy("r")))
+        .select("r", "off", "prev_r_last")
+      local.join(broadcast(ranges), Seq("r"))
+        .withColumn("w_prev", coalesce(col("w_prev_local"), col("prev_r_last")))
+        .select((col("off") + col("lr")).as("rank16"),
+          md5(col("w")).as("w_hash"), col("reps"),
+          when(col("w_prev").isNull, lit(0L)).otherwise(expr(
+            """array_position(zip_with(split(w, ' '), split(w_prev, ' '),
+              |  (x, y) -> coalesce(x = y, false)), false) - 1""".stripMargin))
+            .as("lcp_prev"))
+        .orderBy("rank16")
+    }))
+
+  /** Every corpus position's depth-16 token window: (doc_id, pos, w).
+    * Shared by q135 (per-position ranks) and q136 (distinct-window
+    * LCP array). */
+  private def suffixWindows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), expr(
         """explode(transform(sequence(0, size(toks) - 1),
           |  i -> named_struct('p', i,
           |    'w', concat_ws(' ', slice(toks, i+1, 16)))))""".stripMargin).as("u"))
       .select(col("doc_id"), col("u.p").as("pos"), col("u.w").as("w"))
+
+  /** q135's body over any (doc_id, text, …) frame; `prefixChars` is
+    * the range-fan-out knob (output invariant in it). */
+  private[graft] def suffixRanks(d: DataFrame, prefixChars: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w1 = suffixWindows(d)
       .withColumn("r", substring(col("w"), 1, prefixChars))
     val local = w1
       .withColumn("lr",
@@ -439,6 +488,32 @@ object TextQueries {
            |  CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank16,
            |  count(*) OVER (PARTITION BY w) AS reps
            |FROM w1 ORDER BY doc_id, pos""".stripMargin,
+
+      // q136: the naive lag window over the globally-sorted distinct
+      // windows; the prefix-length fold mirrors the engine's zip_with
+      // (out-of-range index → NULL → coalesce false, so a strict-
+      // prefix pair stops at the shorter length; distinct windows
+      // guarantee a mismatch exists, so list_position always finds
+      // one).
+      "q136_lcp_array" ->
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |w0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+           |    i -> {'p': i, 'w': array_to_string(list_slice(toks, i+1, i+16), ' ')})) AS u
+           |  FROM t WHERE len(toks) > 0),
+           |w1 AS (SELECT u.w AS w FROM w0),
+           |dw AS (SELECT w, CAST(count(*) AS BIGINT) AS reps FROM w1 GROUP BY w),
+           |rk AS (SELECT w, reps,
+           |    CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS rank16,
+           |    lag(w) OVER (ORDER BY w) AS w_prev
+           |  FROM dw)
+           |SELECT rank16, md5(w) AS w_hash, reps,
+           |  CAST(CASE WHEN w_prev IS NULL THEN 0 ELSE
+           |    list_position(list_transform(
+           |      range(1, greatest(len(string_split(w, ' ')),
+           |                        len(string_split(w_prev, ' '))) + 1),
+           |      i -> coalesce(string_split(w, ' ')[i] = string_split(w_prev, ' ')[i],
+           |        false)), false) - 1 END AS BIGINT) AS lcp_prev
+           |FROM rk ORDER BY rank16""".stripMargin,
 
       "q110_bpe_encode" -> bpeEncodeSql(toksE),
 
