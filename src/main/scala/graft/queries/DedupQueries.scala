@@ -479,7 +479,57 @@ object DedupQueries {
     // token; the verify join is linear in candidates × overlap.
     "q104_sparse_cosine_join" -> ((s, dir) =>
       Similarity.sparseCosineJoin(
-        Tables.load(s, dir, "documents"), SparseDfCap)))
+        Tables.load(s, dir, "documents"), SparseDfCap)),
+
+    // CONTENT-DEFINED CHUNKING (q138): Rabin-style rolling-hash chunk
+    // boundaries (LBFS, Muthitacharoen et al. SOSP'01; FastCDC, Xia
+    // et al. ATC'16 — public) — the dedup-friendly chunking that fixed
+    // shingles can't give: an insertion shifts every fixed-stride
+    // fingerprint after it, but content-defined boundaries resynchronize
+    // because the cut decision depends only on a 4-token local window
+    // (boundary after position i iff md5 of tokens[i-3..i] starts with
+    // '0' — expected chunk ≈ 16 tokens, doc end always cuts). Output is
+    // one row per chunk with its corpus-wide occurrence count: reps ≥ 2
+    // chunks are the shareable content units a chunk-store would
+    // single-instance. Scale: boundary detection + chunk assembly are
+    // pure per-doc array algebra inside one codegen'd projection — NO
+    // shuffle until the single hash-partition on chunk_hash that counts
+    // reps; output linear in corpus tokens / expected-chunk-size.
+    "q138_cdc_chunks" -> ((s, dir) => cdcChunks(Tables.load(s, dir, "documents"))))
+
+  /** q138's body over any (doc_id, text, …) frame — ScaleSpec pins the
+    * boundary-resynchronization property (an inserted token perturbs
+    * only the head chunks) on synthetic pairs. */
+  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+    {
+      import org.apache.spark.sql.expressions.Window
+      val ch = d
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .withColumn("n", size(col("toks")))
+        // starts = 0 plus (boundary position + 1) for every in-range
+        // boundary; a boundary at the last position cuts nothing, so
+        // the candidate range stops at n - 2 (ANSI guard: sequence()
+        // DESCENDS when start > stop, hence the if, not a filter).
+        .withColumn("starts", expr(
+          """concat(array(0), transform(
+            |  filter(if(n >= 5, sequence(3, n - 2), array()),
+            |    i -> startswith(md5(concat_ws(' ', slice(toks, int(i) - 2, 4))), '0')),
+            |  i -> i + 1))""".stripMargin))
+        .select(col("doc_id"), col("toks"), col("n"), col("starts"),
+          posexplode(col("starts")).as(Seq("j", "start")))
+        .withColumn("end",
+          coalesce(expr("try_element_at(starts, j + 2)"), col("n")))
+        .select(col("doc_id"), col("j").cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start"),
+          (col("end") - col("start")).cast("long").as("chunk_tokens"),
+          md5(concat_ws(" ",
+            expr("slice(toks, int(start) + 1, int(end - start))"))).as("chunk_hash"))
+      ch.withColumn("reps",
+          count(lit(1)).over(Window.partitionBy("chunk_hash")))
+        .orderBy("doc_id", "chunk_idx")
+    }
+  }
 
   /** q51's DuckDB rendering, reused by q70's recursive-CTE oracle.
     *
@@ -697,6 +747,32 @@ object DedupQueries {
            |FROM dp JOIN n na ON na.rep = dp.ra JOIN n nb ON nb.rep = dp.rb
            |WHERE 4 * dot * dot >= na.n2 * nb.n2
            |ORDER BY rep_a, rep_b""".stripMargin,
+
+      // q138: the same boundary/assembly algebra over DuckDB lists;
+      // range(3, n) is empty when n <= 3 (no ANSI descending-sequence
+      // trap to guard), starts[j + 2] is 1-based and NULL out of range.
+      "q138_cdc_chunks" ->
+        s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks FROM documents),
+           |t1 AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+           |b AS (SELECT doc_id, toks, n,
+           |    list_filter(range(3, n), i ->
+           |      md5(array_to_string(list_slice(toks, i - 2, i + 1), ' '))[1] = '0') AS bnds
+           |  FROM t1),
+           |st AS (SELECT doc_id, toks, n,
+           |    list_concat([0], list_transform(list_filter(bnds, i -> i + 1 < n),
+           |      i -> i + 1)) AS starts
+           |  FROM b),
+           |ch0 AS (SELECT doc_id, toks, n, starts,
+           |    unnest(range(0, len(starts))) AS j FROM st),
+           |ch AS (SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+           |    CAST(starts[j + 1] AS BIGINT) AS start,
+           |    CAST(coalesce(starts[j + 2], n) - starts[j + 1] AS BIGINT) AS chunk_tokens,
+           |    md5(array_to_string(list_slice(toks, starts[j + 1] + 1,
+           |      coalesce(starts[j + 2], n)), ' ')) AS chunk_hash
+           |  FROM ch0)
+           |SELECT doc_id, chunk_idx, start, chunk_tokens, chunk_hash,
+           |  count(*) OVER (PARTITION BY chunk_hash) AS reps
+           |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "q93_dup_passages" ->
         s"""WITH t AS (SELECT doc_id,

@@ -426,7 +426,96 @@ object TextQueries {
               |  (x, y) -> coalesce(x = y, false)), false) - 1""".stripMargin))
             .as("lcp_prev"))
         .orderBy("rank16")
+    }),
+
+    // EXACT-SUBSTRING SCRUB (q137): the application the q135/q136
+    // suffix index exists for — Lee et al. 2022's ExactSubstr dedup
+    // as a corpus rewrite. Every FULL depth-16 window that repeats
+    // anywhere in the corpus keeps exactly ONE canonical occurrence
+    // (the corpus-global (doc_id, pos) minimum — row_number() == 1
+    // over the window's occurrence list); every other occurrence
+    // marks its 16 tokens for removal. Per doc, marked positions
+    // merge into maximal spans (gaps-and-islands on the fixed-width
+    // intervals: a new island iff the gap exceeds the window width —
+    // ends are monotone with starts, so one lag suffices, no cummax),
+    // and the scrubbed document is rebuilt by an index-aware filter
+    // over the token array against the ≤len/16 merged intervals.
+    // Scale: ONE shuffle on the window string (hash partition, no
+    // global sort — AQE handles a boilerplate-hot window), one
+    // doc-partitioned window pass, output one row per document.
+    // Docs under 16 tokens have no full window and pass through
+    // unscrubbed (the threshold semantics, not an edge case).
+    "q137_exact_scrub" -> ((s, dir) => exactScrub(docs(s, dir))),
+
+    // POSITIONAL PHRASE SEARCH (q139): exact consecutive-phrase match
+    // through a positional inverted index — the retrieval primitive
+    // q103's postings and q127's BM25 both lack (bag-of-words can rank
+    // "scan order big" identically; only positions prove adjacency).
+    // The postings stream is filtered to the phrase's terms BEFORE any
+    // exchange (the filter fuses into the explode projection, so the
+    // shuffled relation is term-bounded — at 100 TB the three terms'
+    // postings, not the corpus), then k-1 equi-joins on
+    // (doc_id, pos ± i) assert adjacency slot by slot. SQL-over-view
+    // self-joins (the file-local idiom): DataFrame-API self joins on
+    // shared lineage trip the ambiguous-self-join check.
+    "q139_phrase_search" -> ((s, dir) => {
+      val Seq(t1, t2, t3) = PhraseTerms
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .where(col("tok").isin(PhraseTerms: _*))
+        .createOrReplaceTempView("q139_postings")
+      s.sql(
+        s"""SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           |  CAST(min(a.pos) AS BIGINT) AS first_pos
+           |FROM q139_postings a
+           |JOIN q139_postings b
+           |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = '$t2'
+           |JOIN q139_postings c
+           |  ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.tok = '$t3'
+           |WHERE a.tok = '$t1'
+           |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)
     }))
+
+  /** q137's body over any (doc_id, text, …) frame — also exercised by
+    * ScaleSpec on adversarial duplicate corpora. */
+  private[graft] def exactScrub(d: DataFrame): DataFrame = {
+    {
+      import org.apache.spark.sql.expressions.Window
+      val t = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val fw = t.where(size(col("toks")) >= 16)
+        .select(col("doc_id"), expr(
+          """explode(transform(sequence(0, size(toks) - 16),
+            |  i -> named_struct('p', i,
+            |    'w', concat_ws(' ', slice(toks, i+1, 16)))))""".stripMargin).as("u"))
+        .select(col("doc_id"), col("u.p").as("pos"), col("u.w").as("w"))
+      val dup = fw.withColumn("rn",
+          row_number().over(Window.partitionBy("w").orderBy("doc_id", "pos")))
+        .where(col("rn") >= 2).select("doc_id", "pos")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val spans = dup
+        .withColumn("brk", when(lag("pos", 1).over(byDoc).isNull
+            || col("pos") - lag("pos", 1).over(byDoc) > 16, 1).otherwise(0))
+        .withColumn("island", sum("brk").over(byDoc))
+        .groupBy("doc_id", "island")
+        .agg(min("pos").as("s"), (max("pos") + 16).as("e"),
+          count(lit(1)).as("np"))
+      val cov = spans.groupBy("doc_id")
+        .agg(collect_list(struct(col("s"), col("e"))).as("iv"),
+          sum(col("e") - col("s")).as("covered"),
+          sum("np").as("dup_positions"))
+      t.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          coalesce(col("dup_positions"), lit(0L)).as("dup_positions"),
+          (size(col("toks")).cast("long") - coalesce(col("covered"), lit(0L)))
+            .as("kept_tokens"),
+          md5(concat_ws(" ", when(col("iv").isNull, col("toks")).otherwise(expr(
+            "filter(toks, (tok, i) -> size(filter(iv, s -> i >= s.s AND i < s.e)) = 0)"))))
+            .as("scrub_text_hash"))
+        .orderBy("doc_id")
+    }
+  }
 
   /** Every corpus position's depth-16 token window: (doc_id, pos, w).
     * Shared by q135 (per-position ranks) and q136 (distinct-window
@@ -467,6 +556,10 @@ object TextQueries {
     * later vals would be assigned.) */
   private def Bm25Query = Seq("spark", "vector", "stream")
   private def Bm25K = 10
+
+  /** q139's fixed probe phrase (occurs at every fixture SF); a
+    * production binding parameterizes it. */
+  private def PhraseTerms = Seq("big", "order", "scan")
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
@@ -514,6 +607,64 @@ object TextQueries {
            |      i -> coalesce(string_split(w, ' ')[i] = string_split(w_prev, ' ')[i],
            |        false)), false) - 1 END AS BIGINT) AS lcp_prev
            |FROM rk ORDER BY rank16""".stripMargin,
+
+      // q137: the same rank/island/filter algebra in DuckDB. Two
+      // dialect bridges: DuckDB lambda indices are 1-based (engine's
+      // are 0-based, hence i - 1), and array_to_string([]) is NULL
+      // where Spark's concat_ws gives '' (hence the coalesce before
+      // md5 — a fully-scrubbed doc hashes the empty string on both
+      // sides).
+      "q137_exact_scrub" ->
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |fw0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 15),
+           |    i -> {'p': i, 'w': array_to_string(list_slice(toks, i+1, i+16), ' ')})) AS u
+           |  FROM t WHERE len(toks) >= 16),
+           |fw AS (SELECT doc_id, u.p AS pos, u.w AS w FROM fw0),
+           |rk AS (SELECT doc_id, pos,
+           |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+           |  FROM fw),
+           |dup AS (SELECT doc_id, pos FROM rk WHERE rn >= 2),
+           |isl0 AS (SELECT doc_id, pos,
+           |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+           |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 16
+           |    THEN 1 ELSE 0 END AS brk
+           |  FROM dup),
+           |isl1 AS (SELECT doc_id, pos,
+           |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl0),
+           |spans AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 16 AS e,
+           |    count(*) AS np FROM isl1 GROUP BY doc_id, island),
+           |cov AS (SELECT doc_id, list({'s': s, 'e': e}) AS iv,
+           |    sum(e - s) AS covered, sum(np) AS dup_positions
+           |  FROM spans GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(cov.dup_positions, 0) AS BIGINT) AS dup_positions,
+           |  CAST(len(toks) - coalesce(cov.covered, 0) AS BIGINT) AS kept_tokens,
+           |  md5(coalesce(array_to_string(
+           |    CASE WHEN cov.doc_id IS NULL THEN toks ELSE
+           |      list_filter(toks, (tok, i) ->
+           |        len(list_filter(iv, s -> i - 1 >= s.s AND i - 1 < s.e)) = 0) END,
+           |    ' '), '')) AS scrub_text_hash
+           |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+           |ORDER BY t.doc_id""".stripMargin,
+
+      // q139: parallel unnests zip in DuckDB, so (pos, tok) postings
+      // number identically to the engine's posexplode; the adjacency
+      // joins are verbatim the engine's SQL.
+      "q139_phrase_search" -> {
+        val Seq(t1, t2, t3) = PhraseTerms
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |p0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+           |    unnest(toks) AS tok FROM t WHERE len(toks) > 0),
+           |p AS (SELECT doc_id, pos, tok FROM p0
+           |  WHERE tok IN ('$t1', '$t2', '$t3')),
+           |m AS (SELECT a.doc_id, a.pos FROM p a
+           |  JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.tok = '$t2'
+           |  JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.tok = '$t3'
+           |  WHERE a.tok = '$t1')
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           |  CAST(min(pos) AS BIGINT) AS first_pos
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
 
       "q110_bpe_encode" -> bpeEncodeSql(toksE),
 

@@ -66,6 +66,59 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q137 exact scrub: non-canonical exact duplicates scrub to zero kept tokens") {
+    // an exact-duplicate cluster (one canonical + two copies) plus a
+    // unique doc: the canonical copy (lowest doc_id) keeps every
+    // token, the copies lose ALL tokens (their every full window
+    // repeats), the unique doc passes through untouched — the
+    // keep-one contract of ExactSubstr dedup at cluster granularity.
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"uniq$i").mkString(" ")
+    val d = Seq((1L, body), (2L, body), (3L, body), (4L, other))
+      .toDF("doc_id", "text")
+    val out = graft.queries.TextQueries.exactScrub(d)
+      .select("doc_id", "n_tokens", "dup_positions", "kept_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 40L, 0L, 40L), (2L, 40L, 25L, 0L),
+      (3L, 40L, 25L, 0L), (4L, 40L, 0L, 40L)))
+    // partial overlap: a doc embedding a 20-token verbatim slice of
+    // doc 1 (at positions 4..23 of its 45 tokens) loses exactly the
+    // slice — the 5 fully-inside windows root at positions 4..8 and
+    // their merged island covers [4, 8 + 16) = the slice itself.
+    val partial = "intro one two three " + (1 to 20).map(i => s"tok$i").mkString(" ") +
+      " " + (1 to 21).map(i => s"tail$i").mkString(" ")
+    val d2 = Seq((1L, body), (9L, partial)).toDF("doc_id", "text")
+    val row = graft.queries.TextQueries.exactScrub(d2)
+      .where(col("doc_id") === 9L)
+      .select("n_tokens", "dup_positions", "kept_tokens").head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((45L, 5L, 25L)))
+  }
+
+  test("q138 CDC chunking resynchronizes after an insertion (fixed shingles can't)") {
+    // the content-defined contract: prepending ONE token to a doc may
+    // change the head chunk(s), but every chunk of the original from
+    // its first boundary onward reappears verbatim in the edited doc —
+    // boundary decisions depend only on a 4-token local window, so
+    // they re-align one position later. Also pins token conservation.
+    val rng = new scala.util.Random(7)
+    val bodyToks = (1 to 400).map(_ => s"w${rng.nextInt(50)}")
+    val d = Seq((1L, bodyToks.mkString(" ")),
+      (2L, ("INS " + bodyToks.mkString(" ")))).toDF("doc_id", "text")
+    val ch = graft.queries.DedupQueries.cdcChunks(d)
+      .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val a = ch.filter(_._1 == 1L).sortBy(_._2)
+    val b = ch.filter(_._1 == 2L).sortBy(_._2)
+    // token conservation on both docs
+    assert(a.map(_._3).sum == 400L && b.map(_._3).sum == 401L)
+    // enough boundaries to make the property meaningful (E[chunk]≈16)
+    assert(a.length > 10)
+    // every chunk of doc 1 except its head chunk survives the edit
+    val bHashes = b.map(_._4).toSet
+    assert(a.drop(1).forall(c => bHashes.contains(c._4)))
+  }
+
   test("capBuckets bounds an adversarial LSH bucket to cap members (no quadratic join)") {
     // 10⁴ distinct near-identical titles landing in ONE candidate bucket
     // — the pathological corpus the q51/q53 cap guards against. Without
