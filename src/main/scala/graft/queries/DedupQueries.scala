@@ -516,15 +516,21 @@ object DedupQueries {
             |  filter(if(n >= 5, sequence(3, n - 2), array()),
             |    i -> startswith(md5(concat_ws(' ', slice(toks, int(i) - 2, 4))), '0')),
             |  i -> i + 1))""".stripMargin))
-        .select(col("doc_id"), col("toks"), col("n"), col("starts"),
-          posexplode(col("starts")).as(Seq("j", "start")))
-        .withColumn("end",
-          coalesce(expr("try_element_at(starts, j + 2)"), col("n")))
-        .select(col("doc_id"), col("j").cast("long").as("chunk_idx"),
-          col("start").cast("long").as("start"),
-          (col("end") - col("start")).cast("long").as("chunk_tokens"),
-          md5(concat_ws(" ",
-            expr("slice(toks, int(start) + 1, int(end - start))"))).as("chunk_hash"))
+        // assemble the chunk structs INSIDE the per-doc projection and
+        // explode only the narrow struct array — exploding `starts`
+        // first would copy the full token array once per chunk.
+        .select(col("doc_id"), explode(expr(
+          """transform(starts, (st, j) -> named_struct(
+            |  'chunk_idx', cast(j as bigint),
+            |  'start',     cast(st as bigint),
+            |  'chunk_tokens',
+            |    cast(coalesce(try_element_at(starts, j + 2), n) - st as bigint),
+            |  'chunk_hash', md5(concat_ws(' ', slice(toks, int(st) + 1,
+            |    int(coalesce(try_element_at(starts, j + 2), n) - st))))))"""
+            .stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.start").as("start"), col("c.chunk_tokens").as("chunk_tokens"),
+          col("c.chunk_hash").as("chunk_hash"))
       ch.withColumn("reps",
           count(lit(1)).over(Window.partitionBy("chunk_hash")))
         .orderBy("doc_id", "chunk_idx")
