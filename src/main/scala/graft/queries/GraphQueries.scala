@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bfs, LabelProp, PageRank, TopK}
+import graft.operators.{Bfs, LabelProp, PageRank, TopK, Triangles}
 import graft.sources.Tables
 
 /** Graph / link-analysis extension queries (q112–q114): deterministic
@@ -32,6 +32,11 @@ object GraphQueries {
     * Bfs.scala). The differential stays exact at any value because
     * the oracle unrolls the same number of rounds. */
   private val BfsIters = 4
+
+  /** Neighbors kept per node in q140's kNN co-purchase graph — the
+    * degree bound that keeps the similarity graph sparse at any data
+    * scale (see the q140 binding comment). */
+  private val TriK = 5
 
   /** Node encoding for the bipartite purchase graph: customers at
     * 2·custkey, suppliers at 2·suppkey+1 — disjoint integer ids
@@ -240,6 +245,40 @@ object GraphQueries {
           Seq("priority" -> true, "node" -> true), k = 10)
         .select("segment", "node", "pr", "priority", "rank")
         .orderBy("segment", "rank")
+    }),
+
+    // Triangle counting / local clustering coefficient over the
+    // SPARSIFIED co-purchase similarity graph: suppliers co-occurring
+    // in an order are "similar hosts", each node keeps only its
+    // TriK strongest partners (by co-order count, id-tiebroken), the
+    // kept selections symmetrize into an undirected kNN graph, and
+    // [[graft.operators.Triangles]] counts exact per-node triangles
+    // with degree-ordered orientation. The sparsification IS the
+    // 100 TB design: a raw co-occurrence projection densifies
+    // quadratically as the fact table grows (at sf1 the 10k-supplier
+    // universe already approaches completeness), while the top-K
+    // graph has degree ≤ 2K at ANY scale, so the wedge stage is
+    // O(|V|·K²) forever — the standard kNN-graph recipe for
+    // similarity-graph analytics (community density as a curation
+    // signal). Composes the custom TopKPerKeyExec inside the edge
+    // build; output linear in node count, all exact integers
+    // (clustering coefficient = tri_cnt/wedge_cnt reconstructable).
+    "q140_triangle_knn" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val os = li.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct()
+      val pw = os.as("a").join(os.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+        .agg(count(lit(1)).as("w"))
+      val inc = pw.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+        .unionAll(pw.select(col("v").as("node"), col("u").as("nbr"), col("w")))
+      val e = TopK.perKey(inc, Seq("node"),
+          Seq("w" -> false, "nbr" -> true), k = TriK)
+        .select(least(col("node"), col("nbr")).as("u"),
+          greatest(col("node"), col("nbr")).as("v"))
+        .distinct()
+      Triangles.run(e).orderBy("node")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -319,5 +358,26 @@ object GraphQueries {
          |r AS (SELECT *, row_number() OVER (
          |    PARTITION BY segment ORDER BY priority, node) AS rank FROM w)
          |SELECT segment, node, pr, priority, rank FROM r WHERE rank <= 10
-         |ORDER BY segment, rank""".stripMargin)
+         |ORDER BY segment, rank""".stripMargin,
+
+    "q140_triangle_knn" ->
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+         |  FROM lineitem),
+         |pw AS (
+         |  SELECT a.sk AS u, b.sk AS v, CAST(count(*) AS BIGINT) AS w
+         |  FROM os a JOIN os b ON a.ok = b.ok AND a.sk < b.sk GROUP BY 1, 2),
+         |inc AS (
+         |  SELECT u AS node, v AS nbr, w FROM pw
+         |  UNION ALL SELECT v, u, w FROM pw),
+         |sel AS (
+         |  SELECT node, nbr FROM (
+         |    SELECT node, nbr, row_number() OVER (
+         |      PARTITION BY node ORDER BY w DESC, nbr) AS rn FROM inc)
+         |  WHERE rn <= $TriK),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT least(node, nbr) AS u, greatest(node, nbr) AS v
+         |  FROM sel),
+         |${Triangles.oracleCtes}
+         |SELECT node, deg, tri_cnt, wedge_cnt FROM tri_out
+         |ORDER BY node""".stripMargin)
 }

@@ -369,4 +369,40 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(degs == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  private def triToMap(edges: Seq[(Long, Long)]) =
+    graft.operators.Triangles.run(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("triangles: K4 plus a pendant — exact per-node (deg, tri, wedge)") {
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L))
+    val got = triToMap(edges)
+    assert(got == Map(
+      0L -> ((3L, 3L, 3L)), 1L -> ((3L, 3L, 3L)), 2L -> ((3L, 3L, 3L)),
+      3L -> ((4L, 3L, 6L)), 4L -> ((1L, 0L, 0L))))
+  }
+
+  test("triangles match a driver-side brute force on a random graph") {
+    val rng = new scala.util.Random(23)
+    val edges = (0 until 260).map(_ =>
+      (rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val es = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val ref = nodes.map { n =>
+      val nbrs = nodes.filter(m => es.contains((math.min(n, m), math.max(n, m))) && m != n)
+      val tri = nbrs.combinations(2).count { case Seq(a, b) =>
+        es.contains((math.min(a, b), math.max(a, b))) }
+      val d = nbrs.size.toLong
+      n -> ((d, tri.toLong, d * (d - 1) / 2))
+    }.toMap
+    assert(triToMap(edges) == ref)
+    // partition-layout invariance through the persisted oriented set
+    val got2 = graft.operators.Triangles.run(
+        edges.toDF("u", "v").repartition(7))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got2 == ref)
+  }
 }
