@@ -34,10 +34,13 @@ object Triangles {
   def run(edges: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v"))
 
-    // degrees: one map-side-combinable shuffle over the exploded ends
+    // degrees: one map-side-combinable shuffle over the exploded ends;
+    // referenced by both orientation joins and the final attach, so
+    // materialized once (|V| rows)
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+      .persist()
 
     // orient low → high in the (degree, id) total order; carry the
     // head's (degree, id) key so the wedge stage can order its legs

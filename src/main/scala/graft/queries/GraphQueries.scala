@@ -265,11 +265,16 @@ object GraphQueries {
     // (clustering coefficient = tri_cnt/wedge_cnt reconstructable).
     "q140_triangle_knn" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
-      val os = li.select(col("l_orderkey").as("ok"),
-        col("l_suppkey").as("sk")).distinct()
-      val pw = os.as("a").join(os.as("b"),
-          col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      // per-order supplier sets are bounded (≤ order line count), so
+      // the co-occurrence pairs expand INSIDE the projection — one
+      // map-combinable shuffle on the order key, no fact self-join
+      val pw = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))
+        .select(explode(expr(
+          """flatten(transform(sks, (a, i) ->
+            |  transform(slice(sks, i + 2, size(sks)),
+            |    b -> named_struct('u', a, 'v', b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.u").as("u"), col("p.v").as("v"))
         .agg(count(lit(1)).as("w"))
       val inc = pw.select(col("u").as("node"), col("v").as("nbr"), col("w"))
         .unionAll(pw.select(col("v").as("node"), col("u").as("nbr"), col("w")))
@@ -278,6 +283,11 @@ object GraphQueries {
         .select(least(col("node"), col("nbr")).as("u"),
           greatest(col("node"), col("nbr")).as("v"))
         .distinct()
+        // the fact-scan → pair-agg → top-K chain above is the
+        // expensive part; Triangles.run references its edge input
+        // from four subtrees (degrees, two orientation joins, the
+        // final attach), so materialize the |V|·K-row edge list once
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Triangles.run(e).orderBy("node")
     }))
 
