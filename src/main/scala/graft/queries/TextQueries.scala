@@ -476,6 +476,52 @@ object TextQueries {
            |  ON c.doc_id = a.doc_id AND c.pos = a.pos + 2 AND c.tok = '$t3'
            |WHERE a.tok = '$t1'
            |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin)
+    }),
+
+    // WORD-ASSOCIATION MINING (q141): windowed co-occurrence lift —
+    // the word2vec/GloVe preprocessing step (skip-gram pair counts
+    // within a ±2 window, scored observed/expected). The association
+    // score is conditional-probability lift n_ab·N/(n_a·n_b) in exact
+    // fixed-point, evaluated in the DECLARED truncation order
+    // ((n_ab·10^6) div n_a)·N div n_b — each intermediate ≤ 10^6·N, so
+    // int64-safe to N < 9.2×10^12 tokens (documented bound, the q115
+    // convention). Scale shape: pair generation happens INSIDE the
+    // per-doc projection (two zip_with's against offset slices — the
+    // q138 lesson: never explode-then-join the corpus against itself),
+    // the pair aggregation is map-side-combinable on a
+    // vocabulary²-bounded key space already cut by the n_ab ≥
+    // PmiMinPair filter, the unigram attach joins are vocab-bounded
+    // (AQE broadcasts them at fixture scale), N rides the 1-row
+    // broadcast scalar idiom, and the final top-100 is a TakeOrdered,
+    // never a global sort.
+    "q141_pmi_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(tokens(col("text")).as("toks"))
+      val pairs = t.select(explode(expr(
+        """flatten(array(
+          |  zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |           slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |    (a, b) -> named_struct('w1', least(a, b), 'w2', greatest(a, b))),
+          |  zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |           slice(toks, 3, greatest(size(toks) - 2, 0)),
+          |    (a, b) -> named_struct('w1', least(a, b), 'w2', greatest(a, b)))))"""
+          .stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val uni = t.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = uni.agg(sum(col("n")).as("big_n"))
+      val sc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+        .where(col("n_ab") >= PmiMinPair)
+        .join(uni.select(col("tok").as("w1"), col("n").as("n_a")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("n").as("n_b")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_ppm",
+          expr("((n_ab * 1000000) div n_a) * big_n div n_b"))
+      sc.orderBy(col("lift_ppm").desc, col("w1"), col("w2")).limit(PmiTopK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("lift_ppm").desc, col("w1"), col("w2"))))
+        .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_ppm", "rank")
+        .orderBy("rank")
     }))
 
   /** q137's body over any (doc_id, text, …) frame — also exercised by
@@ -560,6 +606,11 @@ object TextQueries {
   /** q139's fixed probe phrase (occurs at every fixture SF); a
     * production binding parameterizes it. */
   private def PhraseTerms = Seq("big", "order", "scan")
+
+  /** q141: minimum co-occurrence count for a pair to score (the
+    * standard PMI small-count guard) and the result cap. */
+  private def PmiMinPair = 3
+  private def PmiTopK = 100
 
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
@@ -665,6 +716,34 @@ object TextQueries {
            |  CAST(min(pos) AS BIGINT) AS first_pos
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
       },
+
+      // q141: the positional-join rendering generates the identical
+      // pair multiset as the engine's offset-slice zip_with's
+      // ((i, i+1) and (i, i+2) for every in-range i); the two-step
+      // truncated lift is spelled with the same `//` order.
+      "q141_pmi_pairs" ->
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS tok,
+           |    generate_subscripts(toks, 1) AS i FROM t),
+           |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY tok),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM tok),
+           |pr AS (
+           |  SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2,
+           |    CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM tok a JOIN tok b
+           |    ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+           |  GROUP BY 1, 2),
+           |sc AS (
+           |  SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+           |    ((n_ab * 1000000) // ua.n) * big_n // ub.n AS lift_ppm
+           |  FROM pr JOIN uni ua ON ua.tok = pr.w1
+           |  JOIN uni ub ON ub.tok = pr.w2
+           |  CROSS JOIN tot
+           |  WHERE n_ab >= $PmiMinPair),
+           |rk AS (SELECT *, row_number() OVER (
+           |    ORDER BY lift_ppm DESC, w1, w2) AS rank FROM sc)
+           |SELECT w1, w2, n_ab, n_a, n_b, lift_ppm, rank FROM rk
+           |WHERE rank <= $PmiTopK ORDER BY rank""".stripMargin,
 
       "q110_bpe_encode" -> bpeEncodeSql(toksE),
 
