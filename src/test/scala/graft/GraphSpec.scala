@@ -405,4 +405,56 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got2 == ref)
   }
+
+  /** Driver-side synchronous peel — the KCore.run contract re-folded
+    * over Scala collections. */
+  private def refPeel(edges: Seq[(Long, Long)], k: Int, rounds: Int)
+      : Map[Long, (Long, Long)] = {
+    val deg0 = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    var pr = deg0.map { case (n, d) => n -> (if (d < k) Some(0L) else None) }
+    var live = edges
+    for (i <- 1 to rounds) {
+      val alive = pr.filter(_._2.isEmpty).keySet
+      live = live.filter(e => alive(e._1) && alive(e._2))
+      val d = live.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size.toLong }.withDefaultValue(0L)
+      pr = pr.map { case (n, p) =>
+        n -> (if (p.isDefined) p
+              else if (d(n) < k) Some(i.toLong) else None) }
+    }
+    deg0.map { case (n, d) => n -> ((d, pr(n).getOrElse(-1L))) }
+  }
+
+  private def peelToMap(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    graft.operators.KCore.run(edges.toDF("u", "v"), k, rounds)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  test("k-core: path cascade peels layer by layer, triangle survives (k=2)") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L))
+    assert(peelToMap(edges, k = 2, rounds = 4) == Map(
+      0L -> ((1L, 0L)), 4L -> ((1L, 0L)),
+      1L -> ((2L, 1L)), 3L -> ((2L, 1L)),
+      2L -> ((2L, 2L)),
+      10L -> ((2L, -1L)), 11L -> ((2L, -1L)), 12L -> ((2L, -1L))))
+  }
+
+  test("k-core matches the driver-side reference peel and reaches fixpoint") {
+    val rng = new scala.util.Random(31)
+    val edges = (0 until 220).map(_ =>
+      (rng.nextInt(36).toLong, rng.nextInt(36).toLong))
+      .filter { case (s, d) => s != d }
+      .map { case (s, d) => (math.min(s, d), math.max(s, d)) }.distinct
+    val want = refPeel(edges, 3, 8)
+    // 8 rounds crosses several alternating localCheckpoint truncations
+    assert(peelToMap(edges, 3, 8) == want)
+    // fixpoint on this graph: extra rounds change nothing
+    assert(refPeel(edges, 3, 12) == want)
+    // partition-layout invariance
+    val got2 = graft.operators.KCore.run(
+        edges.toDF("u", "v").repartition(7), 3, 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == want)
+  }
 }
