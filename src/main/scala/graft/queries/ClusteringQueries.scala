@@ -31,6 +31,17 @@ object ClusteringQueries {
     * flooding the output. */
   private val Theta = 1450000000000L
 
+  /** q143 product-quantization geometry: PqM subspaces of PqDSub dims
+    * (PqM·PqDSub = Dim), PqKc codes per subspace (4-bit codes — the
+    * PQ4 configuration), PqIters Lloyd rounds per codebook, a fixed
+    * PqNumQ-query probe slice, ADC top-PqTopK per query. */
+  private val PqM = 4
+  private val PqDSub = 16
+  private val PqKc = 16
+  private val PqIters = 2
+  private val PqNumQ = 8
+  private val PqTopK = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // K-means corpus clustering: assignment + exact int64 squared-L2
@@ -89,6 +100,79 @@ object ClusteringQueries {
         .orderBy("cluster", "rank")
     }),
 
+    // PRODUCT QUANTIZATION + ADC top-k (q143): the memory-compression
+    // path that makes billion-vector ANN feasible (Jégou, Douze &
+    // Schmid, "Product Quantization for Nearest Neighbor Search",
+    // TPAMI 2011 — public literature). The 64-dim embedding splits
+    // into PqM = 4 subspaces; each subspace trains its own PqKc = 16
+    // codebook with the SAME exact-integer Lloyd machinery as q98
+    // (shared content-addressed seeds), so every vector compresses to
+    // 4 codes — 4 bytes against 256 for the raw floats, the 64×
+    // footprint cut that lets a 100 TB corpus's index live in cluster
+    // RAM. Retrieval is Asymmetric Distance Computation: the query
+    // stays exact, per-(query, subspace, code) distances precompute
+    // into a Q×M×Kc lookup table (512 int64s — driver-built from the
+    // SAME quantized arithmetic, riding as a plan literal), and a
+    // corpus vector's approximate distance is M array lookups + 3
+    // adds. Scale shape: training cost is q98's (constant-size
+    // centroid shuffles); encoding is a zero-shuffle codegen'd
+    // graft_nearest projection per subspace; scoring explodes each
+    // corpus row to Q narrow (query, dist) rows streamed through
+    // TopKPerKey — no join, no global sort, nothing corpus-sized ever
+    // shuffles. Everything int64-exact end to end, so the oracle
+    // (4 unrolled Lloyd chains + relational LUT joins) must agree
+    // bit-for-bit: one hash certifies training, encoding, and ADC.
+    "q143_pq_adc" -> ((s, dir) => {
+      val embT = Tables.load(s, dir, "embeddings")
+      val cents: Seq[Array[Array[Long]]] = (0 until PqM).map { m =>
+        KMeans.fitCentroids(
+          embT.select(col("vec_id"),
+            expr(s"slice(embedding, ${m * PqDSub + 1}, $PqDSub)").as("sub")),
+          "vec_id", "sub", PqKc, PqIters)
+      }
+      val codes = (0 until PqM).foldLeft(
+          embT.select(col("vec_id"), col("embedding"))) { (d, m) =>
+        d.withColumn(s"c$m",
+          call_function("graft_nearest",
+            KMeans.quantize(expr(s"slice(embedding, ${m * PqDSub + 1}, $PqDSub)")),
+            typedLit(cents(m).map(_.toSeq).toSeq)).getField("c"))
+      }.drop("embedding")
+      // fixed query slice (the q117 suite convention): quantized rows
+      // collect driver-side, the ADC table becomes a plan literal
+      val qrows = embT.where(col("vec_id") < PqNumQ)
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+        .collect().sortBy(_.getLong(0))
+      require(qrows.nonEmpty, s"fixture has no vec_id < $PqNumQ")
+      val qids = qrows.map(_.getLong(0))
+      val lut: Seq[Seq[Seq[Long]]] = qrows.toSeq.map { r =>
+        val qv = r.getSeq[Long](1).toArray
+        (0 until PqM).map { m =>
+          val sub = qv.slice(m * PqDSub, (m + 1) * PqDSub)
+          cents(m).toSeq.map { cv =>
+            sub.zip(cv).map { case (a, b) => val d = a - b; d * d }.sum }
+        }
+      }
+      val lutLit = typedLit(lut)
+      val scored = (0 until qids.length).map { j =>
+        val adc = (0 until PqM).map(m =>
+          element_at(element_at(element_at(lutLit, j + 1), m + 1),
+            col(s"c$m") + 1)).reduce(_ + _)
+        struct(lit(qids(j)).as("query_id"), adc.as("adc_dist"))
+      }
+      val exploded = codes.withColumn("s", explode(array(scored: _*)))
+        .where(col("vec_id") =!= col("s.query_id"))
+        .select(col("s.query_id").as("query_id"), col("vec_id"),
+          col("s.adc_dist").as("adc_dist"),
+          col("c0"), col("c1"), col("c2"), col("c3"))
+      TopK.perKey(exploded, Seq("query_id"),
+          Seq("adc_dist" -> true, "vec_id" -> true), k = PqTopK)
+        .select(col("query_id"), col("vec_id"), col("adc_dist"),
+          col("c0").cast("long").as("code0"), col("c1").cast("long").as("code1"),
+          col("c2").cast("long").as("code2"), col("c3").cast("long").as("code3"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Cluster-blocked semantic near-dup — the SemDeDup blocking
     // structure (cluster the embedding space, then compare only within
     // clusters), complementing the LSH-bucketed q54/q89 path: LSH
@@ -139,7 +223,70 @@ object ClusteringQueries {
        |  FROM q CROSS JOIN c$Iters)""".stripMargin
   }
 
+  /** One subspace's unrolled Lloyd chain + code/LUT CTEs for the q143
+    * oracle (CTE prefix `p{m}_`) — the [[kmeansOracleCtes]] structure
+    * over the subspace slice, sharing the global `seeds` CTE (same
+    * content-addressed seed rows in every subspace, exactly as the
+    * engine's per-subspace fitCentroids calls). Leaves `p{m}_code`
+    * (vec_id → code) and `p{m}_lut` (query_id × cid → exact int64
+    * subdistance). */
+  private def pqChainSql(m: Int): String = {
+    val p = s"p${m}_"
+    val lo = m * PqDSub + 1
+    val hi = (m + 1) * PqDSub
+    val qv = KMeans.quantizeSql(s"(embedding[$lo:$hi])")
+    def dist(a: String, b: String) = KMeans.sqDistSql(a, b, PqDSub)
+    val steps = (1 to PqIters).map { i =>
+      val prev = s"${p}c${i - 1}"
+      s"""${p}s$i AS (SELECT q.vec_id, $prev.cid, ${dist("q.qv", s"$prev.cv")} AS d,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dist("q.qv", s"$prev.cv")}, $prev.cid) AS rk
+         |  FROM ${p}q q CROSS JOIN $prev),
+         |${p}a$i AS (SELECT vec_id, cid FROM ${p}s$i WHERE rk = 1),
+         |${p}m$i AS (SELECT ${p}a$i.cid, t.i AS pos, sum(q.qv[t.i]) AS s, count(*) AS n
+         |  FROM ${p}a$i JOIN ${p}q q USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, $PqDSub + 1)) AS i) t
+         |  GROUP BY 1, 2),
+         |${p}u$i AS (SELECT cid, list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY pos) AS cv
+         |  FROM ${p}m$i GROUP BY cid),
+         |${p}c$i AS (SELECT $prev.cid, coalesce(${p}u$i.cv, $prev.cv) AS cv
+         |  FROM $prev LEFT JOIN ${p}u$i USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""${p}q AS (SELECT vec_id, $qv AS qv FROM embeddings),
+       |${p}c0 AS (SELECT cid, qv AS cv FROM seeds JOIN ${p}q USING (vec_id)
+       |  WHERE cid < $PqKc),
+       |$steps,
+       |${p}code AS (SELECT vec_id, cid AS code FROM (
+       |  SELECT q.vec_id, c.cid, row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS rk
+       |  FROM ${p}q q CROSS JOIN ${p}c$PqIters c) WHERE rk = 1),
+       |${p}lut AS (SELECT q.vec_id AS query_id, c.cid, ${dist("q.qv", "c.cv")} AS d
+       |  FROM ${p}q q CROSS JOIN ${p}c$PqIters c WHERE q.vec_id < $PqNumQ)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q143_pq_adc" ->
+      s"""WITH seeds AS (SELECT vec_id,
+         |    row_number() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+         |  FROM embeddings),
+         |${(0 until PqM).map(pqChainSql).mkString(",\n")},
+         |adc AS (
+         |  SELECT l0.query_id, c0.vec_id, l0.d + l1.d + l2.d + l3.d AS adc_dist,
+         |    CAST(c0.code AS BIGINT) AS code0, CAST(c1.code AS BIGINT) AS code1,
+         |    CAST(c2.code AS BIGINT) AS code2, CAST(c3.code AS BIGINT) AS code3
+         |  FROM p0_code c0
+         |  JOIN p1_code c1 USING (vec_id) JOIN p2_code c2 USING (vec_id)
+         |  JOIN p3_code c3 USING (vec_id)
+         |  JOIN p0_lut l0 ON l0.cid = c0.code
+         |  JOIN p1_lut l1 ON l1.cid = c1.code AND l1.query_id = l0.query_id
+         |  JOIN p2_lut l2 ON l2.cid = c2.code AND l2.query_id = l0.query_id
+         |  JOIN p3_lut l3 ON l3.cid = c3.code AND l3.query_id = l0.query_id
+         |  WHERE c0.vec_id <> l0.query_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, vec_id) AS rank FROM adc)
+         |SELECT query_id, vec_id, adc_dist, code0, code1, code2, code3, rank
+         |FROM rk WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin,
+
     "q98_kmeans" ->
       s"""$kmeansOracleCtes
          |SELECT vec_id, cid AS cluster, d AS dist,

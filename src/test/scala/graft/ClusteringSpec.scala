@@ -242,4 +242,29 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(sizes.values.sum == n)
   }
+
+  test("q143 PQ/ADC: codes in range, ranks dense, per-query distances monotone, runs deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.ClusteringQueries.queries("q143_pq_adc")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Seq(r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)), r.getInt(7)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, d, codes, _) =>
+      assert(d >= 0)
+      codes.foreach(c => assert(c >= 0 && c < 16, s"code $c out of [0,16)"))
+    }
+    // self-matches excluded; ranks dense from 1; adc monotone per query
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(!rs.exists(_._2 == q), s"query $q retrieved itself")
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to rs.length),
+        s"query $q ranks not dense")
+      assert(byRank.map(_._3).toSeq == byRank.map(_._3).sorted.toSeq,
+        s"query $q adc_dist not monotone in rank")
+    }
+    // end-to-end determinism (training seeds are content-addressed,
+    // LUT arithmetic exact) — a full re-run is bit-identical
+    assert(run().toSeq == rows.toSeq)
+  }
 }
