@@ -43,6 +43,9 @@ object GraphQueries {
   private val KCoreK = 6
   private val KCoreRounds = 6
 
+  /** q144: walk length (skip-gram pairs per start node). */
+  private val WalkSteps = 3
+
   /** Node encoding for the bipartite purchase graph: customers at
     * 2·custkey, suppliers at 2·suppkey+1 — disjoint integer ids
     * without a string tag in the shuffle key.
@@ -345,7 +348,40 @@ object GraphQueries {
     // count — O(m) per round, O(1) plan size via the family's
     // alternating localCheckpoint.
     "q142_kcore" -> ((s, dir) =>
-      KCore.run(knnEdges(s, dir), KCoreK, KCoreRounds).orderBy("node")))
+      KCore.run(knnEdges(s, dir), KCoreK, KCoreRounds).orderBy("node")),
+
+    // Graph-embedding positive pairs (q144): DeepWalk/node2vec's
+    // preprocessing (Perozzi et al. 2014 — public literature) made
+    // deterministic — one WalkSteps-step walk from EVERY node of the
+    // kNN similarity graph, the (start, visited@step) pairs being the
+    // skip-gram training examples. The neighbor choice at each step is
+    // content-addressed, not RNG: argmin of md5("wk:" start ":" step
+    // ":" candidate) over the current node's neighbors — re-run-stable,
+    // partition-invariant, and exactly renderable in the oracle (the
+    // q85 priority discipline applied to walks). Scale shape: each
+    // step is one equi-join of the |V|-row frontier against the
+    // degree-bounded adjacency plus a TopKPerKey k = 1 argmin — O(|V|·K)
+    // per step, output 3·|V| rows; nothing corpus-sized, no collected
+    // state, and the walk frontier never grows (one walker per node).
+    "q144_walk_pairs" -> ((s, dir) => {
+      val e = knnEdges(s, dir)
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      var walk = adj.select(col("node").as("start")).distinct()
+        .withColumn("cur", col("start"))
+      val outs = (1 to WalkSteps).map { t =>
+        val cand = walk.join(adj, walk("cur") === adj("node"))
+          .select(col("start"), col("nbr"),
+            md5(concat(lit("wk:"), col("start").cast("string"), lit(":"),
+              lit(t.toString), lit(":"), col("nbr").cast("string"))).as("h"))
+        walk = TopK.perKey(cand, Seq("start"),
+            Seq("h" -> true, "nbr" -> true), k = 1)
+          .select(col("start"), col("nbr").as("cur"))
+        walk.select(col("start"), lit(t.toLong).as("step"),
+          col("cur").as("visited"))
+      }
+      outs.reduce(_ unionAll _).orderBy("start", "step")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q112_pagerank" ->
@@ -436,5 +472,29 @@ object GraphQueries {
       s"""WITH $knnEdgesSql,
          |${KCore.oracleCtes(KCoreK, KCoreRounds)}
          |SELECT node, deg, peel_round FROM kcore_out
-         |ORDER BY node""".stripMargin)
+         |ORDER BY node""".stripMargin,
+
+    "q144_walk_pairs" -> {
+      val steps = (1 to WalkSteps).map { t =>
+        s"""c$t AS (SELECT w${t - 1}.start, adj.nbr,
+           |    md5('wk:' || CAST(w${t - 1}.start AS VARCHAR) || ':$t:' ||
+           |        CAST(adj.nbr AS VARCHAR)) AS h
+           |  FROM w${t - 1} JOIN adj ON adj.node = w${t - 1}.cur),
+           |w$t AS (SELECT start, nbr AS cur FROM (
+           |  SELECT start, nbr, row_number() OVER (
+           |    PARTITION BY start ORDER BY h, nbr) AS rk FROM c$t)
+           |  WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to WalkSteps).map(t =>
+        s"SELECT start, CAST($t AS BIGINT) AS step, cur AS visited FROM w$t")
+        .mkString("\n|UNION ALL ")
+      s"""WITH $knnEdgesSql,
+         |adj AS MATERIALIZED (
+         |  SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |w0 AS (SELECT DISTINCT node AS start, node AS cur FROM adj),
+         |$steps
+         |$unions
+         |ORDER BY start, step""".stripMargin
+    })
 }

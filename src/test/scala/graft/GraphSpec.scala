@@ -457,4 +457,37 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got2 == want)
   }
+
+  test("q144 walks follow edges with the content-addressed argmin choice") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.GraphQueries.queries("q144_walk_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // rebuild the adjacency independently and refold the walk contract
+    val adj: Seq[(Long, Long)] = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+      .groupBy(_._1).values.toSeq.flatMap { grp =>
+        val sks = grp.map(_._2).distinct
+        for (a <- sks; b <- sks if a < b) yield (a, b)
+      }
+    val w = adj.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val inc = w.toSeq.flatMap { case ((u, v), n) => Seq((u, v, n), (v, u, n)) }
+    val kept = inc.groupBy(_._1).toSeq.flatMap { case (node, cands) =>
+      cands.sortBy { case (_, nbr, n) => (-n, nbr) }.take(5)
+        .map { case (_, nbr, _) => (math.min(node, nbr), math.max(node, nbr)) }
+    }.toSet
+    val nbrs = kept.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).distinct }
+    val ref = nbrs.keys.toSeq.flatMap { start =>
+      var cur = start
+      (1 to 3).map { t =>
+        cur = nbrs(cur).minBy(n => (md5hex(s"wk:$start:$t:$n"), n))
+        (start, t.toLong, cur)
+      }
+    }.toSet
+    assert(out.toSet == ref)
+  }
 }
