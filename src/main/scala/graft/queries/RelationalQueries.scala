@@ -621,6 +621,41 @@ object RelationalQueries {
         .orderBy("src", "dst")
     }),
 
+    // Mixture-drift monitor (q146): day-over-day L1 distance between
+    // event-type distributions — the dataset-composition drift alarm a
+    // production ingest pipeline runs continuously (a source whose
+    // type/domain mixture shifts is the first sign of upstream
+    // breakage or contamination). Shares are exact fixed-point ppm
+    // (cnt·10^6 div day-total); the drift for day d is Σ_types
+    // |share_d − share_prev| over the FULL day×type grid (absent
+    // types enter as 0 via the left join, so appearing/disappearing
+    // types register as drift — the case that matters). Scale shape:
+    // one map-combinable (day, type) count shuffle is the only
+    // corpus-sized operation; the grid, shares, and lag windows all
+    // live in time×value-bounded space (|days|·|types| rows), with
+    // the bounded type dimension broadcast into the grid.
+    "q146_mixture_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val tot = c.groupBy("day").agg(sum("n").as("tot"))
+      val grid = tot.select("day")
+        .crossJoin(broadcast(c.select("event_type").distinct()))
+      val shares = grid.join(c, Seq("day", "event_type"), "left")
+        .join(tot, Seq("day"))
+        .withColumn("share", expr("(coalesce(n, 0) * 1000000) div tot"))
+      val byType = Window.partitionBy("event_type").orderBy("day")
+      shares.withColumn("prev", lag("share", 1).over(byType))
+        .where(col("prev").isNotNull)
+        .groupBy("day")
+        .agg(sum(abs(col("share") - col("prev"))).as("drift_ppm"))
+        .join(tot, Seq("day"))
+        .select(col("day").cast("string").as("day"),
+          col("tot").as("n_events"), col("drift_ppm"))
+        .orderBy("day")
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted by
     // weeks-since-cohort for each later activity week.
     "q73_cohort_retention" -> ((s, dir) => {
@@ -987,6 +1022,28 @@ object RelationalQueries {
         |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q146_mixture_drift" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY day),
+        |grid AS (SELECT d.day, ty.event_type
+        |  FROM (SELECT day FROM tot) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM c) ty),
+        |shares AS (SELECT g.day, g.event_type,
+        |    (coalesce(c.n, 0) * 1000000) // t.tot AS share
+        |  FROM grid g
+        |  LEFT JOIN c ON c.day = g.day AND c.event_type = g.event_type
+        |  JOIN tot t ON t.day = g.day),
+        |lagged AS (SELECT day, event_type, share,
+        |    lag(share) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM shares),
+        |drift AS (SELECT day, CAST(sum(abs(share - prev)) AS BIGINT) AS drift_ppm
+        |  FROM lagged WHERE prev IS NOT NULL GROUP BY day)
+        |SELECT CAST(d.day AS VARCHAR) AS day, t.tot AS n_events, d.drift_ppm
+        |FROM drift d JOIN tot t ON t.day = d.day
+        |ORDER BY day""".stripMargin,
 
     "q71_sliding_windows" ->
       """WITH exploded AS (

@@ -522,6 +522,30 @@ object TextQueries {
           Window.orderBy(col("lift_ppm").desc, col("w1"), col("w2"))))
         .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_ppm", "rank")
         .orderBy("rank")
+    }),
+
+    // TOKENIZER FERTILITY AUDIT (q145): BPE tokens per whitespace
+    // token, aggregated per language — the tokenizer-equity metric
+    // multilingual pipelines track (a language with high fertility
+    // pays more compute per word and effectively shrinks its context
+    // window; tokenizer papers report exactly this ratio). Reuses the
+    // q101/q110 machinery end to end: merges learned corpus-wide by
+    // the same vocabulary-bounded trainer, applied as stacked
+    // codegen'd graft_merge_pair kernels (zero-shuffle encode), then
+    // one lang-keyed map-combinable aggregate; fertility is exact
+    // fixed-point (bpe·10^6 div ws). Output is |languages| rows — the
+    // whole query is corpus-linear with constant-size shuffles.
+    "q145_bpe_fertility" -> ((s, dir) => {
+      val enc = graft.operators.Bpe.encode(docs(s, dir))
+        .select(col("doc_id"), col("n_raw"), col("n_bpe"))
+      enc.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_raw")).as("ws_tokens"),
+          sum(col("n_bpe")).as("bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("(bpe_tokens * 1000000) div greatest(ws_tokens, 1)"))
+        .orderBy("lang")
     }))
 
   /** q137's body over any (doc_id, text, …) frame — also exercised by
@@ -715,6 +739,26 @@ object TextQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
            |  CAST(min(pos) AS BIGINT) AS first_pos
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      },
+
+      // q145: the q110 encode chain aggregated per language; sums cast
+      // out of DuckDB's HUGEINT, fertility spelled with the same
+      // truncating // and greatest guard as the engine.
+      "q145_bpe_fertility" -> {
+        val steps = graft.operators.Bpe.Steps
+        s"""WITH seq0 AS MATERIALIZED (SELECT doc_id, $toksE AS toks FROM documents),
+           |${bpeBlocks(steps, mergeAll = true).mkString(",\n")},
+           |enc AS (SELECT r.doc_id, CAST(len(r.toks) AS BIGINT) AS n_raw,
+           |    CAST(coalesce(len(e.toks), 0) AS BIGINT) AS n_bpe
+           |  FROM seq0 r LEFT JOIN seq$steps e ON e.doc_id = r.doc_id),
+           |g AS (SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(enc.n_raw) AS BIGINT) AS ws_tokens,
+           |    CAST(sum(enc.n_bpe) AS BIGINT) AS bpe_tokens
+           |  FROM enc JOIN documents d ON d.doc_id = enc.doc_id
+           |  GROUP BY d.lang)
+           |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+           |  (bpe_tokens * 1000000) // greatest(ws_tokens, 1) AS fertility_ppm
+           |FROM g ORDER BY lang""".stripMargin
       },
 
       // q141: the positional-join rendering generates the identical
