@@ -140,9 +140,18 @@ object KMeans {
     * Empty clusters keep their previous centroid (mirrored by the
     * oracle's LEFT JOIN + coalesce). */
   def fitCentroids(df: DataFrame, idCol: String, embCol: String,
-                   k: Int, iters: Int): Array[Array[Long]] = {
+                   k: Int, iters: Int): Array[Array[Long]] =
+    fitCentroidsQuantized(
+      df.select(col(idCol), quantize(col(embCol)).as("qv")), idCol, k, iters)
+
+  /** [[fitCentroids]] over a frame already carrying a quantized-long
+    * `qv` column — the entry point for training on DERIVED integer
+    * vectors (q147's coarse-residual subspaces, where the input is
+    * qv − centroid, not a raw float embedding). */
+  def fitCentroidsQuantized(qIn: DataFrame, idCol: String,
+                            k: Int, iters: Int): Array[Array[Long]] = {
     require(k > 0 && iters >= 0, "k must be positive, iters non-negative")
-    val q = df.select(col(idCol), quantize(col(embCol)).as("qv"))
+    val q = qIn.select(col(idCol), col("qv"))
     // The MLlib iteration shape: the quantized frame is persisted for
     // the seed + per-iteration actions (at 100 TB each iteration reads
     // the cache, not the source scan), and unpersisted before the

@@ -42,6 +42,11 @@ object ClusteringQueries {
   private val PqNumQ = 8
   private val PqTopK = 10
 
+  /** q147: coarse lists probed per query (the FAISS nprobe knob —
+    * recall/cost lever; candidates are only the probed lists'
+    * members). */
+  private val NProbe = 2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // K-means corpus clustering: assignment + exact int64 squared-L2
@@ -173,6 +178,92 @@ object ClusteringQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ (q147): the full FAISS-style billion-scale ANN
+    // architecture composed from the repo's own parts — a coarse
+    // quantizer (q98's k = 8 exact-integer Lloyd) partitions the
+    // corpus into inverted lists; every vector stores its coarse list
+    // id plus a 4-byte PQ code of its RESIDUAL (vector − coarse
+    // centroid, exact int64 after quantization — residual PQ is what
+    // makes small codebooks precise, the Jégou IVFADC design); a
+    // query probes only its NProbe = 2 nearest lists and scores ONLY
+    // their members by ADC against a per-(query, probe) residual
+    // lookup table. At 100 TB this is the load-bearing shape: the
+    // candidate set is |corpus|·(nprobe/k) rows reached by an
+    // EQUI-JOIN on the list id (never a scan of unprobed lists —
+    // partition the codes table by `coarse` and the probe join prunes
+    // physically), codes are 64× smaller than raw vectors, and every
+    // training/encode/score step reuses the q98/q143 machinery with
+    // its constant-size shuffles. All arithmetic int64-exact; the
+    // oracle re-derives coarse Lloyd + assignment + residuals + four
+    // residual-subspace Lloyd chains + probes + LUT joins, so one
+    // hash certifies the entire composed index.
+    "q147_ivf_pq" -> ((s, dir) => {
+      import s.implicits._
+      val embT = Tables.load(s, dir, "embeddings")
+      val coarse = KMeans.fitCentroids(embT, "vec_id", "embedding", K, Iters)
+      val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+      val qv = embT.select(col("vec_id"),
+        KMeans.quantize(col("embedding")).as("qv"))
+      val res = qv.withColumn("coarse",
+          call_function("graft_nearest", col("qv"), coarseLit).getField("c"))
+        .withColumn("rv", zip_with(col("qv"),
+          element_at(coarseLit, col("coarse") + 1), (a, b) => a - b))
+        .persist() // feeds 4 codebook trainings + the encode pass
+      val cents: Seq[Array[Array[Long]]] = (0 until PqM).map { m =>
+        KMeans.fitCentroidsQuantized(
+          res.select(col("vec_id"),
+            expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)").as("qv")),
+          "vec_id", PqKc, PqIters)
+      }
+      val codes = (0 until PqM).foldLeft(
+          res.select(col("vec_id"), col("coarse"), col("rv"))) { (d, m) =>
+        d.withColumn(s"c$m",
+          call_function("graft_nearest",
+            expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)"),
+            typedLit(cents(m).map(_.toSeq).toSeq)).getField("c"))
+      }.drop("rv")
+      // driver-side probe selection + residual LUTs (Q·NProbe·M·Kc
+      // int64s as a plan literal — the q143 convention)
+      val qrows = embT.where(col("vec_id") < PqNumQ)
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+        .collect().sortBy(_.getLong(0))
+      require(qrows.nonEmpty, s"fixture has no vec_id < $PqNumQ")
+      def sq(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+      val probeList: Seq[(Long, Int, Int)] = qrows.toSeq.flatMap { r =>
+        val qid = r.getLong(0)
+        val v = r.getSeq[Long](1).toArray
+        coarse.zipWithIndex.toSeq
+          .map { case (cv, cid) => (sq(v, cv), cid) }
+          .sorted.take(NProbe).zipWithIndex
+          .map { case ((_, cid), pr) => (qid, cid, pr) }
+      }
+      val lut: Seq[Seq[Seq[Long]]] = probeList.map { case (qid, cid, _) =>
+        val v = qrows.find(_.getLong(0) == qid).get.getSeq[Long](1).toArray
+        val rvq = v.zip(coarse(cid)).map { case (a, b) => a - b }
+        (0 until PqM).map { m =>
+          val sub = rvq.slice(m * PqDSub, (m + 1) * PqDSub)
+          cents(m).toSeq.map(cv => sq(sub, cv))
+        }
+      }
+      val probesDf = broadcast(probeList.zipWithIndex
+        .map { case ((qid, cid, pr), idx) => (qid, cid, pr, idx) }
+        .toDF("query_id", "coarse", "probe_rank", "pidx"))
+      val lutLit = typedLit(lut)
+      val adc = (0 until PqM).map(m =>
+        element_at(element_at(element_at(lutLit, col("pidx") + 1), m + 1),
+          col(s"c$m") + 1)).reduce(_ + _)
+      val scored = codes.join(probesDf, Seq("coarse"))
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("adc_dist", adc)
+      TopK.perKey(scored, Seq("query_id"),
+          Seq("adc_dist" -> true, "vec_id" -> true), k = PqTopK)
+        .select(col("query_id"), col("vec_id"),
+          col("coarse").cast("long").as("coarse"), col("adc_dist"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Cluster-blocked semantic near-dup — the SemDeDup blocking
     // structure (cluster the embedding space, then compare only within
     // clusters), complementing the LSH-bucketed q54/q89 path: LSH
@@ -230,11 +321,19 @@ object ClusteringQueries {
     * engine's per-subspace fitCentroids calls). Leaves `p{m}_code`
     * (vec_id → code) and `p{m}_lut` (query_id × cid → exact int64
     * subdistance). */
-  private def pqChainSql(m: Int): String = {
+  private def pqChainSql(m: Int): String =
+    pqChainSqlFrom(m, {
+      val lo = m * PqDSub + 1
+      val hi = (m + 1) * PqDSub
+      s"SELECT vec_id, ${KMeans.quantizeSql(s"(embedding[$lo:$hi])")} AS qv FROM embeddings"
+    })
+
+  /** [[pqChainSql]] over an arbitrary (vec_id, qv) source — q147
+    * trains its codebooks on coarse-RESIDUAL subspaces, so the chain's
+    * input is a derived integer vector, not an embedding slice. */
+  private def pqChainSqlFrom(m: Int, qBody: String): String = {
     val p = s"p${m}_"
-    val lo = m * PqDSub + 1
-    val hi = (m + 1) * PqDSub
-    val qv = KMeans.quantizeSql(s"(embedding[$lo:$hi])")
+    val qv = s"($qBody)"
     def dist(a: String, b: String) = KMeans.sqDistSql(a, b, PqDSub)
     val steps = (1 to PqIters).map { i =>
       val prev = s"${p}c${i - 1}"
@@ -252,7 +351,7 @@ object ClusteringQueries {
          |${p}c$i AS (SELECT $prev.cid, coalesce(${p}u$i.cv, $prev.cv) AS cv
          |  FROM $prev LEFT JOIN ${p}u$i USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""${p}q AS (SELECT vec_id, $qv AS qv FROM embeddings),
+    s"""${p}q AS (SELECT vec_id, qv FROM $qv t),
        |${p}c0 AS (SELECT cid, qv AS cv FROM seeds JOIN ${p}q USING (vec_id)
        |  WHERE cid < $PqKc),
        |$steps,
@@ -286,6 +385,62 @@ object ClusteringQueries {
          |    ORDER BY adc_dist, vec_id) AS rank FROM adc)
          |SELECT query_id, vec_id, adc_dist, code0, code1, code2, code3, rank
          |FROM rk WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin,
+
+    "q147_ivf_pq" -> {
+      val cI = s"c$Iters"
+      def dist(a: String, b: String) = KMeans.sqDistSql(a, b, Dim)
+      val resChains = (0 until PqM).map { m =>
+        val lo = m * PqDSub + 1
+        val hi = (m + 1) * PqDSub
+        pqChainSqlFrom(m, s"SELECT vec_id, rv[$lo:$hi] AS qv FROM res")
+      }.mkString(",\n")
+      val luts = (0 until PqM).map { m =>
+        val lo = m * PqDSub + 1
+        val hi = (m + 1) * PqDSub
+        s"""lut$m AS (SELECT rq.query_id, rq.probe_rank, cc.cid,
+           |    ${KMeans.sqDistSql(s"(rq.rv[$lo:$hi])", "cc.cv", PqDSub)} AS d
+           |  FROM rq CROSS JOIN p${m}_$cI cc)""".stripMargin
+      }.mkString(",\n")
+      val lutJoins = (0 until PqM).map(m =>
+        s"""JOIN lut$m l$m ON l$m.query_id = cand.query_id
+           |    AND l$m.probe_rank = cand.probe_rank AND l$m.cid = cand.code$m"""
+          .stripMargin).mkString("\n|  ")
+      s"""$kmeansOracleCtes,
+         |casg AS MATERIALIZED (SELECT vec_id, cid FROM sf WHERE rk = 1),
+         |res AS MATERIALIZED (SELECT q.vec_id, a.cid AS coarse,
+         |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
+         |  FROM q JOIN casg a USING (vec_id) JOIN $cI c ON c.cid = a.cid),
+         |$resChains,
+         |codes AS MATERIALIZED (SELECT r.vec_id, r.coarse,
+         |    c0c.code AS code0, c1c.code AS code1, c2c.code AS code2,
+         |    c3c.code AS code3
+         |  FROM res r JOIN p0_code c0c USING (vec_id)
+         |  JOIN p1_code c1c USING (vec_id) JOIN p2_code c2c USING (vec_id)
+         |  JOIN p3_code c3c USING (vec_id)),
+         |probes AS (SELECT query_id, cid AS coarse, pr - 1 AS probe_rank FROM (
+         |  SELECT q.vec_id AS query_id, c.cid, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS pr
+         |  FROM q CROSS JOIN $cI c WHERE q.vec_id < $PqNumQ)
+         |  WHERE pr <= $NProbe),
+         |rq AS (SELECT p.query_id, p.probe_rank, p.coarse,
+         |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
+         |  FROM probes p JOIN q ON q.vec_id = p.query_id
+         |  JOIN $cI c ON c.cid = p.coarse),
+         |$luts,
+         |cand AS (SELECT p.query_id, cd.vec_id, cd.coarse, p.probe_rank,
+         |    cd.code0, cd.code1, cd.code2, cd.code3
+         |  FROM codes cd JOIN probes p ON p.coarse = cd.coarse
+         |  WHERE cd.vec_id <> p.query_id),
+         |adc AS (SELECT cand.query_id, cand.vec_id, cand.coarse,
+         |    l0.d + l1.d + l2.d + l3.d AS adc_dist
+         |  FROM cand
+         |  $lutJoins),
+         |rkd AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_dist, vec_id) AS rank FROM adc)
+         |SELECT query_id, vec_id, CAST(coarse AS BIGINT) AS coarse,
+         |  adc_dist, rank
+         |FROM rkd WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+    },
 
     "q98_kmeans" ->
       s"""$kmeansOracleCtes

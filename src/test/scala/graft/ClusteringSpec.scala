@@ -267,4 +267,24 @@ class ClusteringSpec extends SparkSpec {
     // LUT arithmetic exact) — a full re-run is bit-identical
     assert(run().toSeq == rows.toSeq)
   }
+
+  test("q147 IVF-PQ: candidates only from probed lists, ranks dense, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.ClusteringQueries.queries("q147_ivf_pq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      // the IVF contract: every retrieved vector came from one of the
+      // query's <= NProbe probed coarse lists
+      assert(rs.map(_._3).distinct.size <= 2,
+        s"query $q drew candidates from more than NProbe lists")
+      assert(!rs.exists(_._2 == q), s"query $q retrieved itself")
+      val byRank = rs.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to rs.length))
+      assert(byRank.map(_._4).toSeq == byRank.map(_._4).sorted.toSeq)
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
 }
