@@ -298,6 +298,38 @@ object CorpusQueries {
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
         .orderBy("doc_id")),
 
+    // Z-ORDER LAYOUT KEYS (q150): the multi-dimensional clustering
+    // primitive behind Delta/Iceberg OPTIMIZE ZORDER — documents that
+    // agree on (lang, source) prefixes land near each other in ONE
+    // linear sort key, so per-file min/max stats prune scans on EITHER
+    // dimension (a lang-only sort gives source queries nothing; the
+    // Morton curve splits the skipping power). Both dimensions map to
+    // dense ranks via bounded distinct aggregates (value-space-sized,
+    // broadcast back), and the 16-bit interleave is a pure codegen'd
+    // bit projection — at 100 TB the physical step is
+    // repartitionByRange(zkey) + sortWithinPartitions at the sink,
+    // both corpus-linear; this query certifies the key arithmetic
+    // itself per document. The global rank windows sit on DISTINCT
+    // aggregates (the q118 bounded-window contract), never the corpus.
+    "q150_zorder_layout" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      val langs = d.select("lang").distinct()
+        .withColumn("lr", (row_number().over(Window.orderBy("lang")) - 1)
+          .cast("long"))
+      val srcs = d.select("source").distinct()
+        .withColumn("sr", (row_number().over(Window.orderBy("source")) - 1)
+          .cast("long"))
+      val interleave = (0 until 16).map(i =>
+        s"(shiftleft(shiftright(lr, $i) & 1, ${2 * i + 1}) + " +
+          s"shiftleft(shiftright(sr, $i) & 1, ${2 * i}))").mkString(" + ")
+      d.join(broadcast(langs), Seq("lang"))
+        .join(broadcast(srcs), Seq("source"))
+        .withColumn("zkey", expr(interleave))
+        .select(col("doc_id"), col("lr"), col("sr"), col("zkey"))
+        .orderBy("doc_id")
+    }),
+
     // Selection pipeline — the SECOND flagship composition (q95 curates
     // by surface quality; this one curates by LEARNED signals):
     // DSIR importance weights (q115) → benchmark decontamination gate
@@ -836,6 +868,23 @@ object CorpusQueries {
          |${shardCtesSql("d")}
          |SELECT doc_id, n_tokens, start_tok, shard FROM sm
          |ORDER BY doc_id""".stripMargin,
+
+    "q150_zorder_layout" -> {
+      val interleave = (0 until 16).map(i =>
+        s"((((lr >> $i) & 1) << ${2 * i + 1}) + (((sr >> $i) & 1) << ${2 * i}))")
+        .mkString(" + ")
+      s"""WITH langs AS (SELECT lang,
+         |    CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS lr
+         |  FROM (SELECT DISTINCT lang FROM documents)),
+         |srcs AS (SELECT source,
+         |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sr
+         |  FROM (SELECT DISTINCT source FROM documents))
+         |SELECT d.doc_id, l.lr, s.sr,
+         |  CAST($interleave AS BIGINT) AS zkey
+         |FROM documents d JOIN langs l ON l.lang = d.lang
+         |JOIN srcs s ON s.source = d.source
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // q124: (shard, pos) derived INDEPENDENTLY from the manifest CTEs —
     // the engine side read them back from the physical layout, so

@@ -656,6 +656,40 @@ object RelationalQueries {
         .orderBy("day")
     }),
 
+    // Supervised-example builder (q149): the feature/label assembly
+    // step that turns an event log into a next-action prediction
+    // dataset — per user, each event becomes one training example
+    // with its previous three event types as the feature window and
+    // itself as the label, plus a content-addressed 80/10/10
+    // train/val/test split (the q63/q64 discipline: split membership
+    // is a pure function of the example id — reproducible, join-free,
+    // leakage-auditable). Rows without a full history window are
+    // dropped (the declared warm-up semantics, not an edge case).
+    // Scale shape: ONE user-keyed window pass (the q120 shuffle),
+    // per-row md5 for the split — event-linear output, no joins, no
+    // driver state; exactly the shape that feeds a 100 TB
+    // sequence-model training dump.
+    "q149_example_builder" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("f1", lag("event_type", 3).over(w))
+        .withColumn("f2", lag("event_type", 2).over(w))
+        .withColumn("f3", lag("event_type", 1).over(w))
+        .where(col("f1").isNotNull)
+        .withColumn("h", conv(substring(
+            md5(concat(lit("ex:"), col("event_id").cast("string"))), 1, 6),
+          16, 10).cast("long"))
+        .withColumn("split",
+          when(col("h") % 10 < 8, lit("train"))
+            .when(col("h") % 10 === 8, lit("val"))
+            .otherwise(lit("test")))
+        .select(col("user_id"), col("event_id"), col("f1"), col("f2"),
+          col("f3"), col("event_type").as("label"), col("split"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Cohort retention: users grouped by first-activity week, counted by
     // weeks-since-cohort for each later activity week.
     "q73_cohort_retention" -> ((s, dir) => {
@@ -1022,6 +1056,19 @@ object RelationalQueries {
         |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 5
         |ORDER BY key_a, key_b""".stripMargin,
+
+    "q149_example_builder" ->
+      """WITH w AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f2,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f3
+        |  FROM events),
+        |h AS (SELECT *, CAST('0x' || substr(md5('ex:' || CAST(event_id AS VARCHAR)), 1, 6) AS BIGINT) AS hh
+        |  FROM w WHERE f1 IS NOT NULL)
+        |SELECT user_id, event_id, f1, f2, f3, event_type AS label,
+        |  CASE WHEN hh % 10 < 8 THEN 'train'
+        |       WHEN hh % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM h ORDER BY user_id, event_id""".stripMargin,
 
     "q146_mixture_drift" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type,

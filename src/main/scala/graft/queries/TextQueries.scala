@@ -338,30 +338,44 @@ object TextQueries {
     // corpus scale (st ≤ 2200; the per-term product idf'·st stays
     // inside int64 for N up to ~10^9 docs; beyond that, drop the
     // 1e6 contrast scale a decade).
-    "q127_bm25_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .withColumn("dl", size(col("toks")).cast("long"))
-      val stats = d.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("dl"), lit(0L)).as("t_tokens"))
-      val tf = d.select(col("doc_id"), col("dl"),
-          explode(col("toks")).as("token"))
-        .where(col("token").isInCollection(Bm25Query))
-        .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), Seq("token"))
-        .crossJoin(broadcast(stats))
-        .withColumn("avg", expr("greatest(1L, t_tokens div n_docs)"))
-        .withColumn("idf", expr("(1000000L * (n_docs - df + 1)) div (df + 1)"))
-        .withColumn("st", expr(
-          "(44000L * tf * avg) div (20L * avg * tf + 6L * avg + 18L * dl)"))
-        .groupBy("doc_id", "dl")
-        .agg(sum(expr("idf * st")).as("score"),
-          count(lit(1)).as("n_terms"))
-        .orderBy(col("score").desc, col("doc_id").asc)
-        .limit(Bm25K)
+    "q127_bm25_topk" -> ((s, dir) =>
+      bm25TopK(s, dir, Bm25K)
         .select(col("doc_id"), col("dl"), col("n_terms"), col("score"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // HYBRID RETRIEVAL RERANK (q148): the two-stage
+    // lexical-recall → dense-precision pipeline every production RAG /
+    // curation-retrieval stack runs — BM25 proposes a HybridPool-sized
+    // candidate pool (cheap, posting-pruned, q127's machinery with a
+    // wider k), then the pool ALONE is reranked by exact-integer
+    // squared-L2 in the quantized embedding space against a fixed
+    // probe vector (the q117/q143 suite convention: vec_id =
+    // HybridQueryVec, with embeddings keyed to documents by id).
+    // Scale shape: stage 1 is q127's corpus-linear term-filtered
+    // chain; stage 2 touches exactly HybridPool rows — the candidate
+    // pool broadcasts INTO the embedding scan (never the reverse), the
+    // probe rides the 1-row broadcast scalar idiom, and the final
+    // top-k sorts a bounded pool. The reranker's cost is independent
+    // of corpus size by construction — that is the whole point of the
+    // two-stage design.
+    "q148_hybrid_rerank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pool = bm25TopK(s, dir, HybridPool)
+        .select(col("doc_id"), col("score").as("bm25_score"))
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          graft.operators.KMeans.quantize(col("embedding")).as("qv"))
+      val qvec = emb.where(col("doc_id") === HybridQueryVec)
+        .select(col("qv").as("qq"))
+      emb.join(broadcast(pool), Seq("doc_id"))
+        .crossJoin(broadcast(qvec))
+        .withColumn("dense_dist",
+          graft.operators.KMeans.sqDist(col("qv"), col("qq")))
+        .orderBy(col("dense_dist"), col("doc_id")).limit(HybridK)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("dense_dist"), col("doc_id"))))
+        .select("doc_id", "bm25_score", "dense_dist", "rank")
+        .orderBy("rank")
     }),
 
     // Truncated SUFFIX-ARRAY index build (q135): the index behind
@@ -636,6 +650,67 @@ object TextQueries {
   private def PmiMinPair = 3
   private def PmiTopK = 100
 
+  /** q148: BM25 candidate-pool size, rerank depth, and the fixed
+    * probe vector id (embeddings keyed to documents by id). */
+  private def HybridPool = 50
+  private def HybridK = 10
+  private def HybridQueryVec = 0L
+
+  /** The oracle twin of [[bm25TopK]]: CTE chain ending in
+    * `top(doc_id, dl, n_terms, score)`. */
+  private def bm25ChainSql(toksE: String, k: Int): String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""dd AS (SELECT doc_id,
+       |    CAST(len($toksE) AS BIGINT) AS dl, $toksE AS toks
+       |  FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS t_tokens FROM dd),
+       |av AS (SELECT n_docs, greatest(1, t_tokens // n_docs) AS avg FROM st),
+       |tfq AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd)
+       |  WHERE token IN ($terms) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+       |sc AS (SELECT tfq.doc_id, tfq.dl,
+       |    CAST(count(*) AS BIGINT) AS n_terms,
+       |    CAST(sum(
+       |      ((1000000 * (av.n_docs - dfq.df + 1)) // (dfq.df + 1)) *
+       |      ((44000 * tfq.tf * av.avg) //
+       |        (20 * av.avg * tfq.tf + 6 * av.avg + 18 * tfq.dl))) AS BIGINT)
+       |      AS score
+       |  FROM tfq JOIN dfq ON dfq.token = tfq.token CROSS JOIN av
+       |  GROUP BY 1, 2),
+       |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT $k)"""
+      .stripMargin
+  }
+
+  /** q127/q148's shared BM25 scorer: the log-free exact-fixed-point
+    * scoring chain over the [[Bm25Query]] probe terms, returning the
+    * top `k` as (doc_id, dl, n_terms, score) — see the q127 binding
+    * comment for the arithmetic and its int64 bounds. */
+  private def bm25TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = d.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("t_tokens"))
+    val tf = d.select(col("doc_id"), col("dl"),
+        explode(col("toks")).as("token"))
+      .where(col("token").isInCollection(Bm25Query))
+      .groupBy("doc_id", "dl", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avg", expr("greatest(1L, t_tokens div n_docs)"))
+      .withColumn("idf", expr("(1000000L * (n_docs - df + 1)) div (df + 1)"))
+      .withColumn("st", expr(
+        "(44000L * tf * avg) div (20L * avg * tf + 6L * avg + 18L * dl)"))
+      .groupBy("doc_id", "dl")
+      .agg(sum(expr("idf * st")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   val oracleSql: Map[String, String] = {
     val toksE = tokensSql("text")
     val (en, de, fr, es) = (stopwordHitsSql("toks", "en"), stopwordHitsSql("toks", "de"),
@@ -791,31 +866,26 @@ object TextQueries {
 
       "q110_bpe_encode" -> bpeEncodeSql(toksE),
 
-      "q127_bm25_topk" -> {
-        val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-        s"""WITH dd AS (SELECT doc_id,
-           |    CAST(len($toksE) AS BIGINT) AS dl, $toksE AS toks
-           |  FROM documents),
-           |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(coalesce(sum(dl), 0) AS BIGINT) AS t_tokens FROM dd),
-           |av AS (SELECT n_docs, greatest(1, t_tokens // n_docs) AS avg FROM st),
-           |tfq AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
-           |  FROM (SELECT doc_id, dl, unnest(toks) AS token FROM dd)
-           |  WHERE token IN ($terms) GROUP BY 1, 2, 3),
-           |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
-           |sc AS (SELECT tfq.doc_id, tfq.dl,
-           |    CAST(count(*) AS BIGINT) AS n_terms,
-           |    CAST(sum(
-           |      ((1000000 * (av.n_docs - dfq.df + 1)) // (dfq.df + 1)) *
-           |      ((44000 * tfq.tf * av.avg) //
-           |        (20 * av.avg * tfq.tf + 6 * av.avg + 18 * tfq.dl))) AS BIGINT)
-           |      AS score
-           |  FROM tfq JOIN dfq ON dfq.token = tfq.token CROSS JOIN av
-           |  GROUP BY 1, 2),
-           |top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25K)
+      "q127_bm25_topk" ->
+        s"""WITH ${bm25ChainSql(toksE, Bm25K)}
            |SELECT doc_id, dl, n_terms, score FROM top
-           |ORDER BY doc_id""".stripMargin
-      },
+           |ORDER BY doc_id""".stripMargin,
+
+      // q148: the q127 chain at pool width, reranked by the same
+      // quantized exact-int64 squared-L2 the embedding family uses.
+      "q148_hybrid_rerank" ->
+        s"""WITH ${bm25ChainSql(toksE, HybridPool)},
+           |e AS (SELECT vec_id AS doc_id,
+           |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
+           |  FROM embeddings),
+           |qq AS (SELECT qv FROM e WHERE doc_id = $HybridQueryVec),
+           |scored AS (SELECT t.doc_id, t.score AS bm25_score,
+           |    ${graft.operators.KMeans.sqDistSql("e.qv", "qq.qv", 64)} AS dense_dist
+           |  FROM top t JOIN e ON e.doc_id = t.doc_id CROSS JOIN qq),
+           |rkd AS (SELECT *, row_number() OVER (
+           |    ORDER BY dense_dist, doc_id) AS rank FROM scored)
+           |SELECT doc_id, bm25_score, dense_dist, rank FROM rkd
+           |WHERE rank <= $HybridK ORDER BY rank""".stripMargin,
 
       "q40_lang_id" ->
         s"""WITH t AS (SELECT doc_id, lang, $toksE AS toks FROM documents),
