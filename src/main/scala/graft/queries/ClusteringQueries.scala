@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{KMeans, TopK}
+import graft.operators.{Dedup, KMeans, TopK}
 import graft.sources.Tables
 
 /** Embedding-clustering extension queries (q98, q100): deterministic
@@ -46,6 +46,12 @@ object ClusteringQueries {
     * recall/cost lever; candidates are only the probed lists'
     * members). */
   private val NProbe = 2
+
+  /** q151: the hard negative is the NegRank-th nearest in-cluster
+    * neighbor — close enough to be informative, far enough to not be
+    * a near-duplicate (the distance-rank heuristic for mining hard
+    * negatives without labels). */
+  private val NegRank = 10
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -276,7 +282,49 @@ object ClusteringQueries {
     "q111_cluster_semantic_dedup" -> ((s, dir) =>
       KMeans.nearDup(Tables.load(s, dir, "embeddings"),
           "vec_id", "embedding", k = K, iters = Iters, theta = Theta)
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // CONTRASTIVE TRIPLET MINING (q151): the training-pair builder for
+    // embedding-model fine-tuning — per anchor, the positive is its
+    // nearest in-cluster neighbor and the hard negative its
+    // NegRank-th nearest (the unsupervised distance-rank recipe:
+    // random negatives are too easy, rank-1 "negatives" are really
+    // positives; rank ~10 in the same k-means cluster is the
+    // informative band). Anchors whose capped cluster has fewer than
+    // NegRank non-self members emit nothing (no triplet to mine).
+    // Reuses the SemDeDup blocking machinery verbatim: q98's
+    // exact-integer Lloyd assignment, Dedup.capBuckets bounding any
+    // cluster's pair expansion to cap², the codegen'd exact-int64
+    // sqdist kernel, and the custom TopKPerKey operator (an O(NegRank)
+    // heap per anchor instead of a full per-anchor sort). Scale shape:
+    // one shuffle on the cluster key for the capped self-join, one on
+    // the anchor for the top-k — both bounded; centroids ride as plan
+    // literals; at 100 TB k grows with the corpus so per-cluster work
+    // is constant (the SemDeDup regime).
+    "q151_contrastive_triplets" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = KMeans.fitCentroids(emb, "vec_id", "embedding", K, Iters)
+      val asg = KMeans.transform(emb, "vec_id", "embedding", cents)
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      val q = emb.select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val m = Dedup.capBuckets(asg.join(q, Seq("vec_id")), Seq("cluster"), "vec_id")
+      val pairs = m.select(col("cluster"), col("vec_id").as("anchor"), col("qv").as("qa"))
+        .join(m.select(col("cluster"), col("vec_id").as("cand"), col("qv").as("qb")),
+          Seq("cluster"))
+        .where(col("anchor") =!= col("cand"))
+        .select(col("anchor"), col("cand"),
+          KMeans.sqDist(col("qa"), col("qb")).as("d"))
+      TopK.perKey(pairs, Seq("anchor"),
+          Seq("d" -> true, "cand" -> true), k = NegRank)
+        .where(col("rank") === 1 || col("rank") === NegRank)
+        .groupBy("anchor")
+        .agg(min(when(col("rank") === 1, col("cand"))).as("pos_id"),
+          min(when(col("rank") === 1, col("d"))).as("pos_d"),
+          min(when(col("rank") === NegRank, col("cand"))).as("neg_id"),
+          min(when(col("rank") === NegRank, col("d"))).as("neg_d"))
+        .where(col("neg_id").isNotNull)
+        .orderBy("anchor")
+    }))
 
   /** The k-means Lloyd chain as DuckDB CTEs, ending in `sf` (vec_id ×
     * centroid scored, rk = 1 is the final assignment). Shared by the
@@ -497,5 +545,30 @@ object ClusteringQueries {
          |  coalesce(n.n_near, CAST(0 AS BIGINT)) AS n_near,
          |  least(coalesce(n.mn, a.vec_id), a.vec_id) AS keep_vec_id
          |FROM casg a LEFT JOIN nbr n ON n.vec_id = a.vec_id
-         |ORDER BY a.vec_id""".stripMargin)
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // q151: q111's casg/mcap cap mirror, then the within-cluster pair
+    // ranking as a row_number window (the TopKPerKey twin) pivoted to
+    // (pos = rn 1, neg = rn NegRank); HAVING max(rn) = NegRank is the
+    // engine's neg_id IS NOT NULL gate.
+    "q151_contrastive_triplets" ->
+      s"""$kmeansOracleCtes,
+         |casg AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM sf WHERE rk = 1),
+         |mcap AS MATERIALIZED (SELECT vec_id, cluster, qv FROM (
+         |  SELECT a.vec_id, a.cluster, q.qv,
+         |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS crk
+         |  FROM casg a JOIN q USING (vec_id)) WHERE crk <= ${graft.operators.Dedup.MaxBucket}),
+         |prs AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
+         |    ${KMeans.sqDistSql("a.qv", "b.qv", Dim)} AS d,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${KMeans.sqDistSql("a.qv", "b.qv", Dim)}, b.vec_id) AS rn
+         |  FROM mcap a JOIN mcap b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id)
+         |SELECT anchor,
+         |  min(CASE WHEN rn = 1 THEN cand END) AS pos_id,
+         |  min(CASE WHEN rn = 1 THEN d END) AS pos_d,
+         |  min(CASE WHEN rn = $NegRank THEN cand END) AS neg_id,
+         |  min(CASE WHEN rn = $NegRank THEN d END) AS neg_d
+         |FROM prs WHERE rn <= $NegRank
+         |GROUP BY anchor HAVING max(rn) = $NegRank
+         |ORDER BY anchor""".stripMargin)
 }

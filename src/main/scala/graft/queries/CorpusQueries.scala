@@ -28,6 +28,10 @@ object CorpusQueries {
   private def strataHash = md5(concat(lit("strat:"), col("doc_id").cast("string")))
   private val strataHashSql = "md5('strat:' || CAST(doc_id AS VARCHAR))"
 
+  /** q152: minimum tokens for a FIM cut — below this there is no room
+    * for nonempty prefix/middle/suffix plus hash head-room. */
+  private val FimMinTokens = 8L
+
   /** (doc_id, gram) pairs, one row per DISTINCT word-5-gram per doc. */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -327,6 +331,49 @@ object CorpusQueries {
         .join(broadcast(srcs), Seq("source"))
         .withColumn("zkey", expr(interleave))
         .select(col("doc_id"), col("lr"), col("sr"), col("zkey"))
+        .orderBy("doc_id")
+    }),
+
+    // FILL-IN-THE-MIDDLE SPLITS (q152): the FIM training-data
+    // transform (Bavarian et al. 2022, "Efficient Training of Language
+    // Models to Fill in the Middle") — each document is cut into
+    // (prefix, middle, suffix) at two content-addressed points and
+    // re-rendered in PSM order prefix·<FIM>·suffix·<MID>·middle, so a
+    // causal LM learns infilling from a plain next-token objective.
+    // Cut points derive from 48-bit md5 hashes of the SALTED doc id
+    // (never rand(): reproducible across runs, engines, and partition
+    // layouts), constrained to 1 ≤ c1 < c2 ≤ n−1 so all three spans
+    // are nonempty; docs under FimMinTokens are skipped (no room to
+    // cut). The rendered PSM string leaves as an md5 fingerprint, so
+    // rows stay narrow while the hash still certifies every token of
+    // all three spans in order. Scale shape: a pure per-row projection
+    // — zero shuffles, zero joins, embarrassingly parallel at any
+    // corpus size; exactly the map-only pass a 100 TB FIM pipeline
+    // runs between the shard manifest and the trainer.
+    "q152_fim_splits" -> ((s, dir) => {
+      def cutHash(salt: String) =
+        conv(substring(md5(concat(lit(salt + ":"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .where(col("n_tokens") >= FimMinTokens)
+        .withColumn("c1",
+          lit(1L) + cutHash("fim1") % (col("n_tokens") - 2))
+        .withColumn("c2",
+          col("c1") + 1L + cutHash("fim2") % (col("n_tokens") - 1 - col("c1")))
+      d.select(col("doc_id"), col("n_tokens"), col("c1"), col("c2"),
+          col("c1").as("len_p"),
+          (col("c2") - col("c1")).as("len_m"),
+          (col("n_tokens") - col("c2")).as("len_s"),
+          md5(concat(
+            concat_ws(" ", slice(col("toks"), lit(1), col("c1"))),
+            lit(" <FIM> "),
+            concat_ws(" ", slice(col("toks"), col("c2") + 1,
+              col("n_tokens") - col("c2"))),
+            lit(" <MID> "),
+            concat_ws(" ", slice(col("toks"), col("c1") + 1,
+              col("c2") - col("c1"))))).as("psm_hash"))
         .orderBy("doc_id")
     }),
 
@@ -885,6 +932,29 @@ object CorpusQueries {
          |JOIN srcs s ON s.source = d.source
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // q152: same 48-bit salted-md5 cut points and the same PSM
+    // rendering (array_to_string == concat_ws on nonempty string
+    // lists; list_slice's inclusive ends mirror slice's start+length).
+    "q152_fim_splits" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    ${TextAnalysis.tokenHashSql("'fim1:' || CAST(doc_id AS VARCHAR)")} AS h1,
+         |    ${TextAnalysis.tokenHashSql("'fim2:' || CAST(doc_id AS VARCHAR)")} AS h2
+         |  FROM t WHERE len(toks) >= $FimMinTokens),
+         |c AS (
+         |  SELECT doc_id, toks, n, 1 + (h1 % (n - 2)) AS c1,
+         |    (1 + (h1 % (n - 2))) + 1 + (h2 % (n - 1 - (1 + (h1 % (n - 2))))) AS c2
+         |  FROM d)
+         |SELECT doc_id, n AS n_tokens, c1, c2,
+         |  c1 AS len_p, c2 - c1 AS len_m, n - c2 AS len_s,
+         |  md5(array_to_string(list_slice(toks, 1, c1), ' ') || ' <FIM> ' ||
+         |      array_to_string(list_slice(toks, c2 + 1, n), ' ') || ' <MID> ' ||
+         |      array_to_string(list_slice(toks, c1 + 1, c2), ' ')) AS psm_hash
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // q124: (shard, pos) derived INDEPENDENTLY from the manifest CTEs —
     // the engine side read them back from the physical layout, so

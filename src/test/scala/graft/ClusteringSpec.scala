@@ -287,4 +287,23 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(run().toSeq == rows.toSeq)
   }
+
+  test("q151 triplets: pos strictly nearer than neg, ids distinct, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.ClusteringQueries
+      .queries("q151_contrastive_triplets")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, pos, pd, neg, nd) =>
+      assert(pos != a && neg != a, s"anchor $a retrieved itself")
+      assert(pos != neg, s"anchor $a: pos == neg")
+      // rank 1 vs rank NegRank under a total order ⇒ (pd, pos) < (nd, neg)
+      assert(pd < nd || (pd == nd && pos < neg),
+        s"anchor $a: pos (d=$pd) not nearer than neg (d=$nd)")
+      assert(pd >= 0, s"anchor $a: negative distance")
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
 }

@@ -131,4 +131,27 @@ class CorpusSpec extends SparkSpec {
     for ((id, (n, iw)) <- byId)
       assert(math.abs(iw) <= n * 1000000L, s"doc $id: |iw|=$iw exceeds n·1e6")
   }
+
+  test("q152 FIM: spans nonempty and conserving, short docs skipped, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = CorpusQueries.queries("q152_fim_splits")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, c1, c2, lp, lm, ls, h) =>
+      assert(n >= 8L, s"doc $id: under-min doc emitted (n=$n)")
+      assert(1L <= c1 && c1 < c2 && c2 <= n - 1,
+        s"doc $id: cut points out of range (n=$n c1=$c1 c2=$c2)")
+      assert(lp == c1 && lm == c2 - c1 && ls == n - c2,
+        s"doc $id: span lengths inconsistent")
+      assert(lp >= 1 && lm >= 1 && ls >= 1, s"doc $id: empty span")
+      assert(h.length == 32, s"doc $id: psm_hash not an md5 hex")
+    }
+    // every eligible doc emits exactly one row
+    val eligible = spark.read.parquet(s"$dir/documents.parquet")
+      .where(size(split(lower(trim(col("text"))), "\\s+")) >= 8).count()
+    assert(rows.length.toLong == eligible)
+    assert(run().toSeq == rows.toSeq)
+  }
 }
