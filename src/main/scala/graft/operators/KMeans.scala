@@ -115,8 +115,11 @@ object KMeans {
     * assignment scan stays shuffle-free (centroids ride as literals).
     */
   def nearDup(df: DataFrame, idCol: String, embCol: String, k: Int,
-              iters: Int, theta: Long, cap: Int = Dedup.MaxBucket): DataFrame = {
-    val cents = fitCentroids(df, idCol, embCol, k, iters)
+              iters: Int, theta: Long, cap: Int = Dedup.MaxBucket,
+              centsOpt: Option[Array[Array[Long]]] = None): DataFrame = {
+    // A caller holding an already-fitted model (the memoized coarse
+    // fit) passes it in; the fit here is the self-contained default.
+    val cents = centsOpt.getOrElse(fitCentroids(df, idCol, embCol, k, iters))
     val asg = transform(df, idCol, embCol, cents)
       .select(col(idCol), col("cluster").cast("long").as("cluster"))
     val q = df.select(col(idCol), quantize(col(embCol)).as("qv"))
