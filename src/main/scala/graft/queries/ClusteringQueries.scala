@@ -19,8 +19,9 @@ object ClusteringQueries {
 
   private val K = 8
   private val Iters = 2
-  /** Fixture embedding dimensionality — used by the ORACLE rendering
-    * only (the Spark side reads the array length per row). */
+  /** Fixture embedding dimensionality — used by the ORACLE renderings
+    * and by q154's unrolled dot-product projection (elsewhere the
+    * Spark side reads the array length per row). */
   private val Dim = 64
   /** q100: total sample budget spread over clusters ∝ size^0.5. */
   private val SampleTotal = 60
@@ -52,6 +53,9 @@ object ClusteringQueries {
     * a near-duplicate (the distance-rank heuristic for mining hard
     * negatives without labels). */
   private val NegRank = 10
+
+  /** q154: how many top mean-aligned vectors to surface. */
+  private val TopMean = 50
 
   // Five queries (q98, q100, q111, q147, q151) train the SAME coarse
   // k = 8 / Iters = 2 Lloyd fit over the embeddings fixture — the fit
@@ -345,6 +349,37 @@ object ClusteringQueries {
           min(when(col("rank") === NegRank, col("d"))).as("neg_d"))
         .where(col("neg_id").isNotNull)
         .orderBy("anchor")
+    }),
+
+    // MEAN-DIRECTION OUTLIERS (q154): embedding spaces are anisotropic
+    // — a handful of directions (the "common discourse" component, Mu
+    // & Viswanath 2018, "All-but-the-Top") dominate every vector and
+    // wash out similarity contrast; the standard post-processing step
+    // subtracts the corpus mean direction. This query surfaces the
+    // TopMean vectors MOST aligned with that direction (|dot| with the
+    // per-dim floor-mean) — the removal/inspection candidates. Exact
+    // arithmetic end-to-end: quantized int64 components, floorDiv
+    // mean, int64 dot (|qv[i]| ≤ 2^22, |mu[i]| ≤ 2^22 → 64·2^44 ≪
+    // 2^63). Scale shape: the mean is ONE Dim-bounded aggregate
+    // collected to a plan literal (the centroid convention); the
+    // projection is an unrolled 64-term codegen'd per-row expression
+    // (no join, no lambda); top-|proj| is a TakeOrdered, never a
+    // global sort.
+    "q154_mean_direction" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val sums = q.select(
+        (0 until Dim).map(i => sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+
+          count(lit(1)).as("n"): _*).collect()(0)
+      val n = sums.getLong(Dim)
+      require(n > 0, "embeddings fixture is empty")
+      val mu = (0 until Dim).map(i => Math.floorDiv(sums.getLong(i), n))
+      val proj = (0 until Dim)
+        .map(i => element_at(col("qv"), i + 1) * lit(mu(i)))
+        .reduce(_ + _)
+      q.select(col("vec_id"), proj.as("proj"))
+        .orderBy(abs(col("proj")).desc, col("vec_id"))
+        .limit(TopMean)
     }))
 
   /** The k-means Lloyd chain as DuckDB CTEs, ending in `sf` (vec_id ×
@@ -591,5 +626,23 @@ object ClusteringQueries {
          |  min(CASE WHEN rn = $NegRank THEN d END) AS neg_d
          |FROM prs WHERE rn <= $NegRank
          |GROUP BY anchor HAVING max(rn) = $NegRank
-         |ORDER BY anchor""".stripMargin)
+         |ORDER BY anchor""".stripMargin,
+
+    // q154: per-dim sums via the range-unnest trick (the m{i} CTE
+    // shape), floorDiv mean, exact dot re-derived per vector; sum()
+    // widens to HUGEINT in DuckDB so both the mean numerator and the
+    // projection cast back to BIGINT (values ≪ 2^63 by the engine's
+    // documented bound).
+    "q154_mean_direction" ->
+      s"""WITH q AS (SELECT vec_id, ${KMeans.quantizeSql("embedding")} AS qv
+         |  FROM embeddings),
+         |ms AS (SELECT t.i AS pos, sum(q.qv[t.i]) AS s, count(*) AS n
+         |  FROM q CROSS JOIN (SELECT unnest(range(1, $Dim + 1)) AS i) t
+         |  GROUP BY 1),
+         |mv AS (SELECT pos, CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS mu
+         |  FROM ms),
+         |p AS (SELECT q.vec_id, CAST(sum(q.qv[mv.pos] * mv.mu) AS BIGINT) AS proj
+         |  FROM q CROSS JOIN mv GROUP BY 1)
+         |SELECT vec_id, proj FROM p
+         |ORDER BY abs(proj) DESC, vec_id LIMIT $TopMean""".stripMargin)
 }

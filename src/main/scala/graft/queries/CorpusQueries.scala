@@ -32,6 +32,9 @@ object CorpusQueries {
     * for nonempty prefix/middle/suffix plus hash head-room. */
   private val FimMinTokens = 8L
 
+  /** q153: fixed packed training-sequence length (tokens). */
+  private val SeqLen = 512L
+
   /** (doc_id, gram) pairs, one row per DISTINCT word-5-gram per doc. */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -333,6 +336,32 @@ object CorpusQueries {
         .select(col("doc_id"), col("lr"), col("sr"), col("zkey"))
         .orderBy("doc_id")
     }),
+
+    // PACKED-SEQUENCE LAYOUT (q153): GPT-style pretraining packs the
+    // token stream into FIXED-length sequences (SeqLen = 512) with
+    // documents crossing sequence boundaries — the opposite contract
+    // from q116's shards (which never split a doc). Over the same
+    // content-addressed global order (md5(doc_id): reproducible
+    // shuffle-once), each doc's layout is pure arithmetic on its
+    // global token offset: first/last sequence touched, offset inside
+    // the first, and the fragmentation count n_seqs (how many
+    // attention windows the doc is split across — THE packing-quality
+    // metric: fragments lose cross-boundary context). Empty docs
+    // occupy no tokens and are skipped. Scale shape: identical to
+    // q116 — the two-level hash-prefix prefix sum (parallel local
+    // cumsums + broadcast range offsets) is the only shuffle; the
+    // sequence math is a per-row projection.
+    "q153_sequence_packing" -> ((s, dir) =>
+      shardManifest(docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
+        .where(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+          expr(s"start_tok div $SeqLen").as("seq_first"),
+          expr(s"(start_tok + n_tokens - 1) div $SeqLen").as("seq_last"),
+          (col("start_tok") % SeqLen).as("off_in_seq"),
+          (expr(s"(start_tok + n_tokens - 1) div $SeqLen")
+            - expr(s"start_tok div $SeqLen") + 1).as("n_seqs"))
+        .orderBy("doc_id")),
 
     // FILL-IN-THE-MIDDLE SPLITS (q152): the FIM training-data
     // transform (Bavarian et al. 2022, "Efficient Training of Language
@@ -932,6 +961,23 @@ object CorpusQueries {
          |JOIN srcs s ON s.source = d.source
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // q153: q116's certified shard CTEs re-finished with the
+    // fixed-length sequence arithmetic (integer // and % on the
+    // global token offset).
+    "q153_sequence_packing" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |${shardCtesSql("d")}
+         |SELECT doc_id, n_tokens, start_tok,
+         |  start_tok // $SeqLen AS seq_first,
+         |  (start_tok + n_tokens - 1) // $SeqLen AS seq_last,
+         |  start_tok % $SeqLen AS off_in_seq,
+         |  (start_tok + n_tokens - 1) // $SeqLen
+         |    - start_tok // $SeqLen + 1 AS n_seqs
+         |FROM sm WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
 
     // q152: same 48-bit salted-md5 cut points and the same PSM
     // rendering (array_to_string == concat_ws on nonempty string

@@ -288,6 +288,29 @@ class ClusteringSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q154 mean direction: |proj| non-increasing, exact vs driver refold, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.ClusteringQueries
+      .queries("q154_mean_direction")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = run()
+    assert(rows.length == 50)
+    val absProjs = rows.map { case (_, p) => math.abs(p) }
+    assert(absProjs.zip(absProjs.tail).forall { case (a, b) => a >= b },
+      "|proj| must be non-increasing down the ranking")
+    // driver refold: recompute mu and every returned proj from raw parquet
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576L).toLong).toArray).toMap
+    val dim = vecs.values.head.length
+    val mu = (0 until dim).map(i =>
+      Math.floorDiv(vecs.values.map(_(i)).sum, vecs.size.toLong))
+    for ((id, p) <- rows)
+      assert(p == (0 until dim).map(i => vecs(id)(i) * mu(i)).sum,
+        s"vec $id: proj mismatch vs driver refold")
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q151 triplets: pos strictly nearer than neg, ids distinct, deterministic") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.ClusteringQueries

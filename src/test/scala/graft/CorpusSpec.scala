@@ -132,6 +132,33 @@ class CorpusSpec extends SparkSpec {
       assert(math.abs(iw) <= n * 1000000L, s"doc $id: |iw|=$iw exceeds n·1e6")
   }
 
+  test("q153 packing: layout arithmetic consistent, stream gapless, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = CorpusQueries.queries("q153_sequence_packing")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, st, sf, sl, off, ns) =>
+      assert(n >= 1, s"doc $id: empty doc emitted")
+      assert(sf == st / 512 && sl == (st + n - 1) / 512 && off == st % 512,
+        s"doc $id: sequence arithmetic inconsistent")
+      assert(ns == sl - sf + 1 && ns >= 1, s"doc $id: n_seqs wrong")
+      // a doc spanning k sequences has > (k-2) full windows of tokens
+      assert(n > (ns - 2) * 512, s"doc $id: n_seqs=$ns impossible for n=$n")
+    }
+    // nonempty docs tile the token stream contiguously: sorted by
+    // start_tok, each doc begins where the previous ended
+    val byStart = rows.sortBy(_._3)
+    assert(byStart.head._3 == 0L)
+    byStart.sliding(2).foreach {
+      case Array((_, n1, s1, _, _, _, _), (_, _, s2, _, _, _, _)) =>
+        assert(s1 + n1 == s2, "token stream has a gap or overlap")
+      case _ =>
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q152 FIM: spans nonempty and conserving, short docs skipped, deterministic") {
     val dir = "/root/testdata/sf0.001"
     def run() = CorpusQueries.queries("q152_fim_splits")(spark, dir)
