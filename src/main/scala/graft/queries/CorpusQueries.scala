@@ -35,6 +35,15 @@ object CorpusQueries {
   /** q153: fixed packed training-sequence length (tokens). */
   private val SeqLen = 512L
 
+  /** q156: RAG chunk geometry — window of ChunkSize tokens sliding by
+    * ChunkStride (overlap = ChunkSize − ChunkStride keeps boundary
+    * context retrievable from either side). */
+  private val ChunkSize = 128L
+  private val ChunkStride = 96L
+
+  /** q157: shared-prefix window (tokens) — the KV-cache reuse unit. */
+  private val PrefixTokens = 16L
+
   /** (doc_id, gram) pairs, one row per DISTINCT word-5-gram per doc. */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -362,6 +371,95 @@ object CorpusQueries {
           (expr(s"(start_tok + n_tokens - 1) div $SeqLen")
             - expr(s"start_tok div $SeqLen") + 1).as("n_seqs"))
         .orderBy("doc_id")),
+
+    // PREFERENCE-PAIR ASSEMBLY (q155): the DPO/RLHF dataset-assembly
+    // step — within every (lang, source) stratum, pair the highest-
+    // and lowest-quality documents as (chosen, rejected) with the
+    // score margin attached. Quality here is the exact type-token
+    // ratio ⌊10⁶·distinct/n⌋ (repetitive text scores low — the Gopher
+    // repetition family's signal in one integer). Tie-breaks make the
+    // pair total-ordered: chosen = max (score, then SMALLEST doc_id),
+    // rejected = min (score, then LARGEST doc_id), so a stratum where
+    // every score ties still yields two distinct documents. Scale
+    // shape: per-row scoring (array_distinct, no explode), then ONE
+    // map-side-combinable groupBy — argmax/argmin ride as lexicographic
+    // struct max/min, so partial aggregation works on every executor
+    // and the shuffle carries |strata| rows, never the corpus.
+    "q155_preference_pairs" -> ((s, dir) => {
+      val sc = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 1)
+        .withColumn("s", expr(
+          "(CAST(1000000 AS BIGINT) * size(array_distinct(toks))) div size(toks)"))
+      sc.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_group"),
+          max(struct(col("s"), (-col("doc_id")).as("nid"))).as("ch"),
+          min(struct(col("s"), (-col("doc_id")).as("nid"))).as("rj"))
+        .where(col("n_group") >= 2)
+        .select(col("lang"), col("source"), col("n_group"),
+          (-col("ch.nid")).as("chosen_id"), col("ch.s").as("chosen_score"),
+          (-col("rj.nid")).as("rejected_id"), col("rj.s").as("rejected_score"),
+          (col("ch.s") - col("rj.s")).as("margin"))
+        .orderBy("lang", "source")
+    }),
+
+    // SLIDING-WINDOW RAG CHUNKS (q156): the standard retrieval chunker
+    // — fixed ChunkSize-token windows sliding by ChunkStride, so
+    // consecutive chunks overlap by ChunkSize − ChunkStride tokens and
+    // a fact near a boundary is retrievable from either side (the
+    // complement of q138's content-defined chunking, whose boundaries
+    // move with the content). Windows start at every multiple of the
+    // stride below n; the ragged tail chunks are kept (each ≥ 1
+    // token). Chunks leave as md5 fingerprints over the joined token
+    // span. Scale shape: chunk structs are built INSIDE the per-doc
+    // projection and exploded (the q138 lesson: never copy the token
+    // array per chunk) — zero shuffles, output linear in total
+    // tokens/stride.
+    "q156_sliding_chunks" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .where(col("n") >= 1)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(CAST(0 AS BIGINT), (n - 1) div $ChunkStride),
+             |  i -> struct(i AS chunk_idx, i * $ChunkStride AS start_tok,
+             |    least(i * $ChunkStride + $ChunkSize, n) - i * $ChunkStride AS chunk_len,
+             |    md5(concat_ws(' ', slice(toks, CAST(i * $ChunkStride + 1 AS INT),
+             |      CAST(least(i * $ChunkStride + $ChunkSize, n) - i * $ChunkStride AS INT))))
+             |      AS chunk_hash))""".stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.start_tok").as("start_tok"), col("c.chunk_len").as("chunk_len"),
+          col("c.chunk_hash").as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // SHARED-PREFIX REUSE AUDIT (q157): serving stacks cache the KV
+    // state of common prompt prefixes (system prompts, few-shot
+    // headers) and skip recomputing them — this query finds the
+    // opportunity in a corpus: documents agreeing on their first
+    // PrefixTokens tokens group together, and each group reports how
+    // many tokens of prefill a prefix cache would save
+    // ((n_docs − 1) · prefix_len). Only groups of ≥ 2 reuse anything.
+    // Scale shape: per-row prefix hash (the grouping key is a 128-bit
+    // md5, never the token text), ONE map-side-combinable groupBy
+    // carrying count/min partials — |groups| rows shuffle, linear scan
+    // otherwise.
+    "q157_shared_prefixes" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          least(size(col("toks")).cast("long"), lit(PrefixTokens)).as("plen"),
+          md5(concat_ws(" ",
+            slice(col("toks"), lit(1), lit(PrefixTokens.toInt)))).as("h"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_docs"), min("plen").as("prefix_len"),
+          min("doc_id").as("rep_doc_id"))
+        .where(col("n_docs") >= 2)
+        .select(col("h").as("prefix_hash"), col("n_docs"), col("prefix_len"),
+          ((col("n_docs") - 1) * col("prefix_len")).as("saved_tokens"),
+          col("rep_doc_id"))
+        .orderBy("prefix_hash")),
 
     // FILL-IN-THE-MIDDLE SPLITS (q152): the FIM training-data
     // transform (Bavarian et al. 2022, "Efficient Training of Language
@@ -978,6 +1076,54 @@ object CorpusQueries {
          |  (start_tok + n_tokens - 1) // $SeqLen
          |    - start_tok // $SeqLen + 1 AS n_seqs
          |FROM sm WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
+
+    // q155: lexicographic struct max/min mirror Spark's (both engines
+    // compare fields left-to-right), so argmax-with-tiebreak needs no
+    // window.
+    "q155_preference_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |    ${TextAnalysis.tokensSql("text")} AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang, source,
+         |    CAST((1000000 * len(list_distinct(toks))) // len(toks) AS BIGINT) AS s
+         |  FROM t WHERE len(toks) >= 1),
+         |g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_group,
+         |    max({'s': s, 'nid': -doc_id}) AS ch,
+         |    min({'s': s, 'nid': -doc_id}) AS rj
+         |  FROM sc GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT lang, source, n_group,
+         |  -ch.nid AS chosen_id, ch.s AS chosen_score,
+         |  -rj.nid AS rejected_id, rj.s AS rejected_score,
+         |  ch.s - rj.s AS margin
+         |FROM g ORDER BY lang, source""".stripMargin,
+
+    // q156: range-unnest generates the same stride grid; list_slice's
+    // inclusive end = start + length − 1 mirrors slice.
+    "q156_sliding_chunks" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 1)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |  CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+         |  CAST(least(i * $ChunkStride + $ChunkSize, n) - i * $ChunkStride AS BIGINT)
+         |    AS chunk_len,
+         |  md5(array_to_string(list_slice(toks, i * $ChunkStride + 1,
+         |    least(i * $ChunkStride + $ChunkSize, n)), ' ')) AS chunk_hash
+         |FROM d CROSS JOIN unnest(range(0, (n - 1) // $ChunkStride + 1)) AS u(i)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q157: identical prefix hash + groupwise count/min aggregates.
+    "q157_shared_prefixes" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |p AS (SELECT doc_id, CAST(least(len(toks), $PrefixTokens) AS BIGINT) AS plen,
+         |    md5(array_to_string(list_slice(toks, 1, $PrefixTokens), ' ')) AS h
+         |  FROM t WHERE len(toks) >= 1)
+         |SELECT h AS prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(plen) AS prefix_len, (count(*) - 1) * min(plen) AS saved_tokens,
+         |  min(doc_id) AS rep_doc_id
+         |FROM p GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY prefix_hash""".stripMargin,
 
     // q152: same 48-bit salted-md5 cut points and the same PSM
     // rendering (array_to_string == concat_ws on nonempty string

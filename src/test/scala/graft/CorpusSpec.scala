@@ -159,6 +159,62 @@ class CorpusSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q155 preference pairs: distinct docs, non-negative margin, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = CorpusQueries.queries("q155_preference_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, src, ng, cid, cs, rid, rs, m) =>
+      assert(ng >= 2, s"($lang,$src): group of $ng emitted")
+      assert(cid != rid, s"($lang,$src): chosen == rejected")
+      assert(m == cs - rs && m >= 0, s"($lang,$src): bad margin")
+      assert(cs <= 1000000L && rs >= 0L, s"($lang,$src): score out of range")
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
+
+  test("q156 sliding chunks: stride grid tiles each doc, ragged tail kept") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q156_sliding_chunks")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nTok = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id",
+        "size(filter(split(lower(trim(text)), '\\\\s+'), t -> t != ''))")
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val n = nTok(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until cs.length.toLong),
+        s"doc $id: chunk_idx not dense")
+      assert(cs.length.toLong == (n - 1) / 96 + 1, s"doc $id: chunk count")
+      sorted.foreach { case (_, i, st, len) =>
+        assert(st == i * 96, s"doc $id chunk $i: start off-grid")
+        assert(len == math.min(st + 128, n) - st && len >= 1,
+          s"doc $id chunk $i: bad length")
+      }
+      assert(sorted.last._3 + sorted.last._4 == n, s"doc $id: tail not covered")
+    }
+  }
+
+  test("q157 shared prefixes: reuse accounting consistent, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = CorpusQueries.queries("q157_shared_prefixes")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val rows = run()
+    rows.foreach { case (h, nd, pl, sv, _) =>
+      assert(nd >= 2, "singleton group emitted")
+      assert(pl >= 1 && pl <= 16, s"prefix_len $pl out of range")
+      assert(sv == (nd - 1) * pl, "saved_tokens accounting")
+      assert(h.length == 32)
+    }
+    assert(rows.map(_._1).distinct.length == rows.length, "prefix_hash not unique")
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q152 FIM: spans nonempty and conserving, short docs skipped, deterministic") {
     val dir = "/root/testdata/sf0.001"
     def run() = CorpusQueries.queries("q152_fim_splits")(spark, dir)
