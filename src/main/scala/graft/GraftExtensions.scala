@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MergePairExpr, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr, SqDistLong}
+import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MatVecLong, MergePairExpr, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr, SqDistLong}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -72,6 +72,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_sqdist(arr1, arr2) takes two arguments")
         SqDistLong(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVecLong].getName, "graft_matvec"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_matvec(vec, matrix) takes two arguments")
+        MatVecLong(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_nearest"),

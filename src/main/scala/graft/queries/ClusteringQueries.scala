@@ -78,6 +78,62 @@ object ClusteringQueries {
         "vec_id", "embedding", K, Iters))
   }
 
+  /** The trained IVF-PQ MODEL (coarse centroids + the PqM residual
+    * codebooks) — q147 scores with it, q158 audits its distortion.
+    * The residual frame feeds 4 codebook trainings, so it is persisted
+    * for the fits and released; the model itself is k·dim driver longs,
+    * memoized per (session, dir) like [[coarseCents]]. */
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Array[Long]], Seq[Array[Array[Long]]])]
+
+  private def ivfPqModel(s: SparkSession, dir: String)
+      : (Array[Array[Long]], Seq[Array[Array[Long]]]) = {
+    pqMemo.keys.foreach { case k @ (ks, _) =>
+      if (ks.sparkContext.isStopped) pqMemo.remove(k)
+    }
+    pqMemo.getOrElseUpdate((s, dir), {
+      val coarse = coarseCents(s, dir)
+      val res = pqResiduals(s, dir, coarse)
+        .persist() // feeds the 4 codebook trainings
+      val cents: Seq[Array[Array[Long]]] = (0 until PqM).map { m =>
+        KMeans.fitCentroidsQuantized(
+          res.select(col("vec_id"),
+            expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)").as("qv")),
+          "vec_id", PqKc, PqIters)
+      }
+      res.unpersist()
+      (coarse, cents)
+    })
+  }
+
+  /** (vec_id, coarse, rv): every vector's coarse list id + exact
+    * integer residual against its coarse centroid — a zero-shuffle
+    * projection (model rides as a literal). */
+  private def pqResiduals(s: SparkSession, dir: String,
+                          coarse: Array[Array[Long]]): DataFrame = {
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      .withColumn("coarse",
+        call_function("graft_nearest", col("qv"), coarseLit).getField("c"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(coarseLit, col("coarse") + 1), (a, b) => a - b))
+      .select(col("vec_id"), col("coarse"), col("rv"))
+  }
+
+  /** [[pqResiduals]] plus the PqM subspace codes c0..c{PqM−1} — the
+    * encoded index rows (rv retained for callers auditing the
+    * reconstruction; q147 drops it). */
+  private def pqResCodes(s: SparkSession, dir: String,
+                         coarse: Array[Array[Long]],
+                         cents: Seq[Array[Array[Long]]]): DataFrame =
+    (0 until PqM).foldLeft(pqResiduals(s, dir, coarse)) { (d, m) =>
+      d.withColumn(s"c$m",
+        call_function("graft_nearest",
+          expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)"),
+          typedLit(cents(m).map(_.toSeq).toSeq)).getField("c"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // K-means corpus clustering: assignment + exact int64 squared-L2
@@ -231,28 +287,8 @@ object ClusteringQueries {
     "q147_ivf_pq" -> ((s, dir) => {
       import s.implicits._
       val embT = Tables.load(s, dir, "embeddings")
-      val coarse = coarseCents(s, dir)
-      val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
-      val qv = embT.select(col("vec_id"),
-        KMeans.quantize(col("embedding")).as("qv"))
-      val res = qv.withColumn("coarse",
-          call_function("graft_nearest", col("qv"), coarseLit).getField("c"))
-        .withColumn("rv", zip_with(col("qv"),
-          element_at(coarseLit, col("coarse") + 1), (a, b) => a - b))
-        .persist() // feeds 4 codebook trainings + the encode pass
-      val cents: Seq[Array[Array[Long]]] = (0 until PqM).map { m =>
-        KMeans.fitCentroidsQuantized(
-          res.select(col("vec_id"),
-            expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)").as("qv")),
-          "vec_id", PqKc, PqIters)
-      }
-      val codes = (0 until PqM).foldLeft(
-          res.select(col("vec_id"), col("coarse"), col("rv"))) { (d, m) =>
-        d.withColumn(s"c$m",
-          call_function("graft_nearest",
-            expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)"),
-            typedLit(cents(m).map(_.toSeq).toSeq)).getField("c"))
-      }.drop("rv")
+      val (coarse, cents) = ivfPqModel(s, dir)
+      val codes = pqResCodes(s, dir, coarse, cents).drop("rv")
       // driver-side probe selection + residual LUTs (Q·NProbe·M·Kc
       // int64s as a plan literal — the q143 convention)
       val qrows = embT.where(col("vec_id") < PqNumQ)
@@ -380,6 +416,34 @@ object ClusteringQueries {
       q.select(col("vec_id"), proj.as("proj"))
         .orderBy(abs(col("proj")).desc, col("vec_id"))
         .limit(TopMean)
+    }),
+
+    // PQ DISTORTION AUDIT (q158): the recall-budget gauge for the
+    // q147 index — per inverted list, the exact reconstruction error
+    // ‖rv − codebook(code)‖² a vector suffers when compressed to its
+    // 4 subspace codes (quantization distortion is the quantity that
+    // trades against memory in the Jégou IVFADC design; a list whose
+    // distortion spikes needs more codebook bits or a re-train).
+    // Reuses the memoized model: encode is a zero-shuffle literal
+    // projection, the error an unrolled exact-int64 kernel sum, and
+    // the rollup ONE map-combinable groupBy on the 8-value coarse id.
+    // INT64 BOUND (documented, not guarded): sum(err) per list wraps
+    // only past ~2^23 vectors·list at the fixture's ~2^40 typical
+    // distortion — far beyond any per-list population here; at true
+    // 100 TB list sizes, widen the mean to Decimal on both sides.
+    "q158_pq_distortion" -> ((s, dir) => {
+      val (coarse, cents) = ivfPqModel(s, dir)
+      val codes = pqResCodes(s, dir, coarse, cents)
+      val err = (0 until PqM).map { m =>
+        KMeans.sqDist(expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)"),
+          element_at(typedLit(cents(m).map(_.toSeq).toSeq), col(s"c$m") + 1))
+      }.reduce(_ + _)
+      codes.withColumn("err", err)
+        .groupBy(col("coarse").cast("long").as("coarse"))
+        .agg(count(lit(1)).as("n_vectors"),
+          expr("sum(err) div count(1)").as("mean_err"),
+          max(col("err")).as("max_err"))
+        .orderBy("coarse")
     }))
 
   /** The k-means Lloyd chain as DuckDB CTEs, ending in `sf` (vec_id ×
@@ -644,5 +708,45 @@ object ClusteringQueries {
          |p AS (SELECT q.vec_id, CAST(sum(q.qv[mv.pos] * mv.mu) AS BIGINT) AS proj
          |  FROM q CROSS JOIN mv GROUP BY 1)
          |SELECT vec_id, proj FROM p
-         |ORDER BY abs(proj) DESC, vec_id LIMIT $TopMean""".stripMargin)
+         |ORDER BY abs(proj) DESC, vec_id LIMIT $TopMean""".stripMargin,
+
+    // q158: q147's coarse/residual/codebook CTEs, then the per-vector
+    // reconstruction error against the assigned codebook rows and the
+    // per-list rollup (sum widens to HUGEINT in DuckDB; // floors like
+    // the engine's div on the non-negative error).
+    "q158_pq_distortion" -> {
+      val cI = s"c$Iters"
+      val resChains = (0 until PqM).map { m =>
+        val lo = m * PqDSub + 1
+        val hi = (m + 1) * PqDSub
+        pqChainSqlFrom(m, s"SELECT vec_id, rv[$lo:$hi] AS qv FROM res")
+      }.mkString(",\n")
+      val errJoins = (0 until PqM).map(m =>
+        s"JOIN p${m}_c$PqIters pc$m ON pc$m.cid = cd.code$m").mkString("\n|  ")
+      val errSum = (0 until PqM).map { m =>
+        val lo = m * PqDSub + 1
+        val hi = (m + 1) * PqDSub
+        KMeans.sqDistSql(s"(r.rv[$lo:$hi])", s"pc$m.cv", PqDSub)
+      }.mkString(" + ")
+      s"""$kmeansOracleCtes,
+         |casg AS MATERIALIZED (SELECT vec_id, cid FROM sf WHERE rk = 1),
+         |res AS MATERIALIZED (SELECT q.vec_id, a.cid AS coarse,
+         |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
+         |  FROM q JOIN casg a USING (vec_id) JOIN $cI c ON c.cid = a.cid),
+         |$resChains,
+         |codes AS MATERIALIZED (SELECT r.vec_id,
+         |    c0c.code AS code0, c1c.code AS code1, c2c.code AS code2,
+         |    c3c.code AS code3
+         |  FROM res r JOIN p0_code c0c USING (vec_id)
+         |  JOIN p1_code c1c USING (vec_id) JOIN p2_code c2c USING (vec_id)
+         |  JOIN p3_code c3c USING (vec_id)),
+         |e AS (SELECT r.coarse, $errSum AS err
+         |  FROM codes cd JOIN res r USING (vec_id)
+         |  $errJoins)
+         |SELECT CAST(coarse AS BIGINT) AS coarse,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err,
+         |  max(err) AS max_err
+         |FROM e GROUP BY 1 ORDER BY coarse""".stripMargin
+    })
 }

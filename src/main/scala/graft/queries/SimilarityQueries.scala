@@ -36,6 +36,26 @@ object SimilarityQueries {
   /** Fixture embedding dimensionality (oracle rendering only). */
   private val Dim = 64
 
+  /** q159: Johnson–Lindenstrauss target dimensionality. */
+  private val JlDim = 16
+
+  /** q160: binary-sketch retrieval geometry — probe set (vec_id <
+    * HamNumQ) and Hamming top-k depth. */
+  private val HamNumQ = 4
+  private val HamK = 20
+
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** ±1 with the same 48-bit md5 parity the oracle derives in SQL —
+    * content-addressed, so the projection matrix is a pure function of
+    * (row, column), never an RNG state. */
+  private def jlSign(i: Int, j: Int): Long = {
+    val h = java.lang.Long.parseLong(md5Hex(s"jl:$i:$j").substring(0, 12), 16)
+    1L - 2L * (h % 2)
+  }
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -185,6 +205,63 @@ object SimilarityQueries {
           col("nb.d").as("near_dist"),
           (col("n_bench_hits") > 0).as("contaminated"))
         .orderBy("vec_id")
+    }),
+
+    // JOHNSON–LINDENSTRAUSS PROJECTION (q159): random-projection
+    // dimensionality reduction 64 → JlDim with a content-addressed ±1
+    // matrix (the Achlioptas database-friendly JL construction: ±1
+    // entries preserve pairwise distances within (1±ε) at k =
+    // O(log n/ε²) dims — the cheap pre-filter in front of exact
+    // rerankers, and 4× fewer bytes per vector here). Matrix entries
+    // are md5-parity of "jl:i:j" (reproducible across engines and
+    // cluster layouts, never an RNG), applied through the codegen'd
+    // graft_matvec kernel. Scale shape: the matrix is a JlDim×Dim plan
+    // literal; the projection is a zero-shuffle per-row kernel — the
+    // map-only pass that would precede any downstream index build.
+    "q159_jl_projection" -> ((s, dir) => {
+      import graft.operators.KMeans
+      val sgn: Seq[Seq[Long]] =
+        (0 until JlDim).map(j => (1 to Dim).map(i => jlSign(i, j)))
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+        .withColumn("jl", call_function("graft_matvec", col("qv"), typedLit(sgn)))
+      q.select(col("vec_id") +: (0 until JlDim).map(j =>
+          element_at(col("jl"), j + 1).as(f"jl$j%02d")): _*)
+        .orderBy("vec_id")
+    }),
+
+    // BINARY-SKETCH HAMMING RETRIEVAL (q160): 1-bit quantization of
+    // dense embeddings — every vector compresses to its 64 sign bits
+    // (two int64 words; bit i = component i ≥ 0) and retrieval ranks
+    // by Hamming distance, the binary-embedding recipe behind
+    // memory-tier ANN (32× smaller than float32, XOR+popcount scoring).
+    // Differs from q52's SimHash (text shingle sketch) and q56's LSH
+    // (bucket equality): this ranks the FULL corpus by bit distance
+    // for a fixed probe set. Scale shape: sign words are a per-row
+    // projection; the probe side is a ≤HamNumQ-row broadcast; scoring
+    // is codegen'd xor/popcount; top-k streams through TopKPerKey —
+    // no global sort, one bounded shuffle on query_id.
+    "q160_binary_hamming" -> ((s, dir) => {
+      import graft.operators.KMeans
+      def word(off: Int): org.apache.spark.sql.Column =
+        (0 until 32).map(i =>
+          when(element_at(col("qv"), off + i + 1) >= 0, lit(1L << i))
+            .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+      val w = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+        .select(col("vec_id"), word(0).as("wlo"), word(32).as("whi"))
+      val pr = broadcast(w.where(col("vec_id") < HamNumQ)
+        .select(col("vec_id").as("query_id"),
+          col("wlo").as("plo"), col("whi").as("phi")))
+      val sc = w.crossJoin(pr).where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (bit_count(col("wlo").bitwiseXOR(col("plo"))) +
+            bit_count(col("whi").bitwiseXOR(col("phi"))))
+            .cast("long").as("hamming"))
+      graft.operators.TopK.perKey(sc, Seq("query_id"),
+          Seq("hamming" -> true, "vec_id" -> true), k = HamK)
+        .select(col("query_id"), col("vec_id"), col("hamming"), col("rank"))
+        .orderBy("query_id", "rank")
     }))
 
   val oracleSql: Map[String, String] = {
@@ -281,6 +358,56 @@ object SimilarityQueries {
            |  FROM scored)
            |SELECT query_id, vec_id, cell, cosine, rank FROM ranked
            |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-      })
+      },
+
+      // q159: the ±1 matrix re-derived in SQL from the same md5
+      // parity over the (i, j) grid; per-(vector, j) sums pivot to the
+      // JlDim named columns (sum widens to HUGEINT → cast back).
+      "q159_jl_projection" -> {
+        val cols = (0 until JlDim).map(j =>
+          s"min(CASE WHEN j = $j THEN v END) AS jl${"%02d".format(j)}")
+          .mkString(",\n|  ")
+        s"""WITH q AS (SELECT vec_id,
+           |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
+           |  FROM embeddings),
+           |g AS (SELECT i.i AS i, j.j AS j,
+           |    1 - 2 * (CAST('0x' || substr(md5('jl:' || CAST(i.i AS VARCHAR)
+           |      || ':' || CAST(j.j AS VARCHAR)), 1, 12) AS BIGINT) % 2) AS sgn
+           |  FROM (SELECT unnest(range(1, $Dim + 1)) AS i) i
+           |  CROSS JOIN (SELECT unnest(range(0, $JlDim)) AS j) j),
+           |p AS (SELECT q.vec_id, g.j, CAST(sum(q.qv[g.i] * g.sgn) AS BIGINT) AS v
+           |  FROM q CROSS JOIN g GROUP BY 1, 2)
+           |SELECT vec_id,
+           |  $cols
+           |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      },
+
+      // q160: sign words folded per 32-bit half (avoids the BIGINT
+      // 1<<63 overflow), xor+bit_count scoring, dense ranks.
+      "q160_binary_hamming" ->
+        s"""WITH q AS (SELECT vec_id,
+           |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
+           |  FROM embeddings),
+           |w AS (SELECT vec_id,
+           |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+           |    list_transform(range(1, 33), i -> CASE WHEN qv[i] >= 0
+           |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)),
+           |    (a, b) -> a | b) AS wlo,
+           |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+           |    list_transform(range(33, 65), i -> CASE WHEN qv[i] >= 0
+           |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)),
+           |    (a, b) -> a | b) AS whi
+           |  FROM q),
+           |pr AS (SELECT vec_id AS query_id, wlo AS plo, whi AS phi
+           |  FROM w WHERE vec_id < $HamNumQ),
+           |sc AS (SELECT pr.query_id, w.vec_id,
+           |    CAST(bit_count(xor(w.wlo, pr.plo))
+           |      + bit_count(xor(w.whi, pr.phi)) AS BIGINT) AS hamming,
+           |    row_number() OVER (PARTITION BY pr.query_id
+           |      ORDER BY bit_count(xor(w.wlo, pr.plo))
+           |        + bit_count(xor(w.whi, pr.phi)), w.vec_id) AS rnk
+           |  FROM w CROSS JOIN pr WHERE w.vec_id <> pr.query_id)
+           |SELECT query_id, vec_id, hamming, CAST(rnk AS INT) AS rank
+           |FROM sc WHERE rnk <= $HamK ORDER BY query_id, rank""".stripMargin)
   }
 }

@@ -288,6 +288,87 @@ class ClusteringSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("graft_matvec matches the per-row interpreted HOF folds and its null contract") {
+    val rng = new scala.util.Random(37)
+    val mat: Seq[Seq[Long]] = Seq.fill(5)(Seq.fill(16)(rng.nextLong() % 1024L))
+    val df = (0 until 60).map(i => (i.toLong,
+        Seq.fill(16)(rng.nextLong() % 4194304L))).toDF("id", "v")
+    val kernel = df.select($"id",
+        call_function("graft_matvec", $"v", typedLit(mat)).as("p"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val hof = df.select($"id",
+        array((0 until 5).map(j =>
+          aggregate(zip_with($"v", typedLit(mat(j)), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x)): _*).as("p"))
+      .orderBy("id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    assert(kernel == hof)
+    val edge = Seq(
+      (Option(Seq(1L, 2L)), Option.empty[Seq[Seq[Long]]]),
+      (Option(Seq(1L, 2L)), Option(Seq(Seq(1L)))),
+      (Option(Seq(1L, 2L)), Option(Seq(Seq(3L, 4L), Seq(5L, 6L)))))
+      .toDF("v", "m")
+      .select(call_function("graft_matvec", $"v", $"m")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    assert(edge(2).getSeq[Long](0).toSeq == Seq(11L, 17L))
+  }
+
+  test("q158 distortion: per-list accounting covers the corpus, mean ≤ max, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.ClusteringQueries
+      .queries("q158_pq_distortion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = run()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == n, "every vector must land in exactly one list")
+    rows.foreach { case (c, nv, mean, mx) =>
+      assert(nv >= 1 && mean >= 0 && mean <= mx,
+        s"list $c: mean/max distortion inconsistent")
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
+
+  test("q159 JL: kernel projection equals driver refold on the md5-parity matrix") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.SimilarityQueries
+      .queries("q159_jl_projection")(spark, dir).collect()
+    assert(out.nonEmpty && out.head.length == 17)
+    def md5Hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sgn(i: Int, j: Int) =
+      1L - 2L * (java.lang.Long.parseLong(md5Hex(s"jl:$i:$j").substring(0, 12), 16) % 2)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576L).toLong)).toMap
+    out.take(20).foreach { r =>
+      val id = r.getLong(0)
+      val v = vecs(id)
+      (0 until 16).foreach { j =>
+        val want = v.indices.map(i0 => v(i0) * sgn(i0 + 1, j)).sum
+        assert(r.getLong(1 + j) == want, s"vec $id dim $j: JL refold mismatch")
+      }
+    }
+  }
+
+  test("q160 hamming: distances in [0,64], ranks dense, monotone, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.SimilarityQueries
+      .queries("q160_binary_hamming")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(!rs.exists(_._2 == q), s"query $q retrieved itself")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rs.length), s"query $q ranks not dense")
+      val hs = byRank.map(_._3)
+      assert(hs.forall(h => h >= 0 && h <= 64), s"query $q: hamming out of range")
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b },
+        s"query $q: hamming not monotone in rank")
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q154 mean direction: |proj| non-increasing, exact vs driver refold, deterministic") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.ClusteringQueries
