@@ -444,6 +444,48 @@ object ClusteringQueries {
           expr("sum(err) div count(1)").as("mean_err"),
           max(col("err")).as("max_err"))
         .orderBy("coarse")
+    }),
+
+    // DEDUP CASCADE ATTRIBUTION (q162): production dedup runs cheap
+    // stages first and charges each removal to the FIRST stage that
+    // caught it — the attribution that sizes every stage's budget
+    // (if the exact pass catches 90 %, the semantic pass only needs
+    // the remainder). Three stages over the same corpus, strictly
+    // ordered: `exact` (full-text md5 equals an earlier doc), `span`
+    // (shares any verbatim 8-token shingle with an earlier doc — the
+    // q93 signal), `semantic` (q111's cluster-blocked near-dup keeps
+    // an earlier representative; docs without an embedding row pass
+    // through). One row per doc with its stage label. Scale shape:
+    // each stage is one map-combinable groupBy on a hash key (text
+    // md5 / shingle md5 / the capped cluster pair machinery) plus a
+    // linear equi-join back — no pair lists anywhere; the cascade
+    // composes three already-certified primitives and the oracle
+    // re-derives all three, so one hash certifies the attribution.
+    "q162_dedup_cascade" -> ((s, dir) => {
+      import graft.functions.TextAnalysis
+      val d = Tables.load(s, dir, "documents")
+      val ex = d.select(col("doc_id"), md5(col("text")).as("h"))
+      val exFlag = ex.join(ex.groupBy("h").agg(min("doc_id").as("ek")), Seq("h"))
+        .select(col("doc_id"), (col("ek") < col("doc_id")).as("fe"))
+      val sp = d.select(col("doc_id"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 8)).as("span"))
+        .select(col("doc_id"), md5(col("span")).as("sh"))
+      val spFlag = sp.join(sp.groupBy("sh").agg(min("doc_id").as("sk")), Seq("sh"))
+        .groupBy("doc_id").agg(min("sk").as("skm"))
+        .select(col("doc_id"), (col("skm") < col("doc_id")).as("fs"))
+      val sem = KMeans.nearDup(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = K, iters = Iters, theta = Theta,
+          centsOpt = Some(coarseCents(s, dir)))
+        .select(col("vec_id").as("doc_id"),
+          (col("keep_vec_id") < col("vec_id")).as("fm"))
+      exFlag.join(spFlag, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("fe"), "exact")
+            .when(coalesce(col("fs"), lit(false)), "span")
+            .when(coalesce(col("fm"), lit(false)), "semantic")
+            .otherwise("unique").as("stage"))
+        .orderBy("doc_id")
     }))
 
   /** The k-means Lloyd chain as DuckDB CTEs, ending in `sf` (vec_id ×
@@ -748,5 +790,40 @@ object ClusteringQueries {
          |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err,
          |  max(err) AS max_err
          |FROM e GROUP BY 1 ORDER BY coarse""".stripMargin
-    })
+    },
+
+    // q162: exact/span stages as plain hash-group CTEs; the semantic
+    // stage is q111's casg/mcap/nbr chain reduced to the keeper flag.
+    "q162_dedup_cascade" ->
+      s"""$kmeansOracleCtes,
+         |casg AS MATERIALIZED (SELECT vec_id, cid AS cluster FROM sf WHERE rk = 1),
+         |mcap AS MATERIALIZED (SELECT vec_id, cluster, qv FROM (
+         |  SELECT a.vec_id, a.cluster, q.qv,
+         |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id) AS crk
+         |  FROM casg a JOIN q USING (vec_id)) WHERE crk <= ${graft.operators.Dedup.MaxBucket}),
+         |nbr AS (SELECT a.vec_id, min(b.vec_id) AS mn
+         |  FROM mcap a JOIN mcap b ON b.cluster = a.cluster AND b.vec_id <> a.vec_id
+         |  WHERE ${KMeans.sqDistSql("a.qv", "b.qv", Dim)} <= $Theta
+         |  GROUP BY 1),
+         |sem AS (SELECT a.vec_id,
+         |    (least(coalesce(n.mn, a.vec_id), a.vec_id) < a.vec_id) AS fm
+         |  FROM casg a LEFT JOIN nbr n ON n.vec_id = a.vec_id),
+         |ex AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |ek AS (SELECT h, min(doc_id) AS ek FROM ex GROUP BY 1),
+         |fe AS (SELECT doc_id, (ek < doc_id) AS fe FROM ex JOIN ek USING (h)),
+         |sp AS (SELECT doc_id, md5(span) AS sh FROM (
+         |  SELECT doc_id, unnest(${graft.operators.Dedup.shinglesSql(
+               graft.functions.TextAnalysis.tokensSql("text"), 8)}) AS span
+         |  FROM documents)),
+         |spk AS (SELECT sh, min(doc_id) AS sk FROM sp GROUP BY 1),
+         |fs AS (SELECT doc_id, (min(sk) < doc_id) AS fs
+         |  FROM sp JOIN spk USING (sh) GROUP BY doc_id)
+         |SELECT fe.doc_id,
+         |  CASE WHEN fe.fe THEN 'exact'
+         |       WHEN coalesce(fs.fs, false) THEN 'span'
+         |       WHEN coalesce(sem.fm, false) THEN 'semantic'
+         |       ELSE 'unique' END AS stage
+         |FROM fe LEFT JOIN fs USING (doc_id)
+         |LEFT JOIN sem ON sem.vec_id = fe.doc_id
+         |ORDER BY fe.doc_id""".stripMargin)
 }

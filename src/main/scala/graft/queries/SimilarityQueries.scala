@@ -56,6 +56,16 @@ object SimilarityQueries {
     1L - 2L * (h % 2)
   }
 
+  /** q160/q161: one 32-bit half of the sign-bit word (bit i set when
+    * quantized component off+i is ≥ 0) — disjoint bits OR-folded. */
+  private def signWord(off: Int): org.apache.spark.sql.Column =
+    (0 until 32).map(i =>
+      when(element_at(col("qv"), off + i + 1) >= 0, lit(1L << i))
+        .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+
+  /** q161: evaluation depth for the binary-sketch recall audit. */
+  private val RecallK = 10
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -243,13 +253,9 @@ object SimilarityQueries {
     // no global sort, one bounded shuffle on query_id.
     "q160_binary_hamming" -> ((s, dir) => {
       import graft.operators.KMeans
-      def word(off: Int): org.apache.spark.sql.Column =
-        (0 until 32).map(i =>
-          when(element_at(col("qv"), off + i + 1) >= 0, lit(1L << i))
-            .otherwise(lit(0L))).reduce(_.bitwiseOR(_))
       val w = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
-        .select(col("vec_id"), word(0).as("wlo"), word(32).as("whi"))
+        .select(col("vec_id"), signWord(0).as("wlo"), signWord(32).as("whi"))
       val pr = broadcast(w.where(col("vec_id") < HamNumQ)
         .select(col("vec_id").as("query_id"),
           col("wlo").as("plo"), col("whi").as("phi")))
@@ -262,6 +268,50 @@ object SimilarityQueries {
           Seq("hamming" -> true, "vec_id" -> true), k = HamK)
         .select(col("query_id"), col("vec_id"), col("hamming"), col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ANN RECALL EVALUATION (q161): index-quality measurement kept
+    // IN-ENGINE — recall@k of the q160 binary-sketch ranking against
+    // the exact int64 squared-L2 ground truth, per probe. This is the
+    // evaluation loop every ANN deployment runs before trading recall
+    // for memory (1-bit sketches here measure 10–50 % @10 on the
+    // fixture — exactly the number a tuning decision needs), expressed
+    // as a declared differential query: two TopKPerKey chains over the
+    // same probe broadcast, an equi-join on (query, candidate), and an
+    // exact ppm ratio. Scale shape: both rankings are
+    // probe-broadcast × corpus scans with O(k) heaps — no global
+    // sorts; the overlap join carries ≤ |probes|·k rows.
+    "q161_ann_recall" -> ((s, dir) => {
+      import graft.operators.KMeans
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val pr = broadcast(q.where(col("vec_id") < HamNumQ)
+        .select(col("vec_id").as("query_id"), col("qv").as("pqv")))
+      val ex = q.crossJoin(pr).where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          KMeans.sqDist(col("qv"), col("pqv")).as("d"))
+      val exk = graft.operators.TopK.perKey(ex, Seq("query_id"),
+          Seq("d" -> true, "vec_id" -> true), k = RecallK)
+        .select(col("query_id"), col("vec_id"))
+      val w = q.select(col("vec_id"), signWord(0).as("wlo"), signWord(32).as("whi"))
+      val pw = broadcast(w.where(col("vec_id") < HamNumQ)
+        .select(col("vec_id").as("query_id"),
+          col("wlo").as("plo"), col("whi").as("phi")))
+      val sc = w.crossJoin(pw).where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          (bit_count(col("wlo").bitwiseXOR(col("plo"))) +
+            bit_count(col("whi").bitwiseXOR(col("phi"))))
+            .cast("long").as("hamming"))
+      val hmk = graft.operators.TopK.perKey(sc, Seq("query_id"),
+          Seq("hamming" -> true, "vec_id" -> true), k = RecallK)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exk.join(hmk, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(lit(RecallK.toLong).as("k"),
+          count(col("hit")).as("n_overlap"),
+          expr(s"(CAST(1000000 AS BIGINT) * count(hit)) div $RecallK")
+            .as("recall_ppm"))
+        .orderBy("query_id")
     }))
 
   val oracleSql: Map[String, String] = {
@@ -408,6 +458,45 @@ object SimilarityQueries {
            |        + bit_count(xor(w.whi, pr.phi)), w.vec_id) AS rnk
            |  FROM w CROSS JOIN pr WHERE w.vec_id <> pr.query_id)
            |SELECT query_id, vec_id, hamming, CAST(rnk AS INT) AS rank
-           |FROM sc WHERE rnk <= $HamK ORDER BY query_id, rank""".stripMargin)
+           |FROM sc WHERE rnk <= $HamK ORDER BY query_id, rank""".stripMargin,
+
+      // q161: both rankings re-derived (exact int64 sqdist vs
+      // xor+popcount), overlap by LEFT JOIN + count of hits.
+      "q161_ann_recall" -> {
+        val sq = graft.operators.KMeans.sqDistSql("a.qv", "p.pqv", Dim)
+        s"""WITH q AS (SELECT vec_id,
+           |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
+           |  FROM embeddings),
+           |pr AS (SELECT vec_id AS query_id, qv AS pqv FROM q
+           |  WHERE vec_id < $HamNumQ),
+           |ex AS (SELECT p.query_id, a.vec_id,
+           |    row_number() OVER (PARTITION BY p.query_id
+           |      ORDER BY $sq, a.vec_id) AS rn
+           |  FROM q a CROSS JOIN pr p WHERE a.vec_id <> p.query_id),
+           |exk AS (SELECT query_id, vec_id FROM ex WHERE rn <= $RecallK),
+           |w AS (SELECT vec_id,
+           |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+           |    list_transform(range(1, 33), i -> CASE WHEN qv[i] >= 0
+           |      THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)),
+           |    (a, b) -> a | b) AS wlo,
+           |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+           |    list_transform(range(33, 65), i -> CASE WHEN qv[i] >= 0
+           |      THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)),
+           |    (a, b) -> a | b) AS whi
+           |  FROM q),
+           |pw AS (SELECT vec_id AS query_id, wlo AS plo, whi AS phi
+           |  FROM w WHERE vec_id < $HamNumQ),
+           |hm AS (SELECT p.query_id, w.vec_id,
+           |    row_number() OVER (PARTITION BY p.query_id
+           |      ORDER BY bit_count(xor(w.wlo, p.plo))
+           |        + bit_count(xor(w.whi, p.phi)), w.vec_id) AS rn
+           |  FROM w CROSS JOIN pw p WHERE w.vec_id <> p.query_id),
+           |hmk AS (SELECT query_id, vec_id FROM hm WHERE rn <= $RecallK)
+           |SELECT e.query_id, CAST($RecallK AS BIGINT) AS k,
+           |  CAST(count(h.vec_id) AS BIGINT) AS n_overlap,
+           |  CAST((1000000 * count(h.vec_id)) // $RecallK AS BIGINT) AS recall_ppm
+           |FROM exk e LEFT JOIN hmk h USING (query_id, vec_id)
+           |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+      })
   }
 }

@@ -369,6 +369,42 @@ class ClusteringSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q161 recall: overlap bounded by k, ppm arithmetic exact, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.SimilarityQueries
+      .queries("q161_ann_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = run()
+    assert(rows.length == 4, "one row per probe")
+    rows.foreach { case (q, k, n, ppm) =>
+      assert(k == 10 && n >= 0 && n <= k, s"probe $q: overlap $n out of [0,$k]")
+      assert(ppm == (1000000L * n) / k, s"probe $q: ppm mismatch")
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
+
+  test("q162 cascade: stage precedence honored against per-stage recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.ClusteringQueries
+      .queries("q162_dedup_cascade")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.toSet.subsetOf(Set("exact", "span", "semantic", "unique")))
+    // driver recomputation of the exact stage: full-text md5 groups
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byText = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    docs.foreach { case (id, text) =>
+      val isExactDup = !byText.contains(id) &&
+        docs.exists { case (o, t) => t == text && o < id }
+      if (isExactDup) assert(rows(id) == "exact", s"doc $id: exact dup mislabeled")
+      else assert(rows(id) != "exact", s"doc $id: not an exact dup but labeled exact")
+    }
+    // every doc labeled
+    assert(rows.size == docs.length)
+  }
+
   test("q154 mean direction: |proj| non-increasing, exact vs driver refold, deterministic") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.ClusteringQueries
