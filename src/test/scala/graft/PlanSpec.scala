@@ -383,4 +383,37 @@ class PlanSpec extends SparkSpec {
     assert(read.count() < all.count())
     assert(read.count() > 0)
   }
+
+  test("q155: preference argmax/argmin partially aggregate BEFORE the stratum shuffle") {
+    // the struct max/min must combine map-side so the exchange carries
+    // one partial row per (lang, source) per task, never the corpus
+    val p = SparkEntry.queries("q155_preference_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exIdx = p.indexOf("Exchange hashpartitioning(lang")
+    val partialIdx = p.indexOf("partial_max(struct")
+    assert(exIdx >= 0 && partialIdx >= 0, p)
+    assert(partialIdx > exIdx,
+      "partial struct aggregation must sit below the stratum exchange")
+  }
+
+  test("q159: JL projection is a literal-matrix kernel scan — no joins, one exchange") {
+    val p = SparkEntry.queries("q159_jl_projection")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_matvec"), "projection must run the matvec kernel")
+    assert(!p.contains("Join"), "no join may appear in a map-only projection")
+    // the only exchange is the final presentation sort
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") == 1, p)
+  }
+
+  test("q160/q161: probe side broadcasts; ranking streams through TopKPerKeyExec") {
+    for (q <- Seq("q160_binary_hamming", "q161_ann_recall")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q: probe side must broadcast")
+      assert(p.contains("TopKPerKey"), s"$q: ranking must use the custom operator")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian allowed")
+      assert(!p.contains("WindowExec"), s"$q: ranking must not fall back to a window")
+    }
+  }
 }
