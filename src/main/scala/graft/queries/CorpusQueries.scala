@@ -44,6 +44,24 @@ object CorpusQueries {
   /** q157: shared-prefix window (tokens) — the KV-cache reuse unit. */
   private val PrefixTokens = 16L
 
+  /** q164: stop-phrase blocklist size (top document-frequency
+    * trigrams) and the n-gram width — the 2–4-gram band the published
+    * repetition/boilerplate filters operate in. */
+  private val BlockTopB = 20
+  private val BlockWin = 3
+
+  /** q157's prefix projection — (doc_id, plen, h) per nonempty doc —
+    * public so the streaming twin
+    * ([[graft.streaming.StreamingIngest.trackSharedPrefixes]]) runs
+    * the IDENTICAL expression and stream/batch cannot drift. */
+  def prefixKeys(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        least(size(col("toks")).cast("long"), lit(PrefixTokens)).as("plen"),
+        md5(concat_ws(" ",
+          slice(col("toks"), lit(1), lit(PrefixTokens.toInt)))).as("h"))
+
   /** (doc_id, gram) pairs, one row per DISTINCT word-5-gram per doc. */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
@@ -445,13 +463,7 @@ object CorpusQueries {
     // carrying count/min partials — |groups| rows shuffle, linear scan
     // otherwise.
     "q157_shared_prefixes" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 1)
-        .select(col("doc_id"),
-          least(size(col("toks")).cast("long"), lit(PrefixTokens)).as("plen"),
-          md5(concat_ws(" ",
-            slice(col("toks"), lit(1), lit(PrefixTokens.toInt)))).as("h"))
+      prefixKeys(docs(s, dir))
         .groupBy("h")
         .agg(count(lit(1)).as("n_docs"), min("plen").as("prefix_len"),
           min("doc_id").as("rep_doc_id"))
@@ -460,6 +472,38 @@ object CorpusQueries {
           ((col("n_docs") - 1) * col("prefix_len")).as("saved_tokens"),
           col("rep_doc_id"))
         .orderBy("prefix_hash")),
+
+    // STOP-PHRASE BLOCKLIST ACCOUNTING (q164): the global boilerplate
+    // scrub — the BlockTopB trigrams appearing in the most DISTINCT
+    // documents form the corpus's stop-phrase blocklist (cookie
+    // banners, navigation chrome, license headers — phrases whose
+    // document frequency, not raw count, marks them as template), and
+    // every document reports how much of it the blocklist would
+    // remove. Complements q131 (per-SOURCE boilerplate prior) with
+    // the corpus-GLOBAL list the CCNet-style cleaners apply first.
+    // Uses the codegen'd graft_shingles kernel (distinct per-doc
+    // trigrams, short docs collapse to their whole text). Scale
+    // shape: trigram stream shuffles once by its md5; the df rollup
+    // is vocabulary-bounded; the blocklist is a TakeOrdered 20-row
+    // broadcast back onto the stream; per-doc rollup map-combines.
+    "q164_boilerplate_blocklist" -> ((s, dir) => {
+      val sp = docs(s, dir)
+        .select(col("doc_id"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), BlockWin))
+            .as("span"))
+        .select(col("doc_id"), md5(col("span")).as("sh"))
+      val bl = broadcast(sp.groupBy("sh")
+        .agg(countDistinct("doc_id").as("df"))
+        .orderBy(col("df").desc, col("sh")).limit(BlockTopB)
+        .select(col("sh"), lit(1).as("blocked")))
+      sp.join(bl, Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"), count(col("blocked")).as("n_blocked"))
+        .select(col("doc_id"), col("n_spans"), col("n_blocked"),
+          expr("(CAST(1000000 AS BIGINT) * n_blocked) div n_spans")
+            .as("blocked_ppm"))
+        .orderBy("doc_id")
+    }),
 
     // FILL-IN-THE-MIDDLE SPLITS (q152): the FIM training-data
     // transform (Bavarian et al. 2022, "Efficient Training of Language
@@ -1124,6 +1168,23 @@ object CorpusQueries {
          |  min(doc_id) AS rep_doc_id
          |FROM p GROUP BY 1 HAVING count(*) >= 2
          |ORDER BY prefix_hash""".stripMargin,
+
+    // q164: the same distinct-trigram kernel rendering, df rollup,
+    // and 20-row blocklist with the (df DESC, hash) total order.
+    "q164_boilerplate_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, md5(span) AS sh FROM (
+         |  SELECT doc_id, unnest(${Dedup.shinglesSql("toks", BlockWin)}) AS span
+         |  FROM t)),
+         |dfc AS (SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM s GROUP BY 1),
+         |bl AS (SELECT sh FROM dfc ORDER BY df DESC, sh LIMIT $BlockTopB)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(count(bl.sh) AS BIGINT) AS n_blocked,
+         |  CAST((1000000 * count(bl.sh)) // count(*) AS BIGINT) AS blocked_ppm
+         |FROM s LEFT JOIN bl ON bl.sh = s.sh
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     // q152: same 48-bit salted-md5 cut points and the same PSM
     // rendering (array_to_string == concat_ws on nonempty string

@@ -152,6 +152,47 @@ object StreamingIngest {
       }
       .start()
 
+  /** Streaming twin of q157's shared-prefix reuse audit
+    * ([[graft.queries.CorpusQueries.prefixKeys]] — the same
+    * projection, so stream and batch cannot drift): each micro-batch's
+    * (prefix hash → count, min prefix length, min doc id) rollup
+    * merges into the parquet prefix store by RE-AGGREGATION — counts
+    * sum, mins fold, both associative and commutative, so arrival
+    * order cannot change the final store. After any batch sequence the
+    * store equals the batch rollup over the union of all inputs
+    * (StreamingSpec pins store == the q157 machinery over the full
+    * corpus). Unlike the Bloom-admission twins, the merge itself is
+    * NOT idempotent (a replayed batch would double-count) —
+    * effectively-once is delegated to the checkpoint, which
+    * Trigger.AvailableNow honors across restarts. */
+  def trackSharedPrefixes(stream: DataFrame, targetPath: String,
+                          checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = graft.queries.CorpusQueries.prefixKeys(batch)
+          .groupBy("h").agg(count(lit(1)).as("n_docs"),
+            min("plen").as("prefix_len"), min("doc_id").as("rep_doc_id"))
+        val merged = (if (new java.io.File(targetPath).exists())
+            spark.read.parquet(targetPath).unionByName(b)
+          else b)
+          .groupBy("h").agg(sum("n_docs").as("n_docs"),
+            min("prefix_len").as("prefix_len"),
+            min("rep_doc_id").as("rep_doc_id"))
+          .persist()
+        merged.count() // materialize before overwriting the input path
+        merged.write.mode("overwrite").parquet(targetPath + ".tmp")
+        merged.unpersist()
+        val tmp = new java.io.File(targetPath + ".tmp")
+        val dst = new java.io.File(targetPath)
+        org.apache.commons.io.FileUtils.deleteQuietly(dst)
+        org.apache.commons.io.FileUtils.moveDirectory(tmp, dst)
+      }
+      .start()
+
   /** Streaming semantic admission — q90's incremental embedding dedup
     * as a foreachBatch sink: each micro-batch of `(vec_id, embedding)`
     * rows is probed (own bucket + Hamming-1) against a STATIC

@@ -217,6 +217,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trackSharedPrefixes: streamed store equals the batch q157 rollup") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-pfx").toString
+    val fixture = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$fixture/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    def runOnce(): Unit = {
+      val q = StreamingIngest.trackSharedPrefixes(
+        input.toDF().toDF("doc_id", "text"),
+        targetPath = s"$dir/pfx", checkpoint = s"$dir/ckpt")
+      try q.awaitTermination(60000) finally q.stop()
+    }
+    val (even, odd) = docs.partition(_._1 % 2 == 0)
+    input.addData(even.toSeq: _*)
+    runOnce()
+    input.addData(odd.toSeq: _*)
+    runOnce()
+    // the streamed store, filtered and finished like the batch query
+    val streamed = spark.read.parquet(s"$dir/pfx")
+      .where(col("n_docs") >= 2)
+      .select(col("h"), col("n_docs"), col("prefix_len"),
+        ((col("n_docs") - 1) * col("prefix_len")).as("saved_tokens"),
+        col("rep_doc_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val batch = graft.queries.CorpusQueries
+      .queries("q157_shared_prefixes")(spark, fixture)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed store diverges from batch q157 (${streamed.size} vs ${batch.size})")
+  }
+
   test("upsertEachBatch: effectively-once keyed upsert across micro-batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
