@@ -446,6 +446,36 @@ object ClusteringQueries {
         .orderBy("coarse")
     }),
 
+    // INCREMENTAL IVF DRIFT MONITOR (q163): a deployed ANN index
+    // freezes its coarse quantizer and keeps ASSIGNING new vectors to
+    // the frozen lists — retraining only when the incoming
+    // distribution drifts off the lists the history shaped (the
+    // FAISS operational recipe: retrain on imbalance, not on a
+    // timer). History = vec_id % 5 ≠ 0 (the 80 % the index was built
+    // on), new arrivals the rest; per list: both populations, each
+    // side's share in exact ppm, and the |share difference| — the
+    // retrain trigger. Scale shape: training reads history once
+    // (memo-adjacent cost), assignment of ALL vectors is a frozen-
+    // literal projection, the rollup is one k-row groupBy, totals
+    // broadcast as a 1-row scalar join.
+    "q163_ivf_drift" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cents = KMeans.fitCentroids(emb.where(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", K, Iters)
+      val per = KMeans.transform(emb, "vec_id", "embedding", cents)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(when(col("vec_id") % 5 =!= 0, 1)).as("n_hist"),
+          count(when(col("vec_id") % 5 === 0, 1)).as("n_new"))
+      val tot = per.agg(sum("n_hist").as("th"), sum("n_new").as("tn"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cluster"), col("n_hist"), col("n_new"),
+          expr("(CAST(1000000 AS BIGINT) * n_hist) div th").as("hist_share_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * n_new) div tn").as("new_share_ppm"),
+          abs(expr("(CAST(1000000 AS BIGINT) * n_hist) div th" +
+            " - (CAST(1000000 AS BIGINT) * n_new) div tn")).as("drift_ppm"))
+        .orderBy("cluster")
+    }),
+
     // DEDUP CASCADE ATTRIBUTION (q162): production dedup runs cheap
     // stages first and charges each removal to the FIRST stage that
     // caught it — the attribution that sizes every stage's budget
@@ -491,7 +521,11 @@ object ClusteringQueries {
   /** The k-means Lloyd chain as DuckDB CTEs, ending in `sf` (vec_id ×
     * centroid scored, rk = 1 is the final assignment). Shared by the
     * q98 and q100 oracles. */
-  private def kmeansOracleCtes: String = {
+  /** [[kmeansOracleCtes]] with the TRAINING source parameterized —
+    * `src` must be a table name or parenthesized subquery over
+    * (vec_id, embedding). `src = "embeddings"` reproduces the shared
+    * chain byte-for-byte; q163 trains on the history slice only. */
+  private def kmeansOracleCtesFrom(src: String): String = {
     val qv = KMeans.quantizeSql("embedding")
     def dist(a: String, b: String) = KMeans.sqDistSql(a, b, Dim)
     // One (score → assign → sum → update) block per Lloyd iteration,
@@ -512,10 +546,10 @@ object ClusteringQueries {
          |c$i AS (SELECT $prev.cid, coalesce(u$i.cv, $prev.cv) AS cv
          |  FROM $prev LEFT JOIN u$i USING (cid))""".stripMargin
     val steps = (1 to Iters).map(i => step(i, s"c${i - 1}")).mkString(",\n")
-    s"""WITH q AS (SELECT vec_id, $qv AS qv FROM embeddings),
+    s"""WITH q AS (SELECT vec_id, $qv AS qv FROM $src),
        |seeds AS (SELECT vec_id,
        |    row_number() OVER (ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM embeddings),
+       |  FROM $src),
        |c0 AS (SELECT cid, qv AS cv FROM seeds JOIN q USING (vec_id) WHERE cid < $K),
        |$steps,
        |sf AS (SELECT q.vec_id, c$Iters.cid, ${dist("q.qv", s"c$Iters.cv")} AS d,
@@ -523,6 +557,8 @@ object ClusteringQueries {
        |      ORDER BY ${dist("q.qv", s"c$Iters.cv")}, c$Iters.cid) AS rk
        |  FROM q CROSS JOIN c$Iters)""".stripMargin
   }
+
+  private def kmeansOracleCtes: String = kmeansOracleCtesFrom("embeddings")
 
   /** One subspace's unrolled Lloyd chain + code/LUT CTEs for the q143
     * oracle (CTE prefix `p{m}_`) — the [[kmeansOracleCtes]] structure
@@ -790,6 +826,33 @@ object ClusteringQueries {
          |  CAST(sum(err) // count(*) AS BIGINT) AS mean_err,
          |  max(err) AS max_err
          |FROM e GROUP BY 1 ORDER BY coarse""".stripMargin
+    },
+
+    // q163: the Lloyd chain trained on the history slice only, then a
+    // fresh assignment CTE over ALL vectors against the frozen final
+    // centroids; shares and drift as exact integer ppm.
+    "q163_ivf_drift" -> {
+      val dist = KMeans.sqDistSql("qa.qv", s"c$Iters.cv", Dim)
+      s"""${kmeansOracleCtesFrom("(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)")},
+         |qall AS (SELECT vec_id, ${KMeans.quantizeSql("embedding")} AS qv
+         |  FROM embeddings),
+         |asg AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT qa.vec_id, c$Iters.cid,
+         |    row_number() OVER (PARTITION BY qa.vec_id
+         |      ORDER BY $dist, c$Iters.cid) AS rk
+         |  FROM qall qa CROSS JOIN c$Iters) WHERE rk = 1),
+         |per AS (SELECT CAST(cluster AS BIGINT) AS cluster,
+         |    CAST(count(CASE WHEN vec_id % 5 <> 0 THEN 1 END) AS BIGINT) AS n_hist,
+         |    CAST(count(CASE WHEN vec_id % 5 = 0 THEN 1 END) AS BIGINT) AS n_new
+         |  FROM asg GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_hist) AS BIGINT) AS th,
+         |    CAST(sum(n_new) AS BIGINT) AS tn FROM per)
+         |SELECT cluster, n_hist, n_new,
+         |  CAST((1000000 * n_hist) // th AS BIGINT) AS hist_share_ppm,
+         |  CAST((1000000 * n_new) // tn AS BIGINT) AS new_share_ppm,
+         |  abs(CAST((1000000 * n_hist) // th AS BIGINT)
+         |    - CAST((1000000 * n_new) // tn AS BIGINT)) AS drift_ppm
+         |FROM per CROSS JOIN tot ORDER BY cluster""".stripMargin
     },
 
     // q162: exact/span stages as plain hash-group CTEs; the semantic

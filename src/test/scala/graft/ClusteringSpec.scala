@@ -383,6 +383,30 @@ class ClusteringSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q163 drift: populations conserve the corpus, shares floor-sum to ~1e6") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.ClusteringQueries
+      .queries("q163_ivf_drift")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val rows = run()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nNew = emb.where(col("vec_id") % 5 === 0).count()
+    val nHist = emb.count() - nNew
+    assert(rows.map(_._2).sum == nHist && rows.map(_._3).sum == nNew,
+      "per-list populations must conserve both slices")
+    rows.foreach { case (c, nh, nn, hs, ns, d) =>
+      assert(hs == 1000000L * nh / nHist && ns == 1000000L * nn / nNew,
+        s"list $c: share arithmetic")
+      assert(d == math.abs(hs - ns), s"list $c: drift arithmetic")
+    }
+    val hsSum = rows.map(_._4).sum
+    assert(hsSum <= 1000000L && hsSum > 1000000L - rows.length,
+      "floor shares must sum to 1e6 minus sub-ppm rounding")
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q162 cascade: stage precedence honored against per-stage recomputation") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.queries.ClusteringQueries
