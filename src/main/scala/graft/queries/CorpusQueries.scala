@@ -473,6 +473,68 @@ object CorpusQueries {
           col("rep_doc_id"))
         .orderBy("prefix_hash")),
 
+    // PER-LANGUAGE QUALITY GATE (q165): a single corpus-wide quality
+    // cutoff is English-centric — every serious multilingual filter
+    // thresholds PER LANGUAGE so low-resource languages aren't gated
+    // by another language's score distribution. Score is the exact
+    // type-token ratio (q155's integer signal); each language's
+    // threshold is its MEDIAN score, found the q102/q122 way: scores
+    // live in [0, 10⁶] so a 101-bucket histogram per language + one
+    // bounded cumulative window locates the median bucket — never a
+    // per-language sort, at any corpus size. Threshold is the median
+    // bucket's floor (bin-granular by declaration); one row per doc
+    // with its verdict. Scale shape: per-row scoring, one
+    // (lang, bucket) map-combinable groupBy (≤ |langs|·101 rows), the
+    // cumulative window over that bounded frame, and a broadcast
+    // |langs|-row join back.
+    "q165_lang_quality_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 1)
+        .withColumn("s", expr(
+          "(CAST(1000000 AS BIGINT) * size(array_distinct(toks))) div size(toks)"))
+        .select("doc_id", "lang", "s")
+      val hb = sc.groupBy(col("lang"), expr("s div 10000").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val med = hb
+        .withColumn("cum", sum("c").over(Window.partitionBy("lang").orderBy("b")))
+        .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+        .where(col("cum") * 2 >= col("n"))
+        .groupBy("lang").agg(min("b").as("mb"))
+      sc.join(broadcast(med), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("s"),
+          (col("mb") * 10000).as("lang_threshold"),
+          (col("s") >= col("mb") * 10000).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // PADDING-WASTE REPORT (q166): batching fixed-shape training or
+    // inference batches pads every sequence to its bucket's cap; the
+    // waste is the GPU-hours the bucketing strategy burns on pad
+    // tokens. Fixed power-of-two caps (64/128/256/512, overflow
+    // 4096); per bucket: population, real vs padded token totals,
+    // and the waste fraction in exact ppm — the report that justifies
+    // (or kills) a bucketing scheme before a training run. Pure
+    // per-row bucket assignment + one ≤5-row map-combinable groupBy.
+    "q166_padding_waste" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") >= 1)
+        .withColumn("bucket_cap", expr(
+          """CAST(CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+            |  WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+            |  ELSE 4096 END AS BIGINT)""".stripMargin))
+        .groupBy("bucket_cap")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("real_tokens"))
+        .select(col("bucket_cap"), col("n_docs"), col("real_tokens"),
+          (col("n_docs") * col("bucket_cap")).as("padded_tokens"),
+          expr("(CAST(1000000 AS BIGINT) * (n_docs * bucket_cap - real_tokens))" +
+            " div (n_docs * bucket_cap)").as("waste_ppm"))
+        .orderBy("bucket_cap")),
+
     // STOP-PHRASE BLOCKLIST ACCOUNTING (q164): the global boilerplate
     // scrub — the BlockTopB trigrams appearing in the most DISTINCT
     // documents form the corpus's stop-phrase blocklist (cookie
@@ -1168,6 +1230,40 @@ object CorpusQueries {
          |  min(doc_id) AS rep_doc_id
          |FROM p GROUP BY 1 HAVING count(*) >= 2
          |ORDER BY prefix_hash""".stripMargin,
+
+    // q165: identical 101-bucket histogram median and bin-floor
+    // threshold per language.
+    "q165_lang_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |    CAST((1000000 * len(list_distinct(toks))) // len(toks) AS BIGINT) AS s
+         |  FROM t WHERE len(toks) >= 1),
+         |hb AS (SELECT lang, s // 10000 AS b, count(*) AS c FROM sc GROUP BY 1, 2),
+         |cum AS (SELECT lang, b, sum(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n FROM hb),
+         |med AS (SELECT lang, min(b) AS mb FROM cum WHERE cum * 2 >= n GROUP BY 1)
+         |SELECT sc.doc_id, sc.lang, sc.s,
+         |  CAST(med.mb * 10000 AS BIGINT) AS lang_threshold,
+         |  (sc.s >= med.mb * 10000) AS keep
+         |FROM sc JOIN med USING (lang) ORDER BY sc.doc_id""".stripMargin,
+
+    // q166: the same fixed cap ladder and exact ppm waste.
+    "q166_padding_waste" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 1),
+         |b AS (SELECT doc_id, n, CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+         |    WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512 ELSE 4096 END AS cap
+         |  FROM d)
+         |SELECT CAST(cap AS BIGINT) AS bucket_cap,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS real_tokens,
+         |  CAST(count(*) * cap AS BIGINT) AS padded_tokens,
+         |  CAST((1000000 * (count(*) * cap - sum(n))) // (count(*) * cap) AS BIGINT)
+         |    AS waste_ppm
+         |FROM b GROUP BY cap ORDER BY bucket_cap""".stripMargin,
 
     // q164: the same distinct-trigram kernel rendering, df rollup,
     // and 20-row blocklist with the (df DESC, hash) total order.

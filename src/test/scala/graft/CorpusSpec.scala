@@ -215,6 +215,46 @@ class CorpusSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q165 gate: per-language threshold is the histogram median bucket floor") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q165_lang_quality_gate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val thr = rs.map(_._4).distinct
+      assert(thr.length == 1, s"$lang: threshold not constant per language")
+      val t = thr.head
+      assert(t % 10000 == 0, s"$lang: threshold not a bucket floor")
+      val n = rs.length
+      // the median-bucket property on the bucketed scores
+      val atOrAbove = rs.count { case (_, _, s, _, _) => s / 10000 >= t / 10000 }
+      val below = rs.count { case (_, _, s, _, _) => s / 10000 < t / 10000 }
+      assert(below * 2 < n, s"$lang: more than half strictly below the median bucket")
+      assert((n - atOrAbove) * 2 < n || atOrAbove * 2 >= n, s"$lang: median property")
+      rs.foreach { case (id, _, s, _, keep) =>
+        assert(keep == (s >= t), s"doc $id: verdict mismatch") }
+    }
+  }
+
+  test("q166 padding: buckets conserve docs and tokens, waste arithmetic exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q166_padding_waste")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ladder = Set(64L, 128L, 256L, 512L, 4096L)
+    rows.foreach { case (cap, nd, real, padded, ppm) =>
+      assert(ladder.contains(cap), s"unknown bucket cap $cap")
+      assert(padded == nd * cap && real <= padded, s"cap $cap: padding accounting")
+      assert(ppm == 1000000L * (padded - real) / padded, s"cap $cap: waste ppm")
+    }
+    val nEligible = spark.read.parquet(s"$dir/documents.parquet")
+      .where(size(split(lower(trim(col("text"))), "\\s+")) >= 1)
+      .where(length(trim(col("text"))) > 0).count()
+    assert(rows.map(_._2).sum == nEligible, "bucket populations must conserve docs")
+  }
+
   test("q152 FIM: spans nonempty and conserving, short docs skipped, deterministic") {
     val dir = "/root/testdata/sf0.001"
     def run() = CorpusQueries.queries("q152_fim_splits")(spark, dir)
