@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
-import graft.operators.Dedup
+import graft.operators.{Dedup, KMeans}
 import graft.sources.Tables
 
 /** Corpus-assembly extension queries (q76–q79): the dataset-curation
@@ -49,6 +49,15 @@ object CorpusQueries {
     * repetition/boilerplate filters operate in. */
   private val BlockTopB = 20
   private val BlockWin = 3
+
+  /** q167: contamination radius — q111/q117's measured near-dup ball
+    * (between the fixture's global 0.1 % and 1 % pair-distance
+    * percentiles) reused for the embedding contamination signal. */
+  private val ContamTheta = 1450000000000L
+  /** q167: benchmark embedding slice cap (the q117 fixed-suite rule —
+    * a benchmark is fixed-size by nature; the cap keeps the literal
+    * and the scoring scan corpus-independent). */
+  private val ContamBench = 100
 
   /** q157's prefix projection — (doc_id, plen, h) per nonempty doc —
     * public so the streaming twin
@@ -472,6 +481,53 @@ object CorpusQueries {
           ((col("n_docs") - 1) * col("prefix_len")).as("saved_tokens"),
           col("rep_doc_id"))
         .orderBy("prefix_hash")),
+
+    // CONTAMINATION ATTRIBUTION (q167): q78 catches verbatim
+    // benchmark overlap (shared word-5-grams), q117 catches
+    // PARAPHRASED overlap (embedding proximity) — a real
+    // decontamination report needs BOTH signals with attribution,
+    // because the remediation differs (verbatim → exact scrub;
+    // semantic-only → human review, the n-gram filter would never
+    // find it). Benchmark slice = doc_id % 13 = 0 for both signals
+    // (the q78 convention); the embedding side caps the bench slice
+    // at ContamBench vectors (fixed-size-suite rule) and scores
+    // against the ContamTheta ball; docs without an embedding row can
+    // only be flagged verbatim. Verdict ∈ {both, ngram, embedding,
+    // clean} per non-benchmark doc. Scale shape: gram side is the
+    // q78 broadcast semi-join; embedding side is a zero-shuffle
+    // literal-filter scan; two linear left-joins assemble the report.
+    "q167_contamination_attribution" -> ((s, dir) => {
+      import graft.operators.KMeans
+      val g = docGrams(s, dir)
+      val bg = g.where(col("doc_id") % 13 === 0).select("gram").distinct()
+      val ng = g.where(col("doc_id") % 13 =!= 0)
+        .join(broadcast(bg), Seq("gram"))
+        .groupBy("doc_id").agg(count(lit(1)).as("nsg"))
+      val q2 = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val bRows = q2.where(col("vec_id") % 13 === 0)
+        .orderBy("vec_id").limit(ContamBench).collect()
+      require(bRows.nonEmpty, s"q167: empty benchmark slice in $dir")
+      val bLit = typedLit(bRows.map(_.getSeq[Long](1)).toSeq)
+      val ne = q2.where(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          size(filter(bLit, b =>
+            call_function("graft_sqdist", col("qv"), b) <= lit(ContamTheta)))
+            .cast("long").as("nnb"))
+        .where(col("nnb") > 0)
+      docs(s, dir).where(col("doc_id") % 13 =!= 0).select("doc_id")
+        .join(ng, Seq("doc_id"), "left")
+        .join(ne, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("nsg"), lit(0L)).as("n_shared_grams"),
+          coalesce(col("nnb"), lit(0L)).as("n_near_bench"),
+          when(coalesce(col("nsg"), lit(0L)) > 0 &&
+              coalesce(col("nnb"), lit(0L)) > 0, "both")
+            .when(coalesce(col("nsg"), lit(0L)) > 0, "ngram")
+            .when(coalesce(col("nnb"), lit(0L)) > 0, "embedding")
+            .otherwise("clean").as("verdict"))
+        .orderBy("doc_id")
+    }),
 
     // PER-LANGUAGE QUALITY GATE (q165): a single corpus-wide quality
     // cutoff is English-centric — every serious multilingual filter
@@ -1230,6 +1286,34 @@ object CorpusQueries {
          |  min(doc_id) AS rep_doc_id
          |FROM p GROUP BY 1 HAVING count(*) >= 2
          |ORDER BY prefix_hash""".stripMargin,
+
+    // q167: both contamination signals re-derived — the q78 gram
+    // semi-join and a bounded-bench sqdist scan — and the same
+    // verdict CASE.
+    "q167_contamination_attribution" -> {
+      val sq = KMeans.sqDistSql("c.qv", "b.qv", 64)
+      s"""WITH g AS ($docGramsSql),
+         |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+         |ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsg
+         |  FROM g JOIN bg USING (gram) WHERE doc_id % 13 <> 0 GROUP BY 1),
+         |q2 AS (SELECT vec_id, ${KMeans.quantizeSql("embedding")} AS qv
+         |  FROM embeddings),
+         |bq AS (SELECT vec_id, qv FROM q2 WHERE vec_id % 13 = 0
+         |  ORDER BY vec_id LIMIT $ContamBench),
+         |ne AS (SELECT c.vec_id AS doc_id, CAST(count(*) AS BIGINT) AS nnb
+         |  FROM q2 c CROSS JOIN bq b
+         |  WHERE c.vec_id % 13 <> 0 AND $sq <= $ContamTheta GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(ng.nsg, 0) AS n_shared_grams,
+         |  coalesce(ne.nnb, 0) AS n_near_bench,
+         |  CASE WHEN coalesce(ng.nsg, 0) > 0 AND coalesce(ne.nnb, 0) > 0 THEN 'both'
+         |       WHEN coalesce(ng.nsg, 0) > 0 THEN 'ngram'
+         |       WHEN coalesce(ne.nnb, 0) > 0 THEN 'embedding'
+         |       ELSE 'clean' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+         |LEFT JOIN ng USING (doc_id) LEFT JOIN ne USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // q165: identical 101-bucket histogram median and bin-floor
     // threshold per language.

@@ -215,6 +215,27 @@ class CorpusSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q167 attribution: verdict consistent with its two counters, bench excluded") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = CorpusQueries.queries("q167_contamination_attribution")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nsg, nnb, v) =>
+      assert(id % 13 != 0, s"benchmark doc $id leaked into the report")
+      val want =
+        if (nsg > 0 && nnb > 0) "both"
+        else if (nsg > 0) "ngram"
+        else if (nnb > 0) "embedding"
+        else "clean"
+      assert(v == want, s"doc $id: verdict $v vs counters ($nsg, $nnb)")
+    }
+    val nNonBench = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 13 =!= 0).count()
+    assert(rows.length.toLong == nNonBench, "every non-benchmark doc reports")
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q165 gate: per-language threshold is the histogram median bucket floor") {
     val dir = "/root/testdata/sf0.001"
     val rows = CorpusQueries.queries("q165_lang_quality_gate")(spark, dir)
