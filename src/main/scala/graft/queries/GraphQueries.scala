@@ -21,6 +21,11 @@ object GraphQueries {
     * oracle (the GraphFrames maxIter contract). */
   private val Iters = 3
 
+  /** q169: negative-sampling geometry — candidates drawn per source
+    * and negatives kept after edge rejection. */
+  private val NegCand = 8
+  private val NegK = 2
+
   /** BFS rounds. OUTPUT CONTRACT: dist = -1 means "not reached within
     * BfsIters rounds", NOT "disconnected" — a node more than BfsIters
     * alternations from every seed reports the sentinel even when a
@@ -363,6 +368,42 @@ object GraphQueries {
     // degree-bounded adjacency plus a TopKPerKey k = 1 argmin — O(|V|·K)
     // per step, output 3·|V| rows; nothing corpus-sized, no collected
     // state, and the walk frontier never grows (one walker per node).
+    // DETERMINISTIC NEGATIVE SAMPLING (q169): link-prediction training
+    // needs (node, non-neighbor) pairs to balance q144's positive walk
+    // pairs — the standard recipe draws NegCand random candidates per
+    // source and REJECTS the ones that are real edges, keeping NegK.
+    // Randomness is content-addressed (md5("neg:"||src||j) mod
+    // |suppliers| → the rank'th supplier), so the sample is a pure
+    // function of the graph — reproducible across runs, engines, and
+    // partition layouts. Scale shape: the supplier rank table is
+    // value-space-bounded (broadcast); candidate generation is a
+    // per-row projection; the rejection is one shuffled anti-join
+    // against the edge list; survivors stream through TopKPerKey
+    // (k = NegK). Sources whose candidates all collide with real
+    // edges yield fewer than NegK rows — correct, not padded.
+    "q169_negative_samples" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = purchaseEdges(s, dir)
+      val sup = e.select("dst").distinct()
+        .withColumn("rk", (row_number().over(Window.orderBy("dst")) - 1)
+          .cast("long"))
+      val ns = sup.agg(count(lit(1)).as("n"))
+      val cand = e.select("src").distinct()
+        .select(col("src"), explode(typedLit((1L to NegCand).toSeq)).as("j"))
+        .crossJoin(broadcast(ns))
+        .withColumn("rk",
+          conv(substring(md5(concat(lit("neg:"), col("src").cast("string"),
+            lit(":"), col("j").cast("string"))), 1, 12), 16, 10)
+            .cast("long") % col("n"))
+      val neg = cand.join(broadcast(sup), Seq("rk"))
+        .select(col("src"), col("j"), col("dst").as("cand_dst"))
+        .join(e.withColumnRenamed("dst", "cand_dst"),
+          Seq("src", "cand_dst"), "left_anti")
+      TopK.perKey(neg, Seq("src"), Seq("j" -> true, "cand_dst" -> true), NegK)
+        .select(col("src"), col("cand_dst").as("neg_dst"), col("j"), col("rank"))
+        .orderBy("src", "rank")
+    }),
+
     "q144_walk_pairs" -> ((s, dir) => {
       val e = knnEdges(s, dir)
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
@@ -473,6 +514,31 @@ object GraphQueries {
          |${KCore.oracleCtes(KCoreK, KCoreRounds)}
          |SELECT node, deg, peel_round FROM kcore_out
          |ORDER BY node""".stripMargin,
+
+    // q169: the same content-addressed candidate draws, the same
+    // rejection anti-join (NULL-extended left join), ranks windowed.
+    "q169_negative_samples" ->
+      s"""WITH e AS ($purchaseEdgesSql),
+         |sup AS (SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS rk
+         |  FROM (SELECT DISTINCT dst FROM e)),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sup),
+         |srcs AS (SELECT DISTINCT src FROM e),
+         |cand AS (SELECT s.src, j.j,
+         |    CAST('0x' || substr(md5('neg:' || CAST(s.src AS VARCHAR) || ':'
+         |      || CAST(j.j AS VARCHAR)), 1, 12) AS BIGINT) % ns.n AS rk
+         |  FROM srcs s CROSS JOIN (SELECT unnest(range(1, ${NegCand + 1})) AS j) j
+         |  CROSS JOIN ns),
+         |cd AS (SELECT c.src, c.j, sup.dst AS cand_dst
+         |  FROM cand c JOIN sup ON sup.rk = c.rk),
+         |neg AS (SELECT cd.src, cd.j, cd.cand_dst FROM cd
+         |  LEFT JOIN e ON e.src = cd.src AND e.dst = cd.cand_dst
+         |  WHERE e.src IS NULL),
+         |rkd AS (SELECT src, cand_dst, j,
+         |    row_number() OVER (PARTITION BY src ORDER BY j, cand_dst) AS rank
+         |  FROM neg)
+         |SELECT src, cand_dst AS neg_dst, CAST(j AS BIGINT) AS j,
+         |  CAST(rank AS INT) AS rank
+         |FROM rkd WHERE rank <= $NegK ORDER BY src, rank""".stripMargin,
 
     "q144_walk_pairs" -> {
       val steps = (1 to WalkSteps).map { t =>

@@ -439,6 +439,41 @@ object RelationalQueries {
     // key-equi join with IS-DISTINCT-FROM column compare. Output is
     // diff-sized (added / removed / changed only); price compares in
     // exact floor-cents so both engines agree bit-for-bit.
+    // POINT-IN-TIME FEATURE JOIN (q168): the feature-store correctness
+    // primitive — every event must be enriched with the dimension
+    // version that was VALID AT ITS TIMESTAMP, never the current one
+    // (training on current values is temporal leakage: the model sees
+    // the future). The versioned dimension is synthesized
+    // deterministically (the q44 injection precedent — the fixture
+    // has no SCD dimension): three validity windows per user across
+    // January 2024, attribute tier = (user_id + version) % 5. The
+    // join is an EQUI-join on user_id with the interval predicate as
+    // a residual filter — at 100 TB the shuffle keys on user_id and
+    // each user's handful of versions filter locally (never a pure
+    // range cross-join); exactly one version matches per event by
+    // construction of the tiling windows.
+    "q168_pit_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.select("user_id").distinct()
+        .select(col("user_id"),
+          explode(typedLit(Seq(1, 2, 3))).as("version"))
+        .withColumn("valid_from", expr(
+          """CASE version WHEN 1 THEN TIMESTAMP '2024-01-01 00:00:00'
+            |  WHEN 2 THEN TIMESTAMP '2024-01-10 00:00:00'
+            |  ELSE TIMESTAMP '2024-01-20 00:00:00' END""".stripMargin))
+        .withColumn("valid_to", expr(
+          """CASE version WHEN 1 THEN TIMESTAMP '2024-01-10 00:00:00'
+            |  WHEN 2 THEN TIMESTAMP '2024-01-20 00:00:00'
+            |  ELSE CAST(NULL AS TIMESTAMP) END""".stripMargin))
+        .withColumn("tier", ((col("user_id") + col("version")) % 5).cast("long"))
+      ev.join(v, Seq("user_id"))
+        .where(col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"),
+          col("version").cast("long").as("version"), col("tier"))
+        .orderBy("event_id")
+    }),
+
     "q109_snapshot_diff" -> ((s, dir) => {
       val ord = t(s, dir, "orders").select(col("o_orderkey"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"),
@@ -1203,6 +1238,23 @@ object RelationalQueries {
     // is DuckDB's null-safe <=> negation; alias shadowing is safe
     // because both engines bind bare c_custkey to the BASE column in
     // the insert branch's select.
+    // q168: the same synthetic version windows and interval predicate.
+    "q168_pit_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT u.user_id, t.v AS version,
+        |    CASE t.v WHEN 1 THEN TIMESTAMP '2024-01-01 00:00:00'
+        |             WHEN 2 THEN TIMESTAMP '2024-01-10 00:00:00'
+        |             ELSE TIMESTAMP '2024-01-20 00:00:00' END AS valid_from,
+        |    CASE t.v WHEN 1 THEN TIMESTAMP '2024-01-10 00:00:00'
+        |             WHEN 2 THEN TIMESTAMP '2024-01-20 00:00:00'
+        |             ELSE NULL END AS valid_to,
+        |    CAST((u.user_id + t.v) % 5 AS BIGINT) AS tier
+        |  FROM u CROSS JOIN (SELECT unnest(range(1, 4)) AS v) t)
+        |SELECT e.event_id, e.user_id, CAST(v.version AS BIGINT) AS version, v.tier
+        |FROM events e JOIN v ON v.user_id = e.user_id
+        |  AND e.ts >= v.valid_from AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
+
     "q106_scd2_upsert" ->
       """WITH upd AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment

@@ -490,4 +490,30 @@ class GraphSpec extends SparkSpec {
     }.toSet
     assert(out.toSet == ref)
   }
+
+  test("q169 negatives are true non-edges, at most 2 per source, j-ordered, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.GraphQueries.queries("q169_negative_samples")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    val edges = spark.read.parquet(s"$dir/orders.parquet").as("o")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet").as("l"),
+        org.apache.spark.sql.functions.expr("l.l_orderkey = o.o_orderkey"))
+      .selectExpr("o.o_custkey * 2 AS src", "l.l_suppkey * 2 + 1 AS dst")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (src, neg, j, rank) =>
+      assert(!edges.contains((src, neg)), s"($src,$neg) is a real edge")
+      assert(j >= 1 && j <= 8 && rank >= 1 && rank <= 2)
+    }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.length <= 2, s"src $src: too many negatives")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to rs.length), s"src $src: ranks not dense")
+      val js = byRank.map(_._3)
+      assert(js.zip(js.tail).forall { case (a, b) => a <= b },
+        s"src $src: negatives not drawn in j order")
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
 }

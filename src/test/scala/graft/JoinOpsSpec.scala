@@ -54,4 +54,23 @@ class JoinOpsSpec extends SparkSpec {
       .select("event_id", "iid").as[(Long, Long)].collect().sorted.toSeq
     assert(out == Seq((1L, 100L), (2L, 100L), (3L, 100L))) // exactly once each
   }
+
+  test("q168 PIT join: each event enriched exactly once with its interval's version") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.RelationalQueries.queries("q168_pit_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.length.toLong == nEvents, "temporal tiling must match every event once")
+    assert(rows.map(_._1).distinct.length == rows.length, "an event matched twice")
+    val tsById = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "CAST(ts AS STRING)").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (eid, uid, v, tier) =>
+      val ts = tsById(eid)
+      val want =
+        if (ts < "2024-01-10") 1L else if (ts < "2024-01-20") 2L else 3L
+      assert(v == want, s"event $eid: version $v for ts $ts")
+      assert(tier == (uid + v) % 5, s"event $eid: tier arithmetic")
+    }
+  }
 }
