@@ -358,6 +358,53 @@ object TextQueries {
     // top-k sorts a bounded pool. The reranker's cost is independent
     // of corpus size by construction — that is the whole point of the
     // two-stage design.
+    // CONTEXT ASSEMBLY UNDER A TOKEN BUDGET (q170): the last step of
+    // a RAG pipeline — rank the matching chunks per query and pack
+    // them GREEDILY into the prompt until the context budget (256
+    // tokens) is spent; a chunk that would overflow the budget is
+    // dropped along with everything ranked after it (prefix-of-ranking
+    // packing, the deterministic contract). Chunks are q156's
+    // 128/96 sliding windows; scoring is the exact query-term hit
+    // count; three fixed literal term-set queries (the q117
+    // fixed-suite rule). Scale shape: chunk structs build inside the
+    // per-doc projection; the query set broadcasts (3 rows); zero-hit
+    // chunks drop BEFORE ranking; candidates cap at 64 through
+    // TopKPerKey so the packing cumsum window is bounded per query —
+    // never a corpus-sized window.
+    "q170_context_assembly" -> ((s, dir) => {
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .where(col("n") >= 1)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(CAST(0 AS BIGINT), (n - 1) div 96),
+            |  i -> struct(i AS chunk_idx,
+            |    slice(toks, CAST(i * 96 + 1 AS INT),
+            |      CAST(least(i * 96 + 128, n) - i * 96 AS INT)) AS ctoks))"""
+            .stripMargin)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.ctoks").as("ctoks"))
+      val qsDf = broadcast(s.createDataFrame(Seq(
+          (0L, Seq("spark", "join")), (1L, Seq("data", "table")),
+          (2L, Seq("slow", "query"))))
+        .toDF("query_id", "terms"))
+      val sc = chunks.crossJoin(qsDf)
+        .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+          size(col("ctoks")).cast("long").as("n_tok"),
+          size(filter(col("ctoks"),
+            x => array_contains(col("terms"), x))).cast("long").as("score"))
+        .where(col("score") > 0)
+      import org.apache.spark.sql.expressions.Window
+      graft.operators.TopK.perKey(sc, Seq("query_id"),
+          Seq("score" -> false, "doc_id" -> true, "chunk_idx" -> true), k = 64)
+        .withColumn("cum_tokens",
+          sum("n_tok").over(Window.partitionBy("query_id").orderBy("rank")))
+        .where(col("cum_tokens") <= 256)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("chunk_idx"),
+          col("score"), col("n_tok"), col("cum_tokens"))
+        .orderBy("query_id", "rank")
+    }),
+
     "q148_hybrid_rerank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val pool = bm25TopK(s, dir, HybridPool)
@@ -873,6 +920,33 @@ object TextQueries {
 
       // q148: the q127 chain at pool width, reranked by the same
       // quantized exact-int64 squared-L2 the embedding family uses.
+      // q170: the same chunk grid, literal query set, hit-count
+      // scoring, 64-candidate cap, and budget-prefix packing.
+      "q170_context_assembly" ->
+        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+           |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+           |  FROM t WHERE len(toks) >= 1),
+           |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           |    list_slice(toks, i * 96 + 1, least(i * 96 + 128, n)) AS ctoks
+           |  FROM d CROSS JOIN unnest(range(0, (n - 1) // 96 + 1)) AS u(i)),
+           |qs AS (SELECT * FROM (VALUES (0, ['spark', 'join']),
+           |    (1, ['data', 'table']), (2, ['slow', 'query'])) AS v(query_id, terms)),
+           |sc AS (SELECT qs.query_id, c.doc_id, c.chunk_idx,
+           |    CAST(len(c.ctoks) AS BIGINT) AS n_tok,
+           |    CAST(len(list_filter(c.ctoks, x -> list_contains(qs.terms, x)))
+           |      AS BIGINT) AS score
+           |  FROM c CROSS JOIN qs),
+           |top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, doc_id, chunk_idx) AS rank
+           |  FROM sc WHERE score > 0),
+           |capped AS (SELECT * FROM top WHERE rank <= 64),
+           |packed AS (SELECT *, sum(n_tok) OVER (PARTITION BY query_id
+           |    ORDER BY rank) AS cum_tokens FROM capped)
+           |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+           |  doc_id, chunk_idx, score, n_tok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+           |FROM packed WHERE cum_tokens <= 256
+           |ORDER BY query_id, rank""".stripMargin,
+
       "q148_hybrid_rerank" ->
         s"""WITH ${bm25ChainSql(toksE, HybridPool)},
            |e AS (SELECT vec_id AS doc_id,

@@ -192,4 +192,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L)))
     out.values.foreach { case (_, sc) => assert(sc >= 0L && sc <= 1000000L) }
   }
+
+  test("q170 packing: budget prefix honored, ranks dense, scores monotone, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.TextQueries
+      .queries("q170_context_assembly")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to rs.length),
+        s"query $q: packed ranks must be a prefix of the ranking")
+      val scores = byRank.map(_._5)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"query $q: scores not non-increasing")
+      assert(scores.forall(_ >= 1), s"query $q: zero-hit chunk packed")
+      var cum = 0L
+      byRank.foreach { case (_, _, _, _, _, nt, c) =>
+        cum += nt
+        assert(c == cum && c <= 256, s"query $q: budget accounting broken")
+      }
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
 }
