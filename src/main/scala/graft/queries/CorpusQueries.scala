@@ -529,6 +529,41 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // ENSEMBLE QUALITY CONSENSUS (q171): modern curation stacks
+    // (the FineWeb recipe) don't trust any single quality signal —
+    // they vote. Four independent per-row gates: lexical diversity
+    // (type-token ratio ≥ 0.45), language confidence (best stopword
+    // hit count ≥ 2), trigram repetition (distinct/positional windows
+    // ≥ 0.9 — template spam fails), and a length band (16–1024
+    // tokens). A document survives on a 3-of-4 consensus, so one
+    // noisy signal can't veto a good document or admit a bad one.
+    // Every gate is exact integer arithmetic on the row — the whole
+    // filter is a zero-shuffle scan at any corpus size.
+    "q171_quality_consensus" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .where(col("n") >= 1)
+        .withColumn("g_ttr", expr(
+          "(CAST(1000000 AS BIGINT) * size(array_distinct(toks))) div size(toks)")
+          >= 450000L)
+        .withColumn("g_lang",
+          greatest(TextAnalysis.stopwordHits(col("toks"), "en"),
+            TextAnalysis.stopwordHits(col("toks"), "de"),
+            TextAnalysis.stopwordHits(col("toks"), "fr"),
+            TextAnalysis.stopwordHits(col("toks"), "es")) >= 2)
+        .withColumn("nsh", size(Dedup.shingles(col("toks"), 3)).cast("long"))
+        .withColumn("g_rep", expr(
+          "(CAST(1000000 AS BIGINT) * nsh) div greatest(n - 2, CAST(1 AS BIGINT))")
+          >= 900000L)
+        .withColumn("g_len", col("n") >= 16 && col("n") <= 1024)
+        .withColumn("consensus",
+          (col("g_ttr").cast("long") + col("g_lang").cast("long") +
+            col("g_rep").cast("long") + col("g_len").cast("long")))
+        .select(col("doc_id"), col("g_ttr"), col("g_lang"), col("g_rep"),
+          col("g_len"), col("consensus"), (col("consensus") >= 3).as("keep"))
+        .orderBy("doc_id")),
+
     // PER-LANGUAGE QUALITY GATE (q165): a single corpus-wide quality
     // cutoff is English-centric — every serious multilingual filter
     // thresholds PER LANGUAGE so low-resource languages aren't gated
@@ -1313,6 +1348,31 @@ object CorpusQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
          |LEFT JOIN ng USING (doc_id) LEFT JOIN ne USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // q171: the four gates re-rendered (kernel shingles via
+    // shinglesSql, stopword hits via the shared list literals), same
+    // integer thresholds and the 3-of-4 consensus.
+    "q171_quality_consensus" -> {
+      def hits(l: String) = TextAnalysis.stopwordHitsSql("toks", l)
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |    CAST(len(${Dedup.shinglesSql("toks", 3)}) AS BIGINT) AS nsh
+         |  FROM t WHERE len(toks) >= 1),
+         |g AS (SELECT doc_id,
+         |    ((1000000 * len(list_distinct(toks))) // n >= 450000) AS g_ttr,
+         |    (greatest(${hits("en")}, ${hits("de")}, ${hits("fr")}, ${hits("es")})
+         |      >= 2) AS g_lang,
+         |    ((1000000 * nsh) // greatest(n - 2, 1) >= 900000) AS g_rep,
+         |    (n >= 16 AND n <= 1024) AS g_len
+         |  FROM d)
+         |SELECT doc_id, g_ttr, g_lang, g_rep, g_len,
+         |  CAST(CAST(g_ttr AS BIGINT) + CAST(g_lang AS BIGINT)
+         |    + CAST(g_rep AS BIGINT) + CAST(g_len AS BIGINT) AS BIGINT) AS consensus,
+         |  (CAST(g_ttr AS BIGINT) + CAST(g_lang AS BIGINT)
+         |    + CAST(g_rep AS BIGINT) + CAST(g_len AS BIGINT) >= 3) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin
     },
 
     // q165: identical 101-bucket histogram median and bin-floor

@@ -215,6 +215,21 @@ class CorpusSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q171 consensus: keep iff at least 3 of the 4 gates pass") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q171_quality_consensus")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, a, b, c, d, cons, keep) =>
+      val n = Seq(a, b, c, d).count(identity).toLong
+      assert(cons == n, s"doc $id: consensus $cons vs gates $n")
+      assert(keep == (n >= 3), s"doc $id: keep verdict")
+    }
+    // the vote is non-degenerate on the fixture: some docs fail
+    assert(rows.exists(!_._7) && rows.exists(_._7))
+  }
+
   test("q167 attribution: verdict consistent with its two counters, bench excluded") {
     val dir = "/root/testdata/sf0.001"
     def run() = CorpusQueries.queries("q167_contamination_attribution")(spark, dir)
