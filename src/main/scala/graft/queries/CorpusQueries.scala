@@ -529,6 +529,43 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // DATA CARD ROLLUP (q172): the "datasheet for datasets" table a
+    // corpus release ships — per (lang, source) stratum: population,
+    // token totals, floor-mean length, exact-duplicate rate (1 −
+    // distinct-text share, in ppm), and the median length. The median
+    // uses the q165 bounded-histogram trick with 16-token bins CAPPED
+    // at bucket 64 (so the bin space is 65 values at any corpus and
+    // the per-stratum cumulative window is bounded by construction —
+    // lengths ≥ 1024 report as the 1024 bin). Scale shape: one
+    // map-combinable stats groupBy (+ its distinct-hash pass), one
+    // (stratum, bin) bounded histogram, one broadcast join.
+    "q172_data_card" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("h"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        .where(col("n") >= 1)
+      val base = d.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+          countDistinct("h").as("n_distinct_texts"))
+      val med = d.groupBy(col("lang"), col("source"),
+          least(expr("n div 16"), lit(64L)).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum",
+          sum("c").over(Window.partitionBy("lang", "source").orderBy("b")))
+        .withColumn("tot", sum("c").over(Window.partitionBy("lang", "source")))
+        .where(col("cum") * 2 >= col("tot"))
+        .groupBy("lang", "source").agg((min("b") * 16).as("p50_tokens"))
+      base.join(broadcast(med), Seq("lang", "source"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          expr("total_tokens div n_docs").as("mean_tokens"),
+          expr("(CAST(1000000 AS BIGINT) * (n_docs - n_distinct_texts)) div n_docs")
+            .as("dup_ppm"),
+          col("p50_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     // ENSEMBLE QUALITY CONSENSUS (q171): modern curation stacks
     // (the FineWeb recipe) don't trust any single quality signal —
     // they vote. Four independent per-row gates: lexical diversity
@@ -1349,6 +1386,31 @@ object CorpusQueries {
          |LEFT JOIN ng USING (doc_id) LEFT JOIN ne USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    // q172: same stats, histogram bins, and bin-floor median.
+    "q172_data_card" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, md5(text) AS h,
+         |    ${TextAnalysis.tokensSql("text")} AS toks FROM documents),
+         |d AS (SELECT doc_id, lang, source, h, CAST(len(toks) AS BIGINT) AS n
+         |  FROM t WHERE len(toks) >= 1),
+         |base AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS total_tokens,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts
+         |  FROM d GROUP BY 1, 2),
+         |hb AS (SELECT lang, source, least(n // 16, 64) AS b, count(*) AS c
+         |  FROM d GROUP BY 1, 2, 3),
+         |cum AS (SELECT lang, source, b,
+         |    sum(c) OVER (PARTITION BY lang, source ORDER BY b) AS cum,
+         |    sum(c) OVER (PARTITION BY lang, source) AS tot FROM hb),
+         |med AS (SELECT lang, source, CAST(min(b) * 16 AS BIGINT) AS p50_tokens
+         |  FROM cum WHERE cum * 2 >= tot GROUP BY 1, 2)
+         |SELECT base.lang, base.source, n_docs, total_tokens,
+         |  CAST(total_tokens // n_docs AS BIGINT) AS mean_tokens,
+         |  CAST((1000000 * (n_docs - n_distinct_texts)) // n_docs AS BIGINT)
+         |    AS dup_ppm,
+         |  p50_tokens
+         |FROM base JOIN med USING (lang, source)
+         |ORDER BY base.lang, base.source""".stripMargin,
 
     // q171: the four gates re-rendered (kernel shingles via
     // shinglesSql, stopword hits via the shared list literals), same

@@ -215,6 +215,23 @@ class CorpusSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q172 data card: stratum stats conserve the corpus, median inside the range") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = CorpusQueries.queries("q172_data_card")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val eligible = spark.read.parquet(s"$dir/documents.parquet")
+      .where(size(split(lower(trim(col("text"))), "\\s+")) >= 1)
+      .where(length(trim(col("text"))) > 0)
+    assert(rows.map(_._3).sum == eligible.count(), "strata must conserve docs")
+    rows.foreach { case (lang, src, nd, tt, mean, dup, p50) =>
+      assert(mean == tt / nd, s"($lang,$src): mean arithmetic")
+      assert(dup >= 0 && dup < 1000000L, s"($lang,$src): dup_ppm range")
+      assert(p50 % 16 == 0 && p50 >= 0 && p50 <= 1024, s"($lang,$src): p50 bin")
+    }
+  }
+
   test("q171 consensus: keep iff at least 3 of the 4 gates pass") {
     val dir = "/root/testdata/sf0.001"
     val rows = CorpusQueries.queries("q171_quality_consensus")(spark, dir)
