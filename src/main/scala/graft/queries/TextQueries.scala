@@ -358,6 +358,56 @@ object TextQueries {
     // top-k sorts a bounded pool. The reranker's cost is independent
     // of corpus size by construction — that is the whole point of the
     // two-stage design.
+    // CO-OCCURRENCE QUERY EXPANSION (q173): classic lexical retrieval
+    // misses documents that say "slow" when the query says "query" —
+    // thesaurus-free expansion adds, per query term, its strongest
+    // corpus co-occurrence partner (argmax windowed-pair count, ties
+    // → lexicographic; q141's ±2-token skip-gram pair machinery) and
+    // reranks by DISTINCT expanded-term coverage. Three fixed literal
+    // queries (the fixed-suite rule); per query the expanded term set
+    // travels in the output as a sorted joined string, so the hash
+    // certifies the expansion itself, not just the ranking. Scale
+    // shape: pair counts are the q141 vocabulary-bounded rollup; the
+    // term lookup joins against a 6-row broadcast; coverage is one
+    // map-combinable (query, doc) count; top-10 streams through
+    // TopKPerKey.
+    "q173_query_expansion" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val pc = t.select(explode(expr(
+        """flatten(array(
+          |  zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |           slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |    (a, b) -> named_struct('w1', least(a, b), 'w2', greatest(a, b))),
+          |  zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |           slice(toks, 3, greatest(size(toks) - 2, 0)),
+          |    (a, b) -> named_struct('w1', least(a, b), 'w2', greatest(a, b)))))"""
+          .stripMargin)).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      val lk = pc.select(col("w1").as("t"), col("w2").as("p"), col("n_ab"))
+        .unionByName(pc.select(col("w2").as("t"), col("w1").as("p"), col("n_ab")))
+      val qt = s.createDataFrame(Seq(
+          (0L, "spark"), (0L, "join"), (1L, "data"), (1L, "table"),
+          (2L, "slow"), (2L, "query")))
+        .toDF("query_id", "term")
+      val best = graft.operators.TopK.perKey(
+          lk.join(broadcast(qt), col("t") === col("term")),
+          Seq("query_id", "term"), Seq("n_ab" -> false, "p" -> true), k = 1)
+        .select(col("query_id"), col("p").as("term"))
+      val exp = qt.unionByName(best).distinct()
+      val et = exp.groupBy("query_id")
+        .agg(array_join(array_sort(collect_set("term")), " ").as("exp_terms"))
+      val dt = t.select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      val ms = dt.join(broadcast(exp), Seq("term"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_matched"))
+      graft.operators.TopK.perKey(ms, Seq("query_id"),
+          Seq("n_matched" -> false, "doc_id" -> true), k = 10)
+        .join(broadcast(et), Seq("query_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_matched"), col("exp_terms"))
+        .orderBy("query_id", "rank")
+    }),
+
     // CONTEXT ASSEMBLY UNDER A TOKEN BUDGET (q170): the last step of
     // a RAG pipeline — rank the matching chunks per query and pack
     // them GREEDILY into the prompt until the context budget (256
@@ -920,6 +970,42 @@ object TextQueries {
 
       // q148: the q127 chain at pool width, reranked by the same
       // quantized exact-int64 squared-L2 the embedding family uses.
+      // q173: the same symmetric windowed pair counts, argmax partner,
+      // expansion string, and coverage ranking.
+      "q173_query_expansion" ->
+        s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+           |prs AS (SELECT unnest(flatten([
+           |    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+           |      i -> {'w1': least(toks[i], toks[i+1]), 'w2': greatest(toks[i], toks[i+1])}),
+           |    list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+           |      i -> {'w1': least(toks[i], toks[i+2]), 'w2': greatest(toks[i], toks[i+2])})])) AS p
+           |  FROM t),
+           |pc AS (SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM prs GROUP BY 1, 2),
+           |lk AS (SELECT w1 AS t, w2 AS p, n_ab FROM pc
+           |  UNION ALL SELECT w2, w1, n_ab FROM pc),
+           |qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'join'), (1, 'data'),
+           |    (1, 'table'), (2, 'slow'), (2, 'query')) AS v(query_id, term)),
+           |best AS (SELECT query_id, term, p FROM (
+           |  SELECT qt.query_id, qt.term, lk.p,
+           |    row_number() OVER (PARTITION BY qt.query_id, qt.term
+           |      ORDER BY lk.n_ab DESC, lk.p) AS rn
+           |  FROM qt JOIN lk ON lk.t = qt.term) WHERE rn = 1),
+           |exp AS (SELECT DISTINCT query_id, term FROM (
+           |  SELECT query_id, term FROM qt UNION ALL SELECT query_id, p FROM best)),
+           |et AS (SELECT query_id,
+           |    array_to_string(list_sort(list(DISTINCT term)), ' ') AS exp_terms
+           |  FROM exp GROUP BY 1),
+           |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t),
+           |ms AS (SELECT e.query_id, d.doc_id, CAST(count(*) AS BIGINT) AS n_matched
+           |  FROM exp e JOIN dt d USING (term) GROUP BY 1, 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY n_matched DESC, doc_id) AS rank FROM ms)
+           |SELECT CAST(rk.query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+           |  doc_id, n_matched, et.exp_terms
+           |FROM rk JOIN et ON et.query_id = rk.query_id
+           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
       // q170: the same chunk grid, literal query set, hit-count
       // scoring, 64-candidate cap, and budget-prefix packing.
       "q170_context_assembly" ->

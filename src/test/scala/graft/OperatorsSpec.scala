@@ -193,6 +193,33 @@ class OperatorsSpec extends SparkSpec {
     out.values.foreach { case (_, sc) => assert(sc >= 0L && sc <= 1000000L) }
   }
 
+  test("q173 expansion: expanded set contains the query terms, coverage bounded, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.TextQueries
+      .queries("q173_query_expansion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val rows = run()
+    assert(rows.nonEmpty)
+    val seed = Map(0L -> Set("spark", "join"), 1L -> Set("data", "table"),
+      2L -> Set("slow", "query"))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val exps = rs.map(_._5).distinct
+      assert(exps.length == 1, s"query $q: expansion string not constant")
+      val terms = exps.head.split(" ").toSet
+      assert(seed(q).subsetOf(terms), s"query $q: lost a seed term")
+      assert(terms.size <= 4, s"query $q: more than one partner per seed term")
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1 to rs.length), s"query $q: ranks not dense")
+      val ms = byRank.map(_._4)
+      assert(ms.zip(ms.tail).forall { case (a, b) => a >= b },
+        s"query $q: coverage not monotone in rank")
+      assert(ms.forall(m => m >= 1 && m <= terms.size.toLong),
+        s"query $q: coverage out of bounds")
+    }
+    assert(run().toSeq == rows.toSeq)
+  }
+
   test("q170 packing: budget prefix honored, ranks dense, scores monotone, deterministic") {
     val dir = "/root/testdata/sf0.001"
     def run() = graft.queries.TextQueries
