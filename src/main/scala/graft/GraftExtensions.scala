@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MatVecLong, MergePairExpr, MinHashSignatureExpr, NearestCentroid, ShinglesExpr, SimHashExpr, SqDistLong}
+import graft.functions.{Bloom, BloomAgg, BloomContainsExpr, CharGramsExpr, CmsAgg, CmsEstExpr, DotProduct, FingerprintExpr, HllSketchAgg, MatVecLong, MergePairExpr, MinHashSignatureExpr, MultiMatchCount, NearestCentroid, ShinglesExpr, SimHashExpr, SqDistLong}
 
 /** SparkSessionExtensions entry point — enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or stack
@@ -98,6 +98,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           "graft_merge_pair(toks, l, r) takes three arguments")
         MergePairExpr(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_multi_count"),
+      new ExpressionInfo(classOf[MultiMatchCount].getName, "graft_multi_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_multi_count(text, patterns) takes two arguments")
+        MultiMatchCount(children.head, children(1))
       }))
     ext.injectFunction(unary("graft_approx_distinct", c => HllSketchAgg(c)))
     ext.injectFunction(unary("graft_hll", c => graft.functions.HllRegistersAgg(c)))

@@ -21,7 +21,8 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       SamplingQueries.queries ++ CorpusQueries.queries ++
-      ClusteringQueries.queries ++ GraphQueries.queries
+      ClusteringQueries.queries ++ GraphQueries.queries ++
+      MiningQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -30,5 +31,6 @@ object SparkEntry {
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       SamplingQueries.oracleSql ++ CorpusQueries.oracleSql ++
-      ClusteringQueries.oracleSql ++ GraphQueries.oracleSql
+      ClusteringQueries.oracleSql ++ GraphQueries.oracleSql ++
+      MiningQueries.oracleSql
 }

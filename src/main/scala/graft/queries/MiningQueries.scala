@@ -1,0 +1,431 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Corpus-mining extension queries (q174+): multi-pattern blocklist
+  * matching through the Aho–Corasick kernel, MOSS-style winnowing
+  * fingerprints, a distributed Pareto/skyline quality frontier, HLL
+  * register set-algebra across sources, and blocked fuzzy entity
+  * resolution — the curation-side analyses a 100 TB corpus pipeline
+  * runs AROUND the dedup/selection core (q50+, q95/q118).
+  *
+  * House rules carried over: every number that leaves a query is an
+  * exact integer (ppm fixed-point, md5-derived 48-bit hashes, integer
+  * division) so the DuckDB differential is bit-exact under any
+  * partitioning; no rand(); every ORDER BY is a total order.
+  */
+object MiningQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** 48-bit integer from the md5 hex prefix — the house content hash
+    * (same rendering as q152's cut points). */
+  private def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  // ---- q174: multi-pattern blocklist (Aho–Corasick) ----
+
+  /** The stop-phrase blocklist, alphabetical so pat_id is stable. Every
+    * pattern is BORDERLESS (no proper prefix that is also a suffix), so
+    * all-occurrence counts (the automaton's semantics) coincide with
+    * the oracle's non-overlapping split counts — MiningSpec pins both
+    * the property and the equality. "dup key" never occurs in the
+    * fixture and stays in the list deliberately: the dead-pattern slot
+    * (the reference keeps dead keywords too, dags/dag.py:59,133) proves
+    * absent patterns cost nothing and emit nothing. */
+  private[graft] val BlockPatterns: Seq[String] = Seq(
+    "agg row", "batch line", "big query", "data column", "dup key",
+    "fast table", "filter group", "group order", "hash join", "key value",
+    "query value", "slow scan", "small part", "sort merge", "stream window",
+    "table scan", "the row", "vector line")
+
+  // ---- q175: winnowing (Schleimer/Wilkerson/Aiken 2003, MOSS) ----
+
+  /** Gram width and window size: guarantee threshold t = K + W - 1 = 6
+    * (any shared token run of ≥ 6 tokens shares a fingerprint). */
+  private val WinK = 3
+  private val WinW = 4
+
+  // ---- q177: HLL register algebra ----
+
+  /** m = 64 registers (p = 6, σ ≈ 13 %) — small enough that the whole
+    * register table is human-inspectable in the differential dump while
+    * still exercising every code path (raw branch, linear-counting
+    * branch, union merge, inclusion–exclusion). */
+  private val HllM = 64
+
+  /** Linear-counting lookup, V ∈ [1, m]: round(m·ln(m/V)·1000). ONE
+    * source of truth — the oracle SQL embeds these same integers, so
+    * no ln() evaluates at query time on either engine. */
+  private val HllLi: IndexedSeq[Long] =
+    (1 to HllM).map(v => Math.round(HllM * math.log(HllM.toDouble / v) * 1000))
+
+  /** α₆₄·m²·2³⁰ with α as the 709/1000 rational (0.7213/(1+1.079/m)
+    * rounded to 3 decimals — a CONSTANT of this sketch, not a tuned
+    * value): 709·4096·2³⁰ / 1000 stays in int64. */
+  private val HllNum: Long = 709L * HllM * HllM * (1L << 30)
+
+  /** Register-set estimate over a grouped frame with exactly m rows per
+    * group carrying column `rho` (0 = empty register). The register sum
+    * uses base 2³⁰ with rho capped at 30 — identical on both engines,
+    * so capping is a representation choice, not an approximation
+    * divergence (P[rho > 30] ≈ 2⁻³⁰ per register). */
+  private def hllEstCols(): Seq[Column] = Seq(
+    sum(expr("shiftleft(CAST(1 AS BIGINT), 30 - least(CAST(rho AS INT), 30))"))
+      .as("s"),
+    sum(when(col("rho") === 0, 1L).otherwise(0L)).as("v"))
+
+  /** Small-range correction: linear counting (from the embedded integer
+    * table) when raw ≤ 2.5·m (=160) and any register is empty. */
+  private def hllEst(raw: Column, v: Column): Column =
+    when(raw <= lit(160L) && v > 0,
+      expr(s"element_at(array(${HllLi.mkString(",")}), CAST(v AS INT)) div 1000"))
+      .otherwise(raw)
+
+  // ---- q178: blocked fuzzy entity resolution ----
+
+  private val NameDistMax = 4L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MULTI-PATTERN BLOCKLIST MATCH (q174): every occurrence of every
+    // stop phrase, counted in ONE pass per document through the
+    // byte-level Aho–Corasick automaton (graft.functions.AcAutomaton —
+    // O(|text| + matches) independent of pattern count, vs one
+    // contains()-scan per pattern). Scale shape: a pure per-row
+    // projection + explode — zero shuffles before the presentation
+    // sort; the automaton ships once as a plan reference object, the
+    // exact shape a 10k-phrase production blocklist needs at 100 TB.
+    "q174_multi_match" -> ((s, dir) => {
+      val pats = array(BlockPatterns.map(lit): _*)
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(call_function("graft_multi_count", col("text"), pats))
+            .as(Seq("pat_id", "hits")))
+        .where(col("hits") > 0)
+        .select(col("doc_id"), col("pat_id").cast("long").as("pat_id"),
+          element_at(pats, col("pat_id") + 1).as("pat"), col("hits"))
+        .orderBy("doc_id", "pat_id")
+    }),
+
+    // WINNOWING FINGERPRINTS (q175): the MOSS local fingerprinting
+    // scheme — hash every K-token gram, slide a W-gram window, keep
+    // each window's minimum hash; the selected set is a deterministic
+    // ~2/(W+1) sample of grams with the guarantee that any shared run
+    // of ≥ K+W-1 tokens between two documents shares a fingerprint
+    // (MiningSpec pins the guarantee). Reported per doc: fingerprint
+    // count and how many fingerprints also occur in ANOTHER document
+    // (df ≥ 2) — span-level boilerplate sharing at fingerprint cost
+    // instead of full-gram cost. Scale shape: one window pass
+    // partitioned by doc (linear), one df rollup shuffled on the
+    // 48-bit hash (linear, map-combinable), one linear join back;
+    // the W-window min never materializes per-window gram lists.
+    "q175_winnowing" -> ((s, dir) => {
+      val t = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .where(col("n") >= WinK + WinW - 1)
+        .withColumn("ng", col("n") - (WinK - 1))
+      val gh = t.select(col("doc_id"), col("ng"),
+          posexplode(expr(
+            s"""transform(sequence(1, size(toks) - ${WinK - 1}),
+               |  i -> concat_ws(' ', slice(toks, i, $WinK)))""".stripMargin))
+            .as(Seq("p0", "gram")))
+        .select(col("doc_id"), col("ng"),
+          (col("p0") + 1).cast("long").as("p"), h48(col("gram")).as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, WinW - 1)
+      val fp = gh.withColumn("mh", min(col("h")).over(win))
+        .where(col("p") <= col("ng") - (WinW - 1))
+        .select(col("doc_id"), col("ng"), col("mh").as("h"))
+        .distinct()
+      val dfreq = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      fp.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(max("ng").as("n_grams"), count(lit(1)).as("n_fp"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_fp"), col("n_shared"),
+          expr("(CAST(1000000 AS BIGINT) * n_shared) div n_fp")
+            .as("shared_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // PARETO QUALITY FRONTIER (q176): the documents no other document
+    // strictly dominates on (longer, more lexically diverse, fewer
+    // stopwords) — the multi-criteria selection that replaces
+    // single-score thresholds when quality axes don't commensurate.
+    // Exact skyline, no O(n²): (1) metrics reduce to DISTINCT
+    // (n_tokens, ttr_ppm) → min(stop_ppm) triples, a VALUE-SPACE-
+    // bounded set (≤ |lengths|·10⁶ cells, map-combinable shuffle);
+    // (2) within each n_tokens group a RANGE-frame window keeps only
+    // the 2-D (ttr, stop) staircase; (3) the staircase survivors — a
+    // frontier-sized set — settle exact dominance through a broadcast
+    // nested-loop ANTI join (transitivity makes survivor-vs-survivor
+    // sufficient: any dominator of a survivor is itself dominated only
+    // by survivors); (4) frontier triples broadcast-join back to
+    // recover doc_ids, ties on all three axes included. Every stage
+    // after (1) is output/value-bounded at ANY corpus size.
+    "q176_skyline" -> ((s, dir) => {
+      val m = docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .where(col("n_tokens") >= 1)
+        .withColumn("n_stop", TextAnalysis.stopwordHits(col("toks"), "en")
+          .cast("long"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(CAST(1000000 AS BIGINT) * size(array_distinct(toks)))" +
+            " div n_tokens").as("ttr_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * n_stop) div n_tokens")
+            .as("stop_ppm"))
+      val reduced = m.groupBy("n_tokens", "ttr_ppm")
+        .agg(min("stop_ppm").as("stop_ppm"))
+      val byN = Window.partitionBy("n_tokens")
+        .orderBy(col("ttr_ppm").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val surv = reduced.withColumn("msh", min("stop_ppm").over(byN))
+        .where(col("msh").isNull || col("msh") > col("stop_ppm"))
+        .select("n_tokens", "ttr_ppm", "stop_ppm")
+      val rival = surv.select(col("n_tokens").as("bn"),
+        col("ttr_ppm").as("bt"), col("stop_ppm").as("bs"))
+      val frontier = surv.join(broadcast(rival),
+        col("bn") >= col("n_tokens") && col("bt") >= col("ttr_ppm") &&
+          col("bs") <= col("stop_ppm") &&
+          (col("bn") > col("n_tokens") || col("bt") > col("ttr_ppm") ||
+            col("bs") < col("stop_ppm")),
+        "left_anti")
+      m.join(broadcast(frontier), Seq("n_tokens", "ttr_ppm", "stop_ppm"))
+        .select(col("doc_id"), col("n_tokens"), col("ttr_ppm"),
+          col("stop_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // HLL REGISTER SET-ALGEBRA (q177): per-source distinct-shingle
+    // sketches materialized as REGISTER TABLES (source, reg, rho) —
+    // the lakehouse form in which per-shard sketches are stored and
+    // merged without touching raw data — then pairwise union via
+    // element-wise register max and intersection via inclusion–
+    // exclusion. The register construction is md5-derived and the
+    // estimate pure integer arithmetic, so unlike q46's within-bound
+    // boolean this differential is BIT-EXACT. Scale shape: one
+    // map-combinable (source, reg) max rollup bounds state at
+    // |sources|·m rows forever; the pair algebra runs on that tiny
+    // table (|sources|²·m), never on data.
+    "q177_hll_algebra" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("source"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
+            .as("span"))
+      val hs = sh.select(col("source"), h48(col("span")).as("h"))
+      val regs = hs
+        .select(col("source"), (col("h") % HllM).as("reg"),
+          expr(s"h div $HllM").as("h2"))
+        .groupBy("source", "reg")
+        .agg(max(when(col("h2") === 0, lit(43L))
+          .otherwise(lit(43L) - length(bin(col("h2"))))).as("rho"))
+      val dense = docs(s, dir).select(col("source")).distinct()
+        .select(col("source"), explode(sequence(lit(0L), lit(HllM - 1L)))
+          .as("reg"))
+        .join(regs, Seq("source", "reg"), "left")
+        .na.fill(0L, Seq("rho"))
+      val singles = dense.groupBy("source")
+        .agg(hllEstCols().head, hllEstCols().tail: _*)
+        .withColumn("raw", expr(s"$HllNum div (1000 * s)"))
+        .select(col("source"), hllEst(col("raw"), col("v")).as("est"))
+      val exact = sh.groupBy("source")
+        .agg(countDistinct("span").as("exact"))
+      val one = broadcast(singles.join(exact, "source"))
+      val pa = dense.select(col("source").as("src_a"), col("reg"),
+        col("rho").as("ra"))
+      val pb = dense.select(col("source").as("src_b"), col("reg"),
+        col("rho").as("rb"))
+      val unions = pa.join(pb, Seq("reg"))
+        .where(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          greatest(col("ra"), col("rb")).as("rho"))
+        .groupBy("src_a", "src_b")
+        .agg(hllEstCols().head, hllEstCols().tail: _*)
+        .withColumn("raw", expr(s"$HllNum div (1000 * s)"))
+        .select(col("src_a"), col("src_b"),
+          hllEst(col("raw"), col("v")).as("est_union"))
+      unions
+        .join(one.select(col("source").as("src_a"), col("est").as("est_a"),
+          col("exact").as("exact_a")), "src_a")
+        .join(one.select(col("source").as("src_b"), col("est").as("est_b"),
+          col("exact").as("exact_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("exact_a"), col("exact_b"),
+          col("est_a"), col("est_b"), col("est_union"),
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+            .as("est_intersect"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // BLOCKED FUZZY ENTITY RESOLUTION (q178): near-identical part
+    // names via token blocking + edit distance — the record-linkage
+    // primitive (one shared token proposes, Levenshtein ≤ 4 disposes)
+    // over the DISTINCT-name universe, which is vocabulary-bounded
+    // exactly like q51's distinct-title trick: the fact-table rollup
+    // is the only data-sized stage (map-combinable groupBy), and all
+    // pair work runs on |distinct names|, not |parts|, at any scale.
+    "q178_name_match" -> ((s, dir) => {
+      val names = Tables.load(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      val tok = names.select(col("p_name"),
+        explode(split(col("p_name"), " ")).as("w"))
+      val cand = tok.select(col("p_name").as("name_a"), col("w"))
+        .join(tok.select(col("p_name").as("name_b"), col("w")), Seq("w"))
+        .where(col("name_a") < col("name_b"))
+        .select("name_a", "name_b").distinct()
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .where(col("dist") <= NameDistMax)
+      cand
+        .join(broadcast(names.select(col("p_name").as("name_a"),
+          col("n_parts").as("n_a"))), "name_a")
+        .join(broadcast(names.select(col("p_name").as("name_b"),
+          col("n_parts").as("n_b"))), "name_b")
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q174: per-pattern non-overlapping split counts — equal to the
+    // automaton's all-occurrence counts because every pattern is
+    // borderless (same-pattern occurrences cannot overlap).
+    "q174_multi_match" ->
+      s"""WITH p AS (SELECT * FROM (VALUES
+         |  ${BlockPatterns.zipWithIndex
+             .map { case (p, i) => s"($i, '$p')" }.mkString(",\n  ")})
+         |  AS t(pat_id, pat)),
+         |c AS (SELECT d.doc_id, p.pat_id, p.pat,
+         |  CAST(len(string_split(d.text, p.pat)) - 1 AS BIGINT) AS hits
+         |  FROM documents d CROSS JOIN p)
+         |SELECT doc_id, CAST(pat_id AS BIGINT) AS pat_id, pat, hits
+         |FROM c WHERE hits > 0 ORDER BY doc_id, pat_id""".stripMargin,
+
+    // q175: the W-gram band self-join computes each window's min hash;
+    // the distinct min set per doc is the fingerprint set (position
+    // tie-breaks don't affect the SET of selected hashes).
+    "q175_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+         |  WHERE len(toks) >= ${WinK + WinW - 1}),
+         |gh AS (SELECT doc_id, n - ${WinK - 1} AS ng, CAST(p AS BIGINT) AS p,
+         |  CAST('0x' || substr(md5(array_to_string(
+         |    list_slice(toks, CAST(p AS INT), CAST(p AS INT) + ${WinK - 1}),
+         |    ' ')), 1, 12) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, toks, n,
+         |    unnest(range(1, n - ${WinK - 2})) AS p FROM d)),
+         |mn AS (SELECT a.doc_id, a.ng, a.p AS ws, min(b.h) AS mh
+         |  FROM gh a JOIN gh b ON b.doc_id = a.doc_id
+         |    AND b.p BETWEEN a.p AND a.p + ${WinW - 1}
+         |  WHERE a.p <= a.ng - ${WinW - 1} GROUP BY 1, 2, 3),
+         |fp AS (SELECT DISTINCT doc_id, ng, mh AS h FROM mn),
+         |dfreq AS (SELECT h, count(*) AS df FROM fp GROUP BY 1)
+         |SELECT fp.doc_id, CAST(max(fp.ng) AS BIGINT) AS n_grams,
+         |  CAST(count(*) AS BIGINT) AS n_fp,
+         |  CAST(count(*) FILTER (dfreq.df >= 2) AS BIGINT) AS n_shared,
+         |  (CAST(1000000 AS BIGINT) * count(*) FILTER (dfreq.df >= 2))
+         |    // count(*) AS shared_ppm
+         |FROM fp JOIN dfreq ON dfreq.h = fp.h
+         |GROUP BY fp.doc_id ORDER BY fp.doc_id""".stripMargin,
+
+    // q176: textbook NOT EXISTS dominance — O(n²) is fine for an
+    // oracle; the engine's staircase+broadcast plan is the scale path.
+    "q176_skyline" ->
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  (CAST(1000000 AS BIGINT) * len(list_distinct(toks))) // len(toks)
+         |    AS ttr_ppm,
+         |  (CAST(1000000 AS BIGINT) *
+         |    ${TextAnalysis.stopwordHitsSql("toks", "en")}) // len(toks)
+         |    AS stop_ppm
+         |  FROM t WHERE len(toks) >= 1)
+         |SELECT a.doc_id, a.n_tokens, a.ttr_ppm, a.stop_ppm FROM m a
+         |WHERE NOT EXISTS (SELECT 1 FROM m b
+         |  WHERE b.n_tokens >= a.n_tokens AND b.ttr_ppm >= a.ttr_ppm
+         |    AND b.stop_ppm <= a.stop_ppm
+         |    AND (b.n_tokens > a.n_tokens OR b.ttr_ppm > a.ttr_ppm
+         |         OR b.stop_ppm < a.stop_ppm))
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // q177: the same register construction, densification, estimate
+    // arithmetic, and li-table INTEGERS (embedded from the same Scala
+    // constant) — bit-exact sketch algebra.
+    "q177_hll_algebra" -> {
+      val regs =
+        s"""sh AS (SELECT source, unnest(${Dedup.shinglesSql(
+              TextAnalysis.tokensSql("text"), 3)}) AS span FROM documents),
+           |hs AS (SELECT source,
+           |  CAST('0x' || substr(md5(span), 1, 12) AS BIGINT) AS h FROM sh),
+           |regs AS (SELECT source, h % $HllM AS reg,
+           |  CAST(max(CASE WHEN h // $HllM = 0 THEN 43
+           |    ELSE 43 - length(bin(h // $HllM)) END) AS BIGINT) AS rho
+           |  FROM hs GROUP BY 1, 2),
+           |dense AS (SELECT s.source, r.reg,
+           |  coalesce(regs.rho, 0) AS rho
+           |  FROM (SELECT DISTINCT source FROM documents) s
+           |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS reg) r
+           |  LEFT JOIN regs ON regs.source = s.source AND regs.reg = r.reg)"""
+          .stripMargin
+      val estCase =
+        s"""CASE WHEN raw <= 160 AND v > 0
+           |    THEN ([${HllLi.mkString(",")}])[CAST(v AS INT)] // 1000
+           |    ELSE raw END""".stripMargin
+      s"""WITH $regs,
+         |g1 AS (SELECT source,
+         |  CAST(sum(CAST(1 AS BIGINT) << (30 - least(CAST(rho AS INT), 30)))
+         |    AS BIGINT) AS s,
+         |  CAST(count(*) FILTER (rho = 0) AS BIGINT) AS v
+         |  FROM dense GROUP BY 1),
+         |e1 AS (SELECT source, $HllNum // (1000 * s) AS raw, v FROM g1),
+         |singles AS (SELECT source, $estCase AS est FROM e1),
+         |exact AS (SELECT source, CAST(count(DISTINCT span) AS BIGINT)
+         |  AS exact FROM sh GROUP BY 1),
+         |gu AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(sum(CAST(1 AS BIGINT) <<
+         |    (30 - least(CAST(greatest(a.rho, b.rho) AS INT), 30)))
+         |    AS BIGINT) AS s,
+         |  CAST(count(*) FILTER (greatest(a.rho, b.rho) = 0) AS BIGINT) AS v
+         |  FROM dense a JOIN dense b ON b.reg = a.reg
+         |    AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |eu AS (SELECT src_a, src_b, $HllNum // (1000 * s) AS raw, v FROM gu),
+         |unions AS (SELECT src_a, src_b, $estCase AS est_union FROM eu)
+         |SELECT u.src_a, u.src_b, xa.exact AS exact_a, xb.exact AS exact_b,
+         |  sa.est AS est_a, sb.est AS est_b, u.est_union,
+         |  greatest(0, sa.est + sb.est - u.est_union) AS est_intersect
+         |FROM unions u
+         |JOIN singles sa ON sa.source = u.src_a
+         |JOIN singles sb ON sb.source = u.src_b
+         |JOIN exact xa ON xa.source = u.src_a
+         |JOIN exact xb ON xb.source = u.src_b
+         |ORDER BY u.src_a, u.src_b""".stripMargin
+    },
+
+    // q178: identical blocking (shared token over distinct names) and
+    // the same edit-distance threshold.
+    "q178_name_match" ->
+      s"""WITH names AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts
+         |  FROM part GROUP BY 1),
+         |tok AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS w
+         |  FROM names),
+         |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+         |  FROM tok a JOIN tok b ON b.w = a.w AND a.p_name < b.p_name)
+         |SELECT c.name_a, c.name_b,
+         |  CAST(levenshtein(c.name_a, c.name_b) AS BIGINT) AS dist,
+         |  na.n_parts AS n_a, nb.n_parts AS n_b
+         |FROM cand c
+         |JOIN names na ON na.p_name = c.name_a
+         |JOIN names nb ON nb.p_name = c.name_b
+         |WHERE levenshtein(c.name_a, c.name_b) <= $NameDistMax
+         |ORDER BY c.name_a, c.name_b""".stripMargin)
+}

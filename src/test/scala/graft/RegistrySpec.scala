@@ -18,7 +18,8 @@ class RegistrySpec extends AnyFunSuite {
     "sampling" -> SamplingQueries.queries.keySet,
     "corpus" -> CorpusQueries.queries.keySet,
     "clustering" -> ClusteringQueries.queries.keySet,
-    "graph" -> GraphQueries.queries.keySet)
+    "graph" -> GraphQueries.queries.keySet,
+    "mining" -> MiningQueries.queries.keySet)
 
   test("no query-name collisions across modules") {
     val total = modules.map(_._2.size).sum
