@@ -22,7 +22,7 @@ object SparkEntry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       SamplingQueries.queries ++ CorpusQueries.queries ++
       ClusteringQueries.queries ++ GraphQueries.queries ++
-      MiningQueries.queries
+      MiningQueries.queries ++ GovernanceQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -32,5 +32,5 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       SamplingQueries.oracleSql ++ CorpusQueries.oracleSql ++
       ClusteringQueries.oracleSql ++ GraphQueries.oracleSql ++
-      MiningQueries.oracleSql
+      MiningQueries.oracleSql ++ GovernanceQueries.oracleSql
 }

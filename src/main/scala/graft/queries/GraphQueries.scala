@@ -422,6 +422,42 @@ object GraphQueries {
           col("cur").as("visited"))
       }
       outs.reduce(_ unionAll _).orderBy("start", "step")
+    }),
+
+    // LINK PREDICTION (q183): common-neighbor and Jaccard scores for
+    // every NON-adjacent pair at distance 2 in the kNN similarity
+    // graph — the classical link-prediction features (Liben-Nowell &
+    // Kleinberg 2003) that propose which documents/suppliers SHOULD
+    // be connected, the candidate generator for q169's training
+    // pairs and the "missing edge" diagnostic for the similarity
+    // graph itself. Exact integers: cn, jaccard in ppm (|Γu ∩ Γv| /
+    // |Γu ∪ Γv|), preferential attachment deg·deg. Scale shape: the
+    // kNN graph is degree-bounded (≤ 2·TriK), so the wedge self-join
+    // on the shared neighbor emits ≤ deg² rows per node — linear in
+    // |V| at ANY corpus size (this is exactly why it runs on the
+    // sparsified graph, not the raw co-purchase projection); the
+    // anti-join against the edge list and the degree joins are
+    // |candidate|-sized; nothing is collected or broadcast that
+    // grows with the graph.
+    "q183_link_prediction" -> ((s, dir) => {
+      val e = knnEdges(s, dir)
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      val cand = adj.select(col("node").as("u"), col("nbr"))
+        .join(adj.select(col("node").as("v"), col("nbr")), Seq("nbr"))
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+        .join(e, Seq("u", "v"), "left_anti")
+        .where(col("cn") >= 2)
+      cand
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"), col("cn"),
+          expr("(CAST(1000000 AS BIGINT) * cn) div (du + dv - cn)")
+            .as("jaccard_ppm"),
+          (col("du") * col("dv")).as("pref_attach"))
+        .orderBy("u", "v")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -514,6 +550,29 @@ object GraphQueries {
          |${KCore.oracleCtes(KCoreK, KCoreRounds)}
          |SELECT node, deg, peel_round FROM kcore_out
          |ORDER BY node""".stripMargin,
+
+    // q183: the same wedge join on the same kNN edge CTE; NOT-EXISTS
+    // rendered as a NULL-extended left join.
+    "q183_link_prediction" ->
+      s"""WITH $knnEdgesSql,
+         |adj AS (SELECT u AS node, v AS nbr FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj
+         |  GROUP BY 1),
+         |cand AS (SELECT a.node AS u, b.node AS v,
+         |    CAST(count(*) AS BIGINT) AS cn
+         |  FROM adj a JOIN adj b ON b.nbr = a.nbr AND a.node < b.node
+         |  GROUP BY 1, 2),
+         |nc AS (SELECT c.u, c.v, c.cn FROM cand c
+         |  LEFT JOIN e ON e.u = c.u AND e.v = c.v
+         |  WHERE e.u IS NULL AND c.cn >= 2)
+         |SELECT nc.u, nc.v, nc.cn,
+         |  (CAST(1000000 AS BIGINT) * nc.cn) // (du.deg + dv.deg - nc.cn)
+         |    AS jaccard_ppm,
+         |  du.deg * dv.deg AS pref_attach
+         |FROM nc JOIN deg du ON du.node = nc.u
+         |JOIN deg dv ON dv.node = nc.v
+         |ORDER BY nc.u, nc.v""".stripMargin,
 
     // q169: the same content-addressed candidate draws, the same
     // rejection anti-join (NULL-extended left join), ranks windowed.

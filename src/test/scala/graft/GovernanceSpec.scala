@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{GovernanceQueries, GraphQueries}
+
+/** Pins for the governance family (q179–q183): the purged split's
+  * partition/exclusivity invariants, k-anonymity's consistency
+  * between cell and generalized verdicts, distinct-n bounds, the
+  * histogram lower-median's defining property, and link prediction's
+  * non-adjacency + score bounds. */
+class GovernanceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q179: every fold's test/train/purged counts partition the events") {
+    val rows = GovernanceQueries.queries("q179_purged_split")(spark, dir)
+      .collect()
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == nEvents,
+        s"fold ${r.getLong(0)} does not partition")
+    }
+    // the test sets alone also partition the events (each event has
+    // exactly one home fold)
+    assert(rows.map(_.getLong(1)).sum == nEvents)
+  }
+
+  test("q180: cell populations roll up to the generalized group and to the table") {
+    val df = GovernanceQueries.queries("q180_k_anonymity")(spark, dir)
+    val rows = df.collect()
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    // verdicts are pure functions of the counts
+    rows.foreach { r =>
+      assert((r.getLong(3) < 4) == (r.getLong(4) == 1L))
+      assert((r.getLong(5) < 4) == (r.getLong(6) == 1L))
+    }
+    // generalized population = sum of its member cells
+    val bad = df.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("n").as("s"), max("n_gen").as("g"))
+      .where(col("s") =!= col("g")).count()
+    assert(bad == 0)
+  }
+
+  test("q181: distinct <= total, ppm consistent, and gram counts telescope") {
+    val rows = GovernanceQueries.queries("q181_distinct_n")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, distinct, ppm) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(distinct <= total && ppm == 1000000L * distinct / total)
+    }
+    // per source: total (n+1)-grams = total n-grams - |docs with >= n+1
+    // tokens| — pin the weaker monotone form (every doc loses at most
+    // one gram going n -> n+1, none gains)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val byN = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      (1L to 2L).foreach { n =>
+        if (byN.contains(n) && byN.contains(n + 1))
+          assert(byN(n + 1) <= byN(n))
+      }
+    }
+  }
+
+  test("q182: flagged docs are exactly those beyond 3*MAD, and the median is a lower median") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextAnalysis.tokens(col("text")))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = GovernanceQueries.queries("q182_mad_outliers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .map { case (id, med, mad) => id -> (med, mad) }.toMap
+    // reference medians computed independently (sorted-array lower median)
+    def lowerMedian(xs: Seq[Long]): Long =
+      xs.sorted.apply((xs.size - 1) / 2)
+    docs.groupBy(_._2).foreach { case (_, ds) =>
+      val med = lowerMedian(ds.map(_._3).toSeq)
+      val mad = lowerMedian(ds.map(d => math.abs(d._3 - med)).toSeq)
+      ds.foreach { case (id, _, n) =>
+        val flagged = math.abs(n - med) > 3 * mad
+        assert(out.contains(id) == flagged, s"doc $id")
+        if (flagged) assert(out(id) == (med, mad))
+      }
+    }
+  }
+
+  test("q183: candidates are non-adjacent distance-2 pairs with bounded scores") {
+    val pairs = GraphQueries.queries("q183_link_prediction")(spark, dir)
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (u, v, cn, jac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(u < v && cn >= 2 && jac >= 0 && jac <= 1000000L)
+    }
+  }
+}

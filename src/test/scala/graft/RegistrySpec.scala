@@ -19,7 +19,8 @@ class RegistrySpec extends AnyFunSuite {
     "corpus" -> CorpusQueries.queries.keySet,
     "clustering" -> ClusteringQueries.queries.keySet,
     "graph" -> GraphQueries.queries.keySet,
-    "mining" -> MiningQueries.queries.keySet)
+    "mining" -> MiningQueries.queries.keySet,
+    "governance" -> GovernanceQueries.queries.keySet)
 
   test("no query-name collisions across modules") {
     val total = modules.map(_._2.size).sum
