@@ -162,16 +162,20 @@ object GovernanceQueries {
     // mean/stddev fence lets distort it). Both statistics are EXACT
     // lower-medians extracted from value-space histograms (the q172
     // capped-bin discipline without the cap: token counts are
-    // naturally bounded), and the deviation histogram derives from
-    // the FIRST histogram, not a second corpus pass. Emitted: every
-    // document beyond MadC·MAD with its source's statistics — the
-    // quarantine candidate list. Scale shape: two map-combinable
-    // value-bounded rollups + per-source windows over tiny
-    // histograms + one broadcast joined linear filter pass; exactly
-    // two corpus scans, no global sort.
+    // naturally bounded), and every later stage — the deviation
+    // histogram, the fence count, the max deviation — derives from
+    // the FIRST histogram, so the whole audit costs ONE corpus scan.
+    // Emitted per source: population, median, MAD, how many documents
+    // sit beyond MadC·MAD (the quarantine budget), and the worst
+    // deviation — always |sources| rows, so the differential stays
+    // informative even on a fixture with zero outliers (sf1 measures
+    // max_dev ≈ 45–51 against a fence of 3·MAD ≈ 60–72). Scale
+    // shape: one map-combinable value-bounded rollup + per-source
+    // windows over tiny histograms; no global sort, nothing
+    // corpus-sized after the scan.
     "q182_mad_outliers" -> ((s, dir) => {
       val m = docs(s, dir)
-        .select(col("doc_id"), col("source"),
+        .select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       val h = m.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
       val med = histMedian(h, "n_tokens", "med")
@@ -179,11 +183,16 @@ object GovernanceQueries {
         .groupBy(col("source"), abs(col("n_tokens") - col("med")).as("dev"))
         .agg(sum("c").as("c"))
       val mad = histMedian(h2, "dev", "mad")
-      m.join(broadcast(med), "source").join(broadcast(mad), "source")
-        .where(abs(col("n_tokens") - col("med")) > lit(MadC) * col("mad"))
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("med"), col("mad"))
-        .orderBy("doc_id")
+      h2.join(broadcast(mad), "source")
+        .groupBy("source")
+        .agg(sum("c").as("n_docs"),
+          sum(when(col("dev") > lit(MadC) * col("mad"), col("c"))
+            .otherwise(0L)).as("n_outliers"),
+          max("dev").as("max_dev"))
+        .join(broadcast(med), "source").join(broadcast(mad), "source")
+        .select(col("source"), col("n_docs"), col("med"), col("mad"),
+          col("n_outliers"), col("max_dev"))
+        .orderBy("source")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -246,9 +255,10 @@ object GovernanceQueries {
          |    AS distinct_ppm
          |FROM g GROUP BY 1, 2 ORDER BY source, n""".stripMargin,
 
-    // q182: the same histogram lower-median on both statistics.
+    // q182: the same histogram lower-median on both statistics, the
+    // same fence count and max deviation off the deviation histogram.
     "q182_mad_outliers" ->
-      s"""WITH m AS (SELECT doc_id, source,
+      s"""WITH m AS (SELECT source,
          |  CAST(len(${TextAnalysis.tokensSql("text")}) AS BIGINT)
          |    AS n_tokens FROM documents),
          |h AS (SELECT source, n_tokens, CAST(count(*) AS BIGINT) AS c
@@ -261,7 +271,7 @@ object GovernanceQueries {
          |med AS (SELECT source, min(n_tokens) AS med FROM cum
          |  WHERE 2 * cc >= ntot + (ntot % 2) GROUP BY 1),
          |h2 AS (SELECT h.source, abs(h.n_tokens - med.med) AS dev,
-         |    sum(h.c) AS c
+         |    CAST(sum(h.c) AS BIGINT) AS c
          |  FROM h JOIN med USING (source) GROUP BY 1, 2),
          |cum2 AS (SELECT h2.source, h2.dev,
          |    sum(h2.c) OVER (PARTITION BY h2.source ORDER BY h2.dev) AS cc,
@@ -269,8 +279,12 @@ object GovernanceQueries {
          |  FROM h2 JOIN tot USING (source)),
          |mad AS (SELECT source, min(dev) AS mad FROM cum2
          |  WHERE 2 * cc >= ntot + (ntot % 2) GROUP BY 1)
-         |SELECT m.doc_id, m.source, m.n_tokens, med.med, mad.mad
-         |FROM m JOIN med USING (source) JOIN mad USING (source)
-         |WHERE abs(m.n_tokens - med.med) > $MadC * mad.mad
-         |ORDER BY m.doc_id""".stripMargin)
+         |SELECT h2.source, CAST(sum(h2.c) AS BIGINT) AS n_docs,
+         |  med.med, mad.mad,
+         |  CAST(sum(CASE WHEN h2.dev > $MadC * mad.mad THEN h2.c
+         |    ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  max(h2.dev) AS max_dev
+         |FROM h2 JOIN med USING (source) JOIN mad USING (source)
+         |GROUP BY h2.source, med.med, mad.mad
+         |ORDER BY h2.source""".stripMargin)
 }

@@ -63,26 +63,30 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
-  test("q182: flagged docs are exactly those beyond 3*MAD, and the median is a lower median") {
+  test("q182: per-source stats match an independent sorted-array median/MAD") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"),
+      .select(col("source"),
         size(graft.functions.TextAnalysis.tokens(col("text")))
           .cast("long").as("n"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val out = GovernanceQueries.queries("q182_mad_outliers")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
-      .map { case (id, med, mad) => id -> (med, mad) }.toMap
-    // reference medians computed independently (sorted-array lower median)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // reference statistics computed independently (sorted-array lower
+    // median, not the engine's histogram path)
     def lowerMedian(xs: Seq[Long]): Long =
       xs.sorted.apply((xs.size - 1) / 2)
-    docs.groupBy(_._2).foreach { case (_, ds) =>
-      val med = lowerMedian(ds.map(_._3).toSeq)
-      val mad = lowerMedian(ds.map(d => math.abs(d._3 - med)).toSeq)
-      ds.foreach { case (id, _, n) =>
-        val flagged = math.abs(n - med) > 3 * mad
-        assert(out.contains(id) == flagged, s"doc $id")
-        if (flagged) assert(out(id) == (med, mad))
-      }
+    val bySource = docs.groupBy(_._1)
+    assert(out.keySet == bySource.keySet)
+    bySource.foreach { case (src, ds) =>
+      val ns = ds.map(_._2).toSeq
+      val med = lowerMedian(ns)
+      val devs = ns.map(n => math.abs(n - med))
+      val mad = lowerMedian(devs)
+      val expected = (ns.size.toLong, med, mad,
+        devs.count(_ > 3 * mad).toLong, devs.max)
+      assert(out(src) == expected, s"source $src")
     }
   }
 
