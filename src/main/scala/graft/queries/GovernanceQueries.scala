@@ -38,18 +38,26 @@ object GovernanceQueries {
   private val MadC = 3L
 
   /** Lower-median of an integer-valued column via its value-space
-    * histogram: the first value whose running count reaches half the
-    * total (ties to the smaller middle for even counts) — exact, and
-    * never a global sort: the cumulative window runs per source over
-    * the |distinct values|-sized rollup, not the corpus. */
-  private def histMedian(hist: DataFrame, valueCol: String,
+    * histogram, APPENDED as a column (not reduced to a separate frame):
+    * the first value whose running count reaches half the total (ties
+    * to the smaller middle for even counts) — exact, never a global
+    * sort (all three windows run per source over the |distinct
+    * values|-sized rollup), and crucially join-free, so q182 stays ONE
+    * linear lineage: a reduce-to-frame + join-back variant was tried
+    * and REJECTED (each join re-instantiated the histogram subtree and
+    * re-tokenized the corpus — 2.6 s vs 1.1 s at sf0.1; localCheckpoint
+    * and lazy persist both measured worse still, 4.5 s and 13.6 s). */
+  private def withHistMedian(hist: DataFrame, valueCol: String,
       outCol: String): DataFrame = {
-    val tot = hist.groupBy("source").agg(sum("c").as("ntot"))
-    hist.join(tot, "source")
-      .withColumn("cc", sum("c").over(
-        Window.partitionBy("source").orderBy(valueCol)))
-      .where(col("cc") * 2 >= col("ntot") + col("ntot") % 2)
-      .groupBy("source").agg(min(valueCol).as(outCol))
+    val bySrc = Window.partitionBy("source")
+    val cum = Window.partitionBy("source").orderBy(valueCol)
+    hist
+      .withColumn("ntot", sum("c").over(bySrc))
+      .withColumn("cc", sum("c").over(cum))
+      .withColumn(outCol, min(when(
+        col("cc") * 2 >= col("ntot") + col("ntot") % 2,
+        col(valueCol))).over(bySrc))
+      .drop("ntot", "cc")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -178,18 +186,16 @@ object GovernanceQueries {
         .select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       val h = m.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
-      val med = histMedian(h, "n_tokens", "med")
-      val h2 = h.join(broadcast(med), "source")
-        .groupBy(col("source"), abs(col("n_tokens") - col("med")).as("dev"))
+      val h2 = withHistMedian(h, "n_tokens", "med")
+        .groupBy(col("source"), col("med"),
+          abs(col("n_tokens") - col("med")).as("dev"))
         .agg(sum("c").as("c"))
-      val mad = histMedian(h2, "dev", "mad")
-      h2.join(broadcast(mad), "source")
-        .groupBy("source")
+      withHistMedian(h2, "dev", "mad")
+        .groupBy("source", "med", "mad")
         .agg(sum("c").as("n_docs"),
           sum(when(col("dev") > lit(MadC) * col("mad"), col("c"))
             .otherwise(0L)).as("n_outliers"),
           max("dev").as("max_dev"))
-        .join(broadcast(med), "source").join(broadcast(mad), "source")
         .select(col("source"), col("n_docs"), col("med"), col("mad"),
           col("n_outliers"), col("max_dev"))
         .orderBy("source")
