@@ -22,7 +22,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ MultimodalQueries.queries ++
       SamplingQueries.queries ++ CorpusQueries.queries ++
       ClusteringQueries.queries ++ GraphQueries.queries ++
-      MiningQueries.queries ++ GovernanceQueries.queries
+      MiningQueries.queries ++ GovernanceQueries.queries ++
+      OpsQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -32,5 +33,6 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       SamplingQueries.oracleSql ++ CorpusQueries.oracleSql ++
       ClusteringQueries.oracleSql ++ GraphQueries.oracleSql ++
-      MiningQueries.oracleSql ++ GovernanceQueries.oracleSql
+      MiningQueries.oracleSql ++ GovernanceQueries.oracleSql ++
+      OpsQueries.oracleSql
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.OpsQueries
+
+/** Pins for the ops family (q184–q188): association-rule arithmetic
+  * and symmetry, the burst z-test recomputed independently, decay
+  * monotonicity, percentile ordering and membership, and attribution
+  * exclusivity. */
+class OpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q184: rules are capped per antecedent, support-symmetric, confidence-bounded") {
+    val rows = OpsQueries.queries("q184_association_rules")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val byAnt = rows.groupBy(_.getLong(0))
+    byAnt.values.foreach(rs => assert(rs.length <= 10))
+    val pairSupport = rows.map(r =>
+      (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))) -> r.getLong(4)).toMap
+    rows.foreach { r =>
+      val key = (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))
+      assert(r.getLong(4) == pairSupport(key), "support must be symmetric")
+      assert(r.getLong(4) >= 5L)
+      assert(r.getLong(5) <= 1000000L, "confidence cannot exceed 1")
+      val rank = r.getAs[Number](7).longValue
+      assert(rank >= 1L && rank <= 10L)
+    }
+  }
+
+  test("q185: flagged buckets satisfy the z-test against independently computed stats") {
+    val e = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_millis(ts) div 3600000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (h0, h1) = (e.map(_._2).min, e.map(_._2).max)
+    val flagged = OpsQueries.queries("q185_burst_detection")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    e.groupBy(_._1).foreach { case (tpe, es) =>
+      val counts = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val xs = (h0 to h1).map(h => h -> counts.getOrElse(h, 0L))
+      val n = xs.size.toLong
+      val s = xs.map(_._2).sum
+      val q = xs.map(x => x._2 * x._2).sum
+      xs.foreach { case (h, x) =>
+        val isBurst = x * n > s &&
+          4 * (x * n - s) * (x * n - s) > 25 * (n * q - s * s)
+        assert(flagged.contains((tpe, h)) == isBurst, s"($tpe, $h)")
+        if (isBurst) assert(flagged((tpe, h)) == x)
+      }
+    }
+  }
+
+  test("q186: decayed never exceeds total; a fresh event at tmax decays by 0") {
+    val rows = OpsQueries.queries("q186_decayed_reputation")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2),
+        "halving decay cannot increase value")
+      assert(r.getLong(3) >= 0L)
+    }
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.length == nUsers)
+  }
+
+  test("q187: percentiles are ordered and are observed latencies") {
+    val rows = OpsQueries.queries("q187_latency_percentiles")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    val lat = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("mon"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byMon = lat.groupBy(_._1)
+    rows.foreach { r =>
+      val (mon, n, p50, p90, p99) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val ls = byMon(mon).map(_._2).sorted
+      assert(n == ls.length)
+      assert(p50 <= p90 && p90 <= p99)
+      Seq(50 -> p50, 90 -> p90, 99 -> p99).foreach { case (p, v) =>
+        assert(ls.contains(v), s"$mon p$p=$v not observed")
+        // v is the smallest latency with rank coverage >= p%
+        val cc = ls.count(_ <= v).toLong
+        assert(100 * cc >= p * n)
+        val below = ls.filter(_ < v)
+        if (below.nonEmpty)
+          assert(100 * below.count(_ <= below.max) < p * n ||
+            below.max == v)
+      }
+    }
+  }
+
+  test("q188: every purchase once; attributed gaps inside the window; -1s consistent") {
+    val rows = OpsQueries.queries("q188_attribution")(spark, dir).collect()
+    val nPurch = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === "purchase").count()
+    assert(rows.length == nPurch)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      val (clickId, gap) = (r.getLong(3), r.getLong(4))
+      assert((clickId == -1L) == (gap == -1L))
+      if (gap >= 0) assert(gap <= 604800000L)
+    }
+  }
+}

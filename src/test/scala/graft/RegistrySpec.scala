@@ -20,7 +20,8 @@ class RegistrySpec extends AnyFunSuite {
     "clustering" -> ClusteringQueries.queries.keySet,
     "graph" -> GraphQueries.queries.keySet,
     "mining" -> MiningQueries.queries.keySet,
-    "governance" -> GovernanceQueries.queries.keySet)
+    "governance" -> GovernanceQueries.queries.keySet,
+    "ops" -> OpsQueries.queries.keySet)
 
   test("no query-name collisions across modules") {
     val total = modules.map(_._2.size).sum
