@@ -416,4 +416,32 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("WindowExec"), s"$q: ranking must not fall back to a window")
     }
   }
+
+  test("q179-q188: no cartesian products anywhere in the new families") {
+    for (q <- Seq("q179_purged_split", "q180_k_anonymity", "q181_distinct_n",
+      "q182_mad_outliers", "q183_link_prediction", "q184_association_rules",
+      "q185_burst_detection", "q186_decayed_reputation",
+      "q187_latency_percentiles", "q188_attribution")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a cartesian product")
+    }
+  }
+
+  test("q182/q188: join-free single-lineage plans (histogram windows / as-of union)") {
+    for (q <- Seq("q182_mad_outliers", "q188_attribution")) {
+      val p = plan(q)
+      for (j <- Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+        "NestedLoopJoin"))
+        assert(!p.contains(j), s"$q must be join-free but plans $j")
+    }
+  }
+
+  test("q184: per-antecedent rule cap runs through TopKPerKeyExec; pair build never self-joins the fact") {
+    val p = plan(q = "q184_association_rules")
+    assert(p.contains("TopKPerKey"), "rule cap must use the custom operator")
+    // exactly one scan family feeds the pair table: the basket explode,
+    // not an os-vs-os fact self-join (two lineitem scans are fine —
+    // item supports — but no join may carry two corpus-sized sides)
+    assert(!p.contains("CartesianProduct"))
+  }
 }
