@@ -40,6 +40,29 @@ object OpsQueries {
     * click at most 7 days old. */
   private val AttribWindowMs = 604800000L
 
+  /** q189: cumulative-revenue-share class boundaries (percent). */
+  private val AbcA = 80L
+  private val AbcB = 95L
+
+  /** q193: session inactivity gap and the path prefix length kept. */
+  private val SessionGapMs = 1800000L
+  private val PathLen = 5
+
+  /** q191: the categorical columns profiled — (label, table, column
+    * expression). One map-combinable rollup each; the int key profile
+    * casts to string (Spark STRING / DuckDB VARCHAR spelled per
+    * engine in the bindings). */
+  private val GiniCols: Seq[(String, String, String)] = Seq(
+    ("customer.c_mktsegment", "customer", "c_mktsegment"),
+    ("customer.c_nationkey", "customer", "c_nationkey"),
+    ("documents.lang", "documents", "lang"),
+    ("documents.source", "documents", "source"),
+    ("events.event_type", "events", "event_type"),
+    ("lineitem.l_linestatus", "lineitem", "l_linestatus"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("orders.o_orderstatus", "orders", "o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ASSOCIATION RULES (q184): the market-basket classic (Agrawal &
@@ -214,6 +237,175 @@ object OpsQueries {
           when(col("gap").isNotNull && col("gap") <= AttribWindowMs,
             col("gap")).otherwise(-1L).as("gap_ms"))
         .orderBy("event_id")
+    }),
+
+    // ABC / PARETO CLASSIFICATION (q189): every part classified by its
+    // cumulative share of total discounted revenue — A while the
+    // running share before the part is under 80 %, B under 95 %, C
+    // after (the inventory-curation classic, and the exact shape of
+    // "which sources contribute 80 % of my corpus tokens"). Money
+    // stays exact: price × (1−discount) in decimal (q20's recipe),
+    // rounded to cents, then LONG cents everywhere — the rank and the
+    // class are integer-exact, never a float cumsum. Scale shape: one
+    // map-combinable fact rollup to |parts| rows; the global
+    // rank/cumsum window runs on that DIMENSION-sized aggregate (the
+    // one place a global sort is the right plan), with the grand
+    // total as a broadcast scalar.
+    "q189_abc_pareto" -> ((s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val oneMinusD = (lit(1.0) - col("l_discount")).cast("decimal(3,2)")
+      val r = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"),
+          (round(price * oneMinusD, 2) * 100).cast("long").as("cents"))
+        .groupBy("partkey").agg(sum("cents").as("revenue_cents"))
+      val tot = r.agg(sum("revenue_cents").as("t"))
+      val byRev = Window.orderBy(col("revenue_cents").desc, col("partkey"))
+      r.withColumn("rank", row_number().over(byRev).cast("long"))
+        .withColumn("cum_before",
+          sum("revenue_cents").over(byRev) - col("revenue_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("partkey"), col("revenue_cents"), col("rank"),
+          when(col("cum_before") * 100 < lit(AbcA) * col("t"), "A")
+            .when(col("cum_before") * 100 < lit(AbcB) * col("t"), "B")
+            .otherwise("C").as("abc"))
+        .orderBy("rank")
+    }),
+
+    // CUSUM CHANGEPOINT (q190): per event type, the day where the
+    // cumulative deviation from the overall daily mean peaks — the
+    // classic level-shift detector (Page 1954) that catches "traffic
+    // permanently moved" where q185's pointwise z-test only catches
+    // single-bucket spikes. The statistic stays integer by scaling:
+    // CUSUM_k = Σ_{i≤k} x_i·n − k·S (n times the usual mean-deviation
+    // sum). Scale shape: the same dense-grid discipline as q185
+    // (map-combinable rollup + broadcast scalars), all windows over
+    // the |types|·|days| grid, output one row per type.
+    "q190_cusum_changepoint" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("d"))
+      val b = e.agg(min("d").as("d0"), max("d").as("d1"))
+      val obs = e.groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(b))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(obs, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("x"))
+      val byType = Window.partitionBy("event_type")
+      val inOrder = Window.partitionBy("event_type").orderBy("d")
+      grid
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("s", sum("x").over(byType))
+        .withColumn("cx", sum("x").over(inOrder))
+        .withColumn("k", row_number().over(inOrder).cast("long"))
+        .withColumn("cusum", col("cx") * col("n") - col("k") * col("s"))
+        .withColumn("m", max(abs(col("cusum"))).over(byType))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"), max(abs(col("cusum"))).as("max_abs_cusum"),
+          min(when(abs(col("cusum")) === col("m"), col("d"))).as("argmax_day"))
+        .orderBy("event_type")
+    }),
+
+    // CATEGORICAL PROFILE (q191): Gini impurity, distinct count, and
+    // top-value share for every low-cardinality column across five
+    // tables — the data-profiling sweep a catalog runs to spot
+    // near-constant columns (top_share → 1) and unbalanced labels.
+    // Gini (1 − Σ(c/n)²) stays exact-integer via two-step long
+    // division by n²: ppm = q·10⁶ div n² computed as
+    // t·1000 + (r·1000) div n² with t = q·1000 div n², r its
+    // remainder — the naive q·10⁶ wraps int64 at sf1 fact sizes.
+    // Scale shape: one map-combinable value rollup per column
+    // (value-space bounded), a scalar reduction each, union of nine
+    // 1-row frames.
+    "q191_gini_profile" -> ((s, dir) => {
+      val parts = GiniCols.map { case (label, table, colExpr) =>
+        Tables.load(s, dir, table)
+          .groupBy(expr(colExpr).cast("string").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum("c").as("n_rows"), count(lit(1)).as("n_distinct"),
+            max("c").as("mc"), sum(col("c") * col("c")).as("qq"))
+          .select(lit(label).as("col_name"), col("n_rows"),
+            col("n_distinct"),
+            expr("(CAST(1000000 AS BIGINT) * mc) div n_rows")
+              .as("top_share_ppm"),
+            expr("""1000000 - (((qq * 1000) div (n_rows * n_rows)) * 1000
+                   | + (((qq * 1000) % (n_rows * n_rows)) * 1000)
+                   |   div (n_rows * n_rows))""".stripMargin)
+              .as("gini_ppm"))
+      }
+      parts.reduce(_ unionAll _).orderBy("col_name")
+    }),
+
+    // SEASONAL BASELINE ANOMALIES (q192): q185's z-test re-grouped by
+    // (type, hour-of-day) — each cell competes against ITS OWN hour's
+    // cross-day baseline, so a 9 am spike is judged against 9 am
+    // traffic, not the 24-hour mean (the seasonality correction
+    // without which daily-rhythm data flags every peak hour). Same
+    // dense grid (every day × 24 hours, zero-filled), same integer
+    // cross-multiplied test, windows partitioned by (type, hod).
+    "q192_seasonal_baseline" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("d"),
+          expr("(unix_millis(ts) % 86400000) div 3600000").as("hod"))
+      val b = e.agg(min("d").as("d0"), max("d").as("d1"))
+      val obs = e.groupBy("event_type", "d", "hod")
+        .agg(count(lit(1)).as("x"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(b))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+        .select(col("event_type"), col("d"),
+          explode(sequence(lit(0L), lit(23L))).as("hod"))
+        .join(obs, Seq("event_type", "d", "hod"), "left")
+        .na.fill(0L, Seq("x"))
+      val bySeason = Window.partitionBy("event_type", "hod")
+      grid
+        .withColumn("n", count(lit(1)).over(bySeason))
+        .withColumn("s", sum("x").over(bySeason))
+        .withColumn("q", sum(col("x") * col("x")).over(bySeason))
+        .where(col("x") * col("n") > col("s") &&
+          lit(BurstDen) * (col("x") * col("n") - col("s")) *
+            (col("x") * col("n") - col("s")) >
+            lit(BurstNum) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("event_type"), col("d").as("day_bucket"), col("hod"),
+          col("x").as("cnt"), col("n"), col("s"))
+        .orderBy("event_type", "day_bucket", "hod")
+    }),
+
+    // SESSION EXIT PATHS (q193): sessionize each user's events on a
+    // 30-minute inactivity gap, render every session's first PathLen
+    // event types as a path string, and roll up how many sessions
+    // follow each path — the funnel-abandonment mining that answers
+    // "where do sessions die". The path universe is VALUE-SPACE
+    // bounded (≤ Σ|types|^k, k ≤ PathLen), so the rollup is tiny at
+    // any scale; the per-session collect is bounded by session length
+    // (a 30-minute activity window), the same per-group bound q153's
+    // sequence packing rides. Deterministic: ties inside a session
+    // break on event_id, sessions cut by epoch-millis arithmetic.
+    "q193_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val sessions = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_millis(ts)").as("t"),
+          col("event_id"), col("event_type"))
+        .withColumn("brk",
+          when(lag("t", 1).over(w).isNull ||
+            col("t") - lag("t", 1).over(w) > SessionGapMs, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("brk").over(w))
+      sessions
+        .groupBy("user_id", "sess")
+        .agg(collect_list(struct(col("t"), col("event_id"),
+          col("event_type"))).as("evs"),
+          count(lit(1)).as("n_events"))
+        .select(expr(s"""concat_ws('>',
+          |  slice(transform(array_sort(evs), x -> x.event_type),
+          |    1, $PathLen))""".stripMargin).as("path"),
+          col("n_events"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("total_events"))
+        .orderBy("path")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -324,5 +516,112 @@ object OpsQueries {
          |    THEN epoch_ms(p.ts) - epoch_ms(c.ts) ELSE -1 END AS gap_ms
          |FROM p ASOF LEFT JOIN clicks c
          |  ON c.user_id = p.user_id AND c.ts <= p.ts
-         |ORDER BY p.event_id""".stripMargin)
+         |ORDER BY p.event_id""".stripMargin,
+
+    // q189: same decimal→cents arithmetic, same rank/cumsum class cuts.
+    "q189_abc_pareto" ->
+      s"""WITH r AS (SELECT l_partkey AS partkey,
+         |  CAST(sum(CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)) *
+         |    CAST(1.0 - l_discount AS DECIMAL(3,2)), 2) * 100 AS BIGINT))
+         |    AS BIGINT) AS revenue_cents
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT sum(revenue_cents) AS t FROM r),
+         |rk AS (SELECT partkey, revenue_cents,
+         |  CAST(row_number() OVER w AS BIGINT) AS rank,
+         |  CAST(sum(revenue_cents) OVER w AS BIGINT) - revenue_cents
+         |    AS cum_before
+         |  FROM r WINDOW w AS (ORDER BY revenue_cents DESC, partkey))
+         |SELECT rk.partkey, rk.revenue_cents, rk.rank,
+         |  CASE WHEN 100 * rk.cum_before < $AbcA * tot.t THEN 'A'
+         |       WHEN 100 * rk.cum_before < $AbcB * tot.t THEN 'B'
+         |       ELSE 'C' END AS abc
+         |FROM rk CROSS JOIN tot ORDER BY rk.rank""".stripMargin,
+
+    // q190: same dense day grid and n-scaled CUSUM; argmax via the
+    // per-type max window.
+    "q190_cusum_changepoint" ->
+      s"""WITH b AS (SELECT min(epoch_ms(ts)) // 86400000 AS d0,
+         |  max(epoch_ms(ts)) // 86400000 AS d1 FROM events),
+         |obs AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+         |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         |grid AS (SELECT t.event_type, g.d, coalesce(obs.x, 0) AS x
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(range(b.d0, b.d1 + 1)) AS d FROM b) g
+         |  LEFT JOIN obs ON obs.event_type = t.event_type AND obs.d = g.d),
+         |st AS (SELECT event_type, d,
+         |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         |  CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         |  CAST(sum(x) OVER (PARTITION BY event_type ORDER BY d)
+         |    AS BIGINT) AS cx,
+         |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+         |    AS BIGINT) AS k
+         |  FROM grid),
+         |cs AS (SELECT event_type, d, n, cx * n - k * s AS cusum,
+         |  max(abs(cx * n - k * s)) OVER (PARTITION BY event_type) AS m
+         |  FROM st)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+         |  CAST(max(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+         |  CAST(min(CASE WHEN abs(cusum) = m THEN d END) AS BIGINT)
+         |    AS argmax_day
+         |FROM cs GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q191: same per-column rollups and the same two-step long
+    // division (labels embedded from the same Scala constant).
+    "q191_gini_profile" -> (GiniCols.map { case (label, table, colExpr) =>
+      s"""SELECT '$label' AS col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST((CAST(1000000 AS BIGINT) * max(c)) // sum(c) AS BIGINT)
+         |    AS top_share_ppm,
+         |  CAST(1000000 - (((sum(c * c) * 1000) // (sum(c) * sum(c))) * 1000
+         |    + (((sum(c * c) * 1000) % (sum(c) * sum(c))) * 1000)
+         |      // (sum(c) * sum(c))) AS BIGINT) AS gini_ppm
+         |FROM (SELECT CAST($colExpr AS VARCHAR) AS v,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM $table GROUP BY 1)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
+    // q192: the q185 z-test per (type, hour-of-day) over the dense
+    // day × hour grid.
+    "q192_seasonal_baseline" ->
+      s"""WITH b AS (SELECT min(epoch_ms(ts)) // 86400000 AS d0,
+         |  max(epoch_ms(ts)) // 86400000 AS d1 FROM events),
+         |obs AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+         |  (epoch_ms(ts) % 86400000) // 3600000 AS hod,
+         |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2, 3),
+         |grid AS (SELECT t.event_type, g.d, h.hod, coalesce(obs.x, 0) AS x
+         |  FROM (SELECT DISTINCT event_type FROM events) t
+         |  CROSS JOIN (SELECT unnest(range(b.d0, b.d1 + 1)) AS d FROM b) g
+         |  CROSS JOIN (SELECT unnest(range(0, 24)) AS hod) h
+         |  LEFT JOIN obs ON obs.event_type = t.event_type
+         |    AND obs.d = g.d AND obs.hod = h.hod),
+         |st AS (SELECT event_type, d, hod, x,
+         |  CAST(count(*) OVER w AS BIGINT) AS n,
+         |  CAST(sum(x) OVER w AS BIGINT) AS s,
+         |  CAST(sum(x * x) OVER w AS BIGINT) AS q
+         |  FROM grid WINDOW w AS (PARTITION BY event_type, hod))
+         |SELECT event_type, d AS day_bucket, hod, x AS cnt, n, s
+         |FROM st
+         |WHERE x * n > s
+         |  AND $BurstDen * (x * n - s) * (x * n - s) >
+         |    $BurstNum * (n * q - s * s)
+         |ORDER BY event_type, d, hod""".stripMargin,
+
+    // q193: same gap sessionization (lag + running sum), same ordered
+    // path rendering.
+    "q193_session_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS t
+         |  FROM events),
+         |g AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+         |    OR t - lag(t) OVER w > $SessionGapMs THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY t, event_id) AS BIGINT) AS sess FROM g),
+         |p AS (SELECT user_id, sess,
+         |  array_to_string(list_slice(
+         |    list(event_type ORDER BY t, event_id), 1, $PathLen), '>')
+         |    AS path,
+         |  CAST(count(*) AS BIGINT) AS n_events FROM s GROUP BY 1, 2)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  CAST(sum(n_events) AS BIGINT) AS total_events
+         |FROM p GROUP BY 1 ORDER BY path""".stripMargin)
 }

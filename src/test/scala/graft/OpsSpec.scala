@@ -100,6 +100,87 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q189: classes partition parts in rank order; A closes at the 80% boundary") {
+    val rows = OpsQueries.queries("q189_abc_pareto")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    // rank order is revenue-descending and classes are monotone A<=B<=C
+    val sorted = rows.sortBy(_.getLong(2))
+    sorted.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getLong(0) < b.getLong(0)))
+      assert(a.getString(3) <= b.getString(3), "classes must be monotone")
+    }
+    // the first part AFTER the A block has cum_before >= 80% of total
+    var cum = 0L
+    sorted.foreach { r =>
+      val expected = if (100 * cum < 80 * total) "A"
+        else if (100 * cum < 95 * total) "B" else "C"
+      assert(r.getString(3) == expected, s"rank ${r.getLong(2)}")
+      cum += r.getLong(1)
+    }
+  }
+
+  test("q190: the reported peak is the true max |CUSUM| over the dense day grid") {
+    val e = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (d0, d1) = (e.map(_._2).min, e.map(_._2).max)
+    val out = OpsQueries.queries("q190_cusum_changepoint")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    e.groupBy(_._1).foreach { case (tpe, es) =>
+      val counts = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val xs = (d0 to d1).map(h => counts.getOrElse(h, 0L))
+      val n = xs.size.toLong
+      val s = xs.sum
+      var cx = 0L
+      var best = 0L; var bestDay = d0
+      xs.zipWithIndex.foreach { case (x, i) =>
+        cx += x
+        val cusum = cx * n - (i + 1) * s
+        if (math.abs(cusum) > best) { best = math.abs(cusum); bestDay = d0 + i }
+      }
+      assert(out(tpe) == ((n, best, bestDay)), tpe)
+    }
+  }
+
+  test("q191: gini and top-share are bounded and consistent with distinct counts") {
+    val rows = OpsQueries.queries("q191_gini_profile")(spark, dir).collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val (n, d, top, gini) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(d >= 1 && top >= 1000000L / d && top <= 1000000L)
+      assert(gini >= 0 && gini < 1000000L)
+      // gini upper bound for d values: 1 - 1/d
+      assert(gini <= 1000000L - 1000000L / d + 1)
+      assert(n > 0)
+    }
+  }
+
+  test("q192: flagged cells beat their own hour-of-day baseline, not the global one") {
+    val rows = OpsQueries.queries("q192_seasonal_baseline")(spark, dir)
+      .collect()
+    rows.foreach { r =>
+      val (cnt, n, s) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cnt * n > s, "flagged cell must exceed its seasonal mean")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 23)
+    }
+  }
+
+  test("q193: paths cover every event exactly once; prefixes capped at 5") {
+    val rows = OpsQueries.queries("q193_session_paths")(spark, dir).collect()
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nEvents,
+      "sessions must partition the events")
+    rows.foreach { r =>
+      val path = r.getString(0)
+      assert(path.split(">").length <= 5)
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
   test("q188: every purchase once; attributed gaps inside the window; -1s consistent") {
     val rows = OpsQueries.queries("q188_attribution")(spark, dir).collect()
     val nPurch = spark.read.parquet(s"$dir/events.parquet")
