@@ -23,7 +23,7 @@ object SparkEntry {
       SamplingQueries.queries ++ CorpusQueries.queries ++
       ClusteringQueries.queries ++ GraphQueries.queries ++
       MiningQueries.queries ++ GovernanceQueries.queries ++
-      OpsQueries.queries
+      OpsQueries.queries ++ EvalQueries.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. */
@@ -34,5 +34,5 @@ object SparkEntry {
       SamplingQueries.oracleSql ++ CorpusQueries.oracleSql ++
       ClusteringQueries.oracleSql ++ GraphQueries.oracleSql ++
       MiningQueries.oracleSql ++ GovernanceQueries.oracleSql ++
-      OpsQueries.oracleSql
+      OpsQueries.oracleSql ++ EvalQueries.oracleSql
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.EvalQueries
+
+/** Pins for the eval family (q194–q198): confusion-matrix mass
+  * conservation, risk–coverage monotonicity, the OLS denominator's
+  * closed form, purity's pigeonhole bound, and the temporal split's
+  * train/test exclusivity. */
+class EvalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q194: matrix mass equals the vector count; rows share to ~1e6") {
+    val rows = EvalQueries.queries("q194_centroid_classifier")(spark, dir)
+      .collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nVecs)
+    rows.groupBy(_.getLong(0)).foreach { case (label, rs) =>
+      val total = rs.map(_.getLong(3)).sum
+      // integer-floor shares: within |row| of 1e6 from below
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"label $label shares sum to $total")
+    }
+  }
+
+  test("q195: coverage and acceptance are monotone nonincreasing in the threshold") {
+    val rows = EvalQueries.queries("q195_risk_coverage")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == nVecs,
+      "threshold 0 must accept everything")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1))
+      assert(b.getLong(2) <= a.getLong(2))
+    }
+    rows.foreach { r =>
+      assert(r.getLong(3) == -1L || r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("q196: the OLS denominator matches its closed form n^2(n^2-1)/12") {
+    val rows = EvalQueries.queries("q196_trend_slope")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(r.getLong(3) == n * n * (n * n - 1) / 12,
+        s"${r.getString(0)}: den ${r.getLong(3)}")
+      val num = r.getLong(2)
+      val dirn = r.getLong(4)
+      assert(dirn == java.lang.Long.signum(num).toLong)
+    }
+  }
+
+  test("q197: bucket populations cover all vectors; purity respects the pigeonhole bound") {
+    val rows = EvalQueries.queries("q197_bucket_purity")(spark, dir)
+      .collect()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach { r =>
+      val (n, topN, purity) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(topN <= n && purity == 1000000L * topN / n)
+      // majority over 10 labels is at least a tenth of the bucket
+      assert(10 * topN >= n)
+    }
+  }
+
+  test("q198: test mass equals the second-half transitions; accuracy bounded") {
+    val rows = EvalQueries.queries("q198_markov_eval")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recount of second-half transitions per type
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("t", "event_id")
+    val tr = graft.sources.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_millis(ts)").as("t"),
+        expr("unix_millis(ts) div 86400000").as("d"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .withColumn("next_d", lead("d", 1).over(w))
+      .where(col("next_type").isNotNull)
+      .select("event_type", "d", "next_d")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val d0 = tr.map(_._2).min
+    val d1 = tr.map(t => math.max(t._2, t._3)).max
+    val mid = (d0 + d1) / 2
+    val expected = tr.filter(_._2 > mid).groupBy(_._1).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected(r.getString(0)), r.getString(0))
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) == 1000000L * r.getLong(3) / r.getLong(2))
+    }
+  }
+}

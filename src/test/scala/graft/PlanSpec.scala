@@ -417,13 +417,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q179-q193: no cartesian products anywhere in the new families") {
+  test("q179-q198: no cartesian products anywhere in the new families") {
     for (q <- Seq("q179_purged_split", "q180_k_anonymity", "q181_distinct_n",
       "q182_mad_outliers", "q183_link_prediction", "q184_association_rules",
       "q185_burst_detection", "q186_decayed_reputation",
       "q187_latency_percentiles", "q188_attribution", "q189_abc_pareto",
       "q190_cusum_changepoint", "q191_gini_profile",
-      "q192_seasonal_baseline", "q193_session_paths")) {
+      "q192_seasonal_baseline", "q193_session_paths",
+      "q194_centroid_classifier", "q195_risk_coverage", "q196_trend_slope",
+      "q197_bucket_purity", "q198_markov_eval")) {
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a cartesian product")
     }

@@ -21,7 +21,8 @@ class RegistrySpec extends AnyFunSuite {
     "graph" -> GraphQueries.queries.keySet,
     "mining" -> MiningQueries.queries.keySet,
     "governance" -> GovernanceQueries.queries.keySet,
-    "ops" -> OpsQueries.queries.keySet)
+    "ops" -> OpsQueries.queries.keySet,
+    "eval" -> EvalQueries.queries.keySet)
 
   test("no query-name collisions across modules") {
     val total = modules.map(_._2.size).sum
