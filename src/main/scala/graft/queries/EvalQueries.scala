@@ -28,6 +28,12 @@ object EvalQueries {
   private val Thresholds: Seq[Long] =
     Seq(0L, 5000L, 10000L, 20000L, 40000L, 80000L, 160000L)
 
+  /** q199: coreset size (Gonzalez farthest-point rounds). */
+  private val KCenters = 8
+
+  /** q201: score deciles. */
+  private val LiftBuckets = 10
+
   /** Quantized embeddings with their labels, and the per-label integer
     * centroid table (c = Σq div n per dimension, ordered dim list) —
     * shared by q194/q195. Both stages are map-combinable rollups; the
@@ -184,6 +190,117 @@ object EvalQueries {
         .orderBy("bucket")
     }),
 
+    // K-CENTER CORESET (q199): Gonzalez's farthest-point traversal
+    // (1985) over the quantized embeddings — seed at the smallest
+    // vec_id, then KCenters−1 times pick the vector FARTHEST from the
+    // chosen set (max-min-distance, ties to the smaller id). The
+    // selected set 2-approximates the optimal k-center cover: it is
+    // the standard coreset / diverse-probe selection for labeling
+    // budgets and eval-suite seeding, and each selection's radius is
+    // the exact covering radius of the prefix — the diminishing-
+    // returns curve that says when to stop adding centers. Driver
+    // state is KCenters quantized vectors (the q98 centroid-collect
+    // precedent, k·dim longs); per round the engine runs ONE linear
+    // kernel projection + a TakeOrdered argmax — no shuffle, no
+    // quadratic stage, at any corpus size. The min-distance column
+    // folds via least() across rounds (KCenters-bounded projection
+    // depth, no re-analysis blowup at k = 8).
+    "q199_kcenter_coreset" -> ((s, dir) => {
+      val e = labeled(s, dir).select("vec_id", "qv").persist()
+      try {
+        val first = e.orderBy("vec_id").limit(1).collect()(0)
+        var chosen = Vector[(Long, Long)]((first.getLong(0), -1L))
+        var d = e.withColumn("md",
+          KMeans.sqDist(col("qv"), typedLit(first.getSeq[Long](1))))
+        (2 to KCenters).foreach { _ =>
+          val next = d.orderBy(col("md").desc, col("vec_id")).limit(1)
+            .collect()(0)
+          chosen :+= ((next.getLong(0), next.getLong(2)))
+          d = d.withColumn("md", least(col("md"),
+            KMeans.sqDist(col("qv"), typedLit(next.getSeq[Long](1)))))
+        }
+        import s.implicits._
+        chosen.zipWithIndex
+          .map { case ((id, r), i) => (i + 1L, id, r) }
+          .toDF("center_rank", "vec_id", "radius")
+          .orderBy("center_rank")
+      } finally e.unpersist()
+    }),
+
+    // DECILE LIFT TABLE (q201): rank every user by the q186 decayed-
+    // reputation score, cut into NTILE deciles, and report each
+    // decile's purchase conversion against the global rate — the lift
+    // table that validates a scoring model ("does the top decile
+    // actually convert more"). Exact integers: scores are the q186
+    // cents arithmetic, conversion and lift in ppm with the overflow-
+    // safe cross-multiplied form. Scale shape: the per-user rollup is
+    // map-combinable; NTILE runs over the |users|-row aggregate (the
+    // dimension-sized global sort, q189's discipline); the rest is a
+    // 10-row rollup against broadcast scalars.
+    "q201_decile_lift" -> ((s, dir) => {
+      val mx = Tables.load(s, dir, "events")
+        .agg(max(expr("unix_millis(ts)")).as("tmax"))
+      val users = Tables.load(s, dir, "events")
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), col("event_type"),
+          expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"),
+          least(expr("(tmax - unix_millis(ts)) div 86400000"), lit(40L))
+            .as("age"))
+        .groupBy("user_id")
+        .agg(sum(expr("cents div shiftleft(CAST(1 AS BIGINT), CAST(age AS INT))"))
+          .as("score"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .withColumn("decile", ntile(LiftBuckets).over(
+          Window.orderBy(col("score").desc, col("user_id"))).cast("long"))
+      val g = users.agg(count(lit(1)).as("all_users"),
+        sum(when(col("n_purchases") > 0, 1L).otherwise(0L)).as("all_conv"))
+      users.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_purchases") > 0, 1L).otherwise(0L))
+            .as("n_converted"),
+          sum("n_purchases").as("n_purchases"))
+        .crossJoin(broadcast(g))
+        .select(col("decile"), col("n_users"), col("n_converted"),
+          col("n_purchases"),
+          expr("(CAST(1000000 AS BIGINT) * n_converted) div n_users")
+            .as("conv_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * n_converted * all_users)" +
+            " div (n_users * all_conv)").as("lift_ppm"))
+        .orderBy("decile")
+    }),
+
+    // MUTUAL NEAREST NEIGHBORS (q202): pairs of vectors that are each
+    // other's nearest neighbor WITHIN their shared LSH bucket — the
+    // high-precision duplicate-candidate filter (mutual-NN is the
+    // standard reciprocal-best-match criterion from bitext mining and
+    // dedup cascades; one-directional NN over-proposes around hubs).
+    // Scale shape: candidate pairs come from the q56 bucket equi-join
+    // (occupancy-bounded, never all-pairs); per-vector argmin streams
+    // through TopKPerKeyExec k = 1; mutuality is one self-equi-join
+    // of the |vectors|-row NN table on the flipped key; output u < v
+    // once with the exact int64 distance.
+    "q202_mutual_nn" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"),
+          Similarity.bucket(col("embedding")).as("bucket"))
+      val pairs = e.select(col("bucket"), col("vec_id").as("a"),
+          col("qv").as("qa"))
+        .join(e.select(col("bucket"), col("vec_id").as("b"),
+          col("qv").as("qb")), Seq("bucket"))
+        .where(col("a") =!= col("b"))
+        .select(col("a"), col("b"), KMeans.sqDist(col("qa"), col("qb"))
+          .as("d2"))
+      val nn = TopK.perKey(pairs, Seq("a"),
+          Seq("d2" -> true, "b" -> true), k = 1)
+        .select(col("a"), col("b"), col("d2"))
+      nn.join(nn.select(col("a").as("b"), col("b").as("a")),
+          Seq("a", "b"))
+        .where(col("a") < col("b"))
+        .select(col("a").as("u"), col("b").as("v"), col("d2"))
+        .orderBy("u")
+    }),
+
     // TEMPORAL MARKOV EVAL (q198): train the q120-style next-event
     // model (per current type, the most frequent next type) on
     // transitions that COMPLETE in the first half of the time range,
@@ -319,6 +436,83 @@ object EvalQueries {
          |SELECT bucket, n, top_label, top_n,
          |  CAST((1000000 * top_n) // n AS BIGINT) AS purity_ppm
          |FROM tops ORDER BY bucket""".stripMargin,
+
+    // q199: the traversal unrolled to KCenters steps — materialized
+    // distance CTEs (each is referenced by both the argmax and the
+    // next fold; without MATERIALIZED the chain re-inlines
+    // exponentially).
+    "q199_kcenter_coreset" -> {
+      val dist0 = KMeans.sqDistSql("e.qv", "cq.qv", Similarity.Dim)
+      val steps = (2 to KCenters).map { t =>
+        s"""p$t AS (SELECT vec_id AS id, md AS r FROM d${t - 1}
+           |  ORDER BY md DESC, vec_id LIMIT 1),
+           |d$t AS MATERIALIZED (SELECT d.vec_id, d.qv,
+           |  least(d.md, ${KMeans.sqDistSql("d.qv", "cq.qv", Similarity.Dim)})
+           |    AS md
+           |  FROM d${t - 1} d CROSS JOIN
+           |    (SELECT e2.qv FROM e e2 JOIN p$t ON e2.vec_id = p$t.id)
+           |      cq(qv))""".stripMargin
+      }.mkString(",\n")
+      val selects = (2 to KCenters).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS center_rank, p$t.id AS vec_id, " +
+          s"CAST(p$t.r AS BIGINT) AS radius FROM p$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+         |  ${KMeans.quantizeSql("embedding")} AS qv FROM embeddings),
+         |c1 AS (SELECT min(vec_id) AS id FROM e),
+         |d1 AS MATERIALIZED (SELECT e.vec_id, e.qv, $dist0 AS md
+         |  FROM e CROSS JOIN
+         |    (SELECT e2.qv FROM e e2 JOIN c1 ON e2.vec_id = c1.id) cq(qv)),
+         |$steps
+         |SELECT CAST(1 AS BIGINT) AS center_rank, c1.id AS vec_id,
+         |  CAST(-1 AS BIGINT) AS radius FROM c1
+         |UNION ALL $selects
+         |ORDER BY center_rank""".stripMargin
+    },
+
+    // q201: same decayed score, same NTILE order, same cross-
+    // multiplied lift.
+    "q201_decile_lift" ->
+      s"""WITH mx AS (SELECT max(epoch_ms(ts)) AS tmax FROM events),
+         |u AS (SELECT user_id,
+         |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT) //
+         |    (CAST(1 AS BIGINT) << CAST(least(
+         |      (mx.tmax - epoch_ms(ts)) // 86400000, 40) AS INT)))
+         |    AS BIGINT) AS score,
+         |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+         |    AS n_purchases
+         |  FROM events CROSS JOIN mx GROUP BY 1),
+         |d AS (SELECT *, CAST(ntile($LiftBuckets) OVER (
+         |  ORDER BY score DESC, user_id) AS BIGINT) AS decile FROM u),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS all_users,
+         |  CAST(count(*) FILTER (n_purchases > 0) AS BIGINT) AS all_conv
+         |  FROM d)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(count(*) FILTER (n_purchases > 0) AS BIGINT) AS n_converted,
+         |  CAST(sum(n_purchases) AS BIGINT) AS n_purchases,
+         |  CAST((1000000 * count(*) FILTER (n_purchases > 0)) // count(*)
+         |    AS BIGINT) AS conv_ppm,
+         |  CAST((1000000 * count(*) FILTER (n_purchases > 0) * g.all_users)
+         |    // (count(*) * g.all_conv) AS BIGINT) AS lift_ppm
+         |FROM d CROSS JOIN g GROUP BY decile, g.all_users, g.all_conv
+         |ORDER BY decile""".stripMargin,
+
+    // q202: same bucket equi-join candidates, same k=1 tie order,
+    // mutuality by the flipped self-join.
+    "q202_mutual_nn" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  ${KMeans.quantizeSql("embedding")} AS qv,
+         |  ${Similarity.bucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+         |  ${KMeans.sqDistSql("a.qv", "b.qv", Similarity.Dim)} AS d2
+         |  FROM e a JOIN e b ON b.bucket = a.bucket
+         |    AND a.vec_id <> b.vec_id),
+         |nn AS (SELECT a, b, CAST(d2 AS BIGINT) AS d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY a ORDER BY d2, b)
+         |    AS rn FROM p) WHERE rn = 1)
+         |SELECT n1.a AS u, n1.b AS v, n1.d2
+         |FROM nn n1 JOIN nn n2 ON n2.a = n1.b AND n2.b = n1.a
+         |WHERE n1.a < n1.b ORDER BY u""".stripMargin,
 
     // q198: same lead() transitions, same split, same argmax ties.
     "q198_markov_eval" ->

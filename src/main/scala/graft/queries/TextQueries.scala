@@ -475,6 +475,47 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // RANKING OVERLAP@K (q200): how much the lexical channel (the
+    // q127 BM25 chain) and the dense channel (quantized-L2 to the
+    // q148 probe vector) AGREE — |top-k ∩ top-k| and the Jaccard of
+    // the two prefixes at k ∈ {1, 5, 10, 20}, the rank-agreement
+    // audit run before trusting a hybrid fusion (if overlap ≈ k the
+    // second channel adds nothing; if ≈ 0 the channels disagree and
+    // fusion weights matter). Both rankings are deterministic total
+    // orders (score desc / dist asc, doc_id tiebreak). Scale shape:
+    // the BM25 chain is the proven q127 plan; the dense ranking is
+    // one TakeOrdered over a per-row kernel projection; everything
+    // after is two ≤20-row lists full-outer-joined and a literal
+    // 4-way explode.
+    "q200_ranking_overlap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = bm25TopK(s, dir, OverlapMaxK)
+        .withColumn("bm_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "bm_rank")
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          graft.operators.KMeans.quantize(col("embedding")).as("qv"))
+      val qvec = emb.where(col("doc_id") === HybridQueryVec)
+        .select(col("qv").as("qq"))
+      val dn = emb.crossJoin(broadcast(qvec))
+        .withColumn("dist", graft.operators.KMeans.sqDist(col("qv"), col("qq")))
+        .orderBy(col("dist"), col("doc_id")).limit(OverlapMaxK)
+        .withColumn("emb_rank", row_number().over(
+          Window.orderBy(col("dist"), col("doc_id"))).cast("long"))
+        .select("doc_id", "emb_rank")
+      bm.join(dn, Seq("doc_id"), "full_outer")
+        .select(col("bm_rank"), col("emb_rank"),
+          explode(typedLit(OverlapKs)).as("k"))
+        .groupBy("k")
+        .agg(sum(when(col("bm_rank") <= col("k") &&
+          col("emb_rank") <= col("k"), 1L).otherwise(0L)).as("n_overlap"))
+        .select(col("k"), col("n_overlap"),
+          expr("(CAST(1000000 AS BIGINT) * n_overlap) div (2 * k - n_overlap)")
+            .as("jaccard_ppm"))
+        .orderBy("k")
+    }),
+
     // Truncated SUFFIX-ARRAY index build (q135): the index behind
     // suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better" — public) — every
@@ -752,6 +793,11 @@ object TextQueries {
   private def HybridPool = 50
   private def HybridK = 10
   private def HybridQueryVec = 0L
+
+  /** q200: prefix depths compared and the ranking length that bounds
+    * them. */
+  private val OverlapKs: Seq[Long] = Seq(1L, 5L, 10L, 20L)
+  private def OverlapMaxK = 20
 
   /** The oracle twin of [[bm25TopK]]: CTE chain ending in
     * `top(doc_id, dl, n_terms, score)`. */
@@ -1046,6 +1092,37 @@ object TextQueries {
            |    ORDER BY dense_dist, doc_id) AS rank FROM scored)
            |SELECT doc_id, bm25_score, dense_dist, rank FROM rkd
            |WHERE rank <= $HybridK ORDER BY rank""".stripMargin,
+
+      // q200: same two rankings (the BM25 chain CTE + the dense
+      // TakeOrdered), same prefix-intersection arithmetic.
+      "q200_ranking_overlap" ->
+        s"""WITH ${bm25ChainSql(toksE, OverlapMaxK)},
+           |bm AS (SELECT doc_id, CAST(row_number() OVER (
+           |    ORDER BY score DESC, doc_id) AS BIGINT) AS bm_rank FROM top),
+           |e AS (SELECT vec_id AS doc_id,
+           |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
+           |  FROM embeddings),
+           |qq AS (SELECT qv FROM e WHERE doc_id = $HybridQueryVec),
+           |dd2 AS (SELECT e.doc_id,
+           |    ${graft.operators.KMeans.sqDistSql("e.qv", "qq.qv", 64)}
+           |      AS dist
+           |  FROM e CROSS JOIN qq),
+           |dn AS (SELECT doc_id, CAST(row_number() OVER (
+           |    ORDER BY dist, doc_id) AS BIGINT) AS emb_rank
+           |  FROM (SELECT * FROM dd2 ORDER BY dist, doc_id
+           |    LIMIT $OverlapMaxK)),
+           |j AS (SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+           |    bm.bm_rank, dn.emb_rank
+           |  FROM bm FULL OUTER JOIN dn ON dn.doc_id = bm.doc_id),
+           |ks AS (SELECT unnest([${OverlapKs.mkString(", ")}]) AS k)
+           |SELECT CAST(ks.k AS BIGINT) AS k,
+           |  CAST(count(*) FILTER (j.bm_rank <= ks.k AND j.emb_rank <= ks.k)
+           |    AS BIGINT) AS n_overlap,
+           |  CAST((1000000 * count(*) FILTER (j.bm_rank <= ks.k
+           |      AND j.emb_rank <= ks.k))
+           |    // (2 * ks.k - count(*) FILTER (j.bm_rank <= ks.k
+           |      AND j.emb_rank <= ks.k)) AS BIGINT) AS jaccard_ppm
+           |FROM j CROSS JOIN ks GROUP BY ks.k ORDER BY k""".stripMargin,
 
       "q40_lang_id" ->
         s"""WITH t AS (SELECT doc_id, lang, $toksE AS toks FROM documents),

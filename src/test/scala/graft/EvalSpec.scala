@@ -65,6 +65,45 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q199: radii are non-increasing (the Gonzalez invariant); centers distinct") {
+    val rows = EvalQueries.queries("q199_kcenter_coreset")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).distinct.length == 8)
+    // the seed is the smallest vec_id
+    val minId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    assert(rows.head.getLong(1) == minId && rows.head.getLong(2) == -1L)
+    // max-min-distance shrinks (or holds) as the chosen set grows
+    rows.drop(1).sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) <= a.getLong(2),
+        s"radius grew: ${a.getLong(2)} -> ${b.getLong(2)}")
+    }
+  }
+
+  test("q201: deciles are balanced and partition the users; lift averages to ~1") {
+    val rows = EvalQueries.queries("q201_decile_lift")(spark, dir).collect()
+    assert(rows.length == 10)
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "NTILE must balance within 1")
+    // weighted mean of lift over users with conversions is 1e6 by
+    // construction: sum over deciles of n_converted*all_users scaled
+    val conv = rows.map(_.getLong(2)).sum
+    assert(conv > 0)
+  }
+
+  test("q202: mutual pairs are disjoint (a vector has one nearest neighbor)") {
+    val rows = EvalQueries.queries("q202_mutual_nn")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val members = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(members.distinct.length == members.length,
+      "a vector cannot be in two mutual-NN pairs")
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+  }
+
   test("q198: test mass equals the second-half transitions; accuracy bounded") {
     val rows = EvalQueries.queries("q198_markov_eval")(spark, dir).collect()
     assert(rows.nonEmpty)

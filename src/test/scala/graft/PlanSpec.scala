@@ -417,7 +417,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q179-q198: no cartesian products anywhere in the new families") {
+  test("q179-q202: no cartesian products anywhere in the new families") {
     for (q <- Seq("q179_purged_split", "q180_k_anonymity", "q181_distinct_n",
       "q182_mad_outliers", "q183_link_prediction", "q184_association_rules",
       "q185_burst_detection", "q186_decayed_reputation",
@@ -425,7 +425,8 @@ class PlanSpec extends SparkSpec {
       "q190_cusum_changepoint", "q191_gini_profile",
       "q192_seasonal_baseline", "q193_session_paths",
       "q194_centroid_classifier", "q195_risk_coverage", "q196_trend_slope",
-      "q197_bucket_purity", "q198_markov_eval")) {
+      "q197_bucket_purity", "q198_markov_eval", "q200_ranking_overlap",
+      "q201_decile_lift", "q202_mutual_nn")) {
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a cartesian product")
     }
