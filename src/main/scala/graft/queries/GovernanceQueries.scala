@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextAnalysis
@@ -36,6 +36,25 @@ object GovernanceQueries {
   /** q182: flag documents farther than MadC·MAD from their source's
     * median token count. */
   private val MadC = 3L
+
+  /** q203: the referential constraints audited — (name, child table,
+    * child key, parent table, parent key). */
+  private val FkConstraints: Seq[(String, String, String, String, String)] =
+    Seq(
+      ("events.user_id->customer", "events", "user_id",
+        "customer", "c_custkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+
+  /** q204: the q63 sample discipline (md5 bucket < SampleBuckets of
+    * 100). */
+  private val SamplePct = 10L
 
   /** Lower-median of an integer-valued column via its value-space
     * histogram, APPENDED as a column (not reduced to a separate frame):
@@ -199,6 +218,103 @@ object GovernanceQueries {
         .select(col("source"), col("n_docs"), col("med"), col("mad"),
           col("n_outliers"), col("max_dev"))
         .orderBy("source")
+    }),
+
+    // REFERENTIAL-INTEGRITY AUDIT (q203): for every foreign-key
+    // relationship, the orphan mass (child rows whose key has no
+    // parent) AND the reverse coverage (parent keys no child ever
+    // references) — the constraint check a lakehouse runs on every
+    // ingest batch, with the unreferenced-parent count doubling as a
+    // liveness signal (on this fixture: 90 % of customers never emit
+    // an event, 1.7 % of orders carry no line items — real numbers a
+    // data catalog would surface). Scale shape: per constraint, two
+    // distinct-key rollups and two anti-joins shuffled on the key —
+    // the join shape that scales; counts fold to 1-row frames and
+    // cross-join as broadcast scalars.
+    "q203_fk_audit" -> ((s, dir) => {
+      val parts = FkConstraints.map { case (name, ct, ck, pt, pk) =>
+        val ckc = Tables.load(s, dir, ct)
+          .groupBy(col(ck).as("k")).agg(count(lit(1)).as("cn"))
+        val pkeys = Tables.load(s, dir, pt).select(col(pk).as("pk"))
+          .distinct()
+        // all four statistics from ONE full-outer join of the two
+        // key rollups — each base table is scanned exactly once
+        ckc.join(pkeys, col("k") === col("pk"), "full_outer")
+          .agg(sum(coalesce(col("cn"), lit(0L))).as("n_child"),
+            sum(when(col("pk").isNull, col("cn")).otherwise(0L))
+              .as("n_orphan_rows"),
+            sum(when(col("pk").isNotNull, 1L).otherwise(0L)).as("n_parent"),
+            sum(when(col("pk").isNotNull && col("k").isNull, 1L)
+              .otherwise(0L)).as("n_unreferenced_parents"))
+          .select(lit(name).as("constraint_name"), col("n_child"),
+            col("n_orphan_rows"), col("n_parent"),
+            col("n_unreferenced_parents"))
+      }
+      parts.reduce(_ unionAll _).orderBy("constraint_name")
+    }),
+
+    // SAMPLE-BIAS AUDIT (q204): does the standard 10 % hash sample
+    // (q63's md5-bucket discipline) preserve the lang and source
+    // distributions? Per (dimension, value): full-corpus share vs
+    // in-sample share and their absolute drift, all in ppm — the
+    // representativeness check run before trusting sample-based
+    // corpus statistics. Scale shape: one map-combinable rollup per
+    // dimension with the sample membership folded in as a conditional
+    // count (the sample is never materialized), scalar totals
+    // broadcast.
+    "q204_sample_bias" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"), col("source"),
+        pmod(conv(substring(md5(concat(lit("sample:"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long"),
+          lit(100L)).as("b"))
+      def dim(name: String, c: Column): DataFrame = {
+        val f = d.groupBy(lit(name).as("dim"), c.as("value"))
+          .agg(count(lit(1)).as("n_full"),
+            sum(when(col("b") < SamplePct, 1L).otherwise(0L))
+              .as("n_sample"))
+        val t = f.agg(sum("n_full").as("tf"), sum("n_sample").as("ts"))
+        f.crossJoin(broadcast(t))
+          .select(col("dim"), col("value"), col("n_full"), col("n_sample"),
+            expr("(CAST(1000000 AS BIGINT) * n_full) div tf")
+              .as("share_full_ppm"),
+            when(col("ts") === 0, -1L)
+              .otherwise(expr("(CAST(1000000 AS BIGINT) * n_sample) div ts"))
+              .as("share_sample_ppm"),
+            abs(when(col("ts") === 0, 0L)
+              .otherwise(expr("(CAST(1000000 AS BIGINT) * n_sample) div ts"))
+              - expr("(CAST(1000000 AS BIGINT) * n_full) div tf"))
+              .as("drift_ppm"))
+      }
+      dim("lang", col("lang")).unionAll(dim("source", col("source")))
+        .orderBy("dim", "value")
+    }),
+
+    // SOURCE SKEW AUDIT (q206): the Lorenz curve and exact Gini
+    // coefficient of per-source token mass — "how unequal is my
+    // corpus across sources", the one-number skew summary that drives
+    // mixture reweighting (q97/q132) and shard planning. Gini stays
+    // exact-integer via the rank-weighted closed form
+    // G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending-sorted
+    // sources. Scale shape: one map-combinable corpus rollup to
+    // |sources| rows; the global rank window runs on that
+    // dimension-sized aggregate (the q189 discipline); totals
+    // broadcast.
+    "q206_source_skew" -> ((s, dir) => {
+      val sk = docs(s, dir)
+        .select(col("source"), size(TextAnalysis.tokens(col("text")))
+          .cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("toks"))
+      val byToks = Window.orderBy(col("toks"), col("source"))
+      val r = sk.withColumn("rank", row_number().over(byToks).cast("long"))
+        .withColumn("cum", sum("toks").over(byToks))
+      val t = r.agg(count(lit(1)).as("n"), sum("toks").as("tot"),
+        sum(col("rank") * col("toks")).as("iws"))
+      r.crossJoin(broadcast(t))
+        .select(col("rank"), col("source"), col("toks"),
+          expr("(CAST(1000000 AS BIGINT) * cum) div tot").as("lorenz_ppm"),
+          expr("""(CAST(1000000 AS BIGINT) * (2 * iws - (n + 1) * tot))
+                 | div (n * tot)""".stripMargin).as("gini_ppm"))
+        .orderBy("rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -292,5 +408,65 @@ object GovernanceQueries {
          |  max(h2.dev) AS max_dev
          |FROM h2 JOIN med USING (source) JOIN mad USING (source)
          |GROUP BY h2.source, med.med, mad.mad
-         |ORDER BY h2.source""".stripMargin)
+         |ORDER BY h2.source""".stripMargin,
+
+    // q203: same four statistics per constraint, as scalar subqueries.
+    "q203_fk_audit" -> (FkConstraints.map { case (name, ct, ck, pt, pk) =>
+      s"""SELECT '$name' AS constraint_name,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $ct) AS n_child,
+         |  (SELECT CAST(coalesce(sum(cn), 0) AS BIGINT) FROM
+         |    (SELECT c.$ck AS k, count(*) AS cn FROM $ct c
+         |     LEFT JOIN (SELECT DISTINCT $pk AS pk2 FROM $pt) p
+         |       ON p.pk2 = c.$ck
+         |     WHERE p.pk2 IS NULL GROUP BY 1)) AS n_orphan_rows,
+         |  (SELECT CAST(count(DISTINCT $pk) AS BIGINT) FROM $pt)
+         |    AS n_parent,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM
+         |    (SELECT DISTINCT $pk AS pk2 FROM $pt) p
+         |    LEFT JOIN (SELECT DISTINCT $ck AS k FROM $ct) c ON c.k = p.pk2
+         |    WHERE c.k IS NULL) AS n_unreferenced_parents""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY constraint_name")),
+
+    // q204: the q63 bucket hash, shares per dimension.
+    "q204_sample_bias" -> {
+      def dim(name: String, colE: String) =
+        s"""SELECT '$name' AS dim, $colE AS value,
+           |  CAST(count(*) AS BIGINT) AS n_full,
+           |  CAST(count(*) FILTER (b < $SamplePct) AS BIGINT) AS n_sample
+           |FROM (SELECT lang, source,
+           |  CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+           |    1, 6) AS BIGINT) % 100 AS b FROM documents)
+           |GROUP BY 2""".stripMargin
+      s"""WITH f AS (${dim("lang", "lang")}
+         |UNION ALL
+         |${dim("source", "source")}),
+         |t AS (SELECT dim, CAST(sum(n_full) AS BIGINT) AS tf,
+         |  CAST(sum(n_sample) AS BIGINT) AS ts FROM f GROUP BY 1)
+         |SELECT f.dim, f.value, f.n_full, f.n_sample,
+         |  CAST((1000000 * f.n_full) // t.tf AS BIGINT) AS share_full_ppm,
+         |  CAST(CASE WHEN t.ts = 0 THEN -1
+         |    ELSE (1000000 * f.n_sample) // t.ts END AS BIGINT)
+         |    AS share_sample_ppm,
+         |  CAST(abs(CASE WHEN t.ts = 0 THEN 0
+         |      ELSE (1000000 * f.n_sample) // t.ts END
+         |    - (1000000 * f.n_full) // t.tf) AS BIGINT) AS drift_ppm
+         |FROM f JOIN t USING (dim) ORDER BY f.dim, f.value""".stripMargin
+    },
+
+    // q206: same ascending rank, same closed-form Gini.
+    "q206_source_skew" ->
+      s"""WITH s AS (SELECT source,
+         |  CAST(sum(len(${TextAnalysis.tokensSql("text")})) AS BIGINT)
+         |    AS toks FROM documents GROUP BY 1),
+         |r AS (SELECT *, CAST(row_number() OVER w AS BIGINT) AS rank,
+         |  CAST(sum(toks) OVER w AS BIGINT) AS cum FROM s
+         |  WINDOW w AS (ORDER BY toks, source)),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(toks) AS BIGINT) AS tot,
+         |  CAST(sum(rank * toks) AS BIGINT) AS iws FROM r)
+         |SELECT r.rank, r.source, r.toks,
+         |  CAST((1000000 * r.cum) // t.tot AS BIGINT) AS lorenz_ppm,
+         |  CAST((1000000 * (2 * t.iws - (t.n + 1) * t.tot)) // (t.n * t.tot)
+         |    AS BIGINT) AS gini_ppm
+         |FROM r CROSS JOIN t ORDER BY r.rank""".stripMargin)
 }

@@ -374,6 +374,50 @@ object OpsQueries {
         .orderBy("event_type", "day_bucket", "hod")
     }),
 
+    // FUNNEL TIME-TO-CONVERT (q205): per signup-day cohort, how long
+    // the first purchase takes — conversion counts plus the p50/p90
+    // of the signup→purchase gap in hours, computed from the same
+    // value-space histogram discipline as q187 (gap hours are
+    // bounded; never a global sort of users). The activation-latency
+    // report every growth dashboard carries, exact to the hour.
+    // Scale shape: two map-combinable per-user min() rollups, one
+    // |users|-row join, histogram + same-partition windows per
+    // cohort.
+    "q205_funnel_latency" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_millis(ts)").as("t"))
+      val su = e.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("t").as("t0"))
+      val pu = e.where(col("event_type") === "purchase")
+        .join(su, "user_id").where(col("t") >= col("t0"))
+        .groupBy("user_id").agg(min("t").as("t1"))
+      val g = su.join(pu, Seq("user_id"), "left")
+        .select(expr("t0 div 86400000").as("cohort_day"),
+          when(col("t1").isNull, -1L)
+            .otherwise(expr("(t1 - t0) div 3600000")).as("gap_h"))
+      val h = g.where(col("gap_h") >= 0)
+        .groupBy("cohort_day", "gap_h").agg(count(lit(1)).as("c"))
+      val byC = Window.partitionBy("cohort_day")
+      val cum = h
+        .withColumn("nt", sum("c").over(byC))
+        .withColumn("cc", sum("c").over(
+          Window.partitionBy("cohort_day").orderBy("gap_h")))
+        .groupBy("cohort_day")
+        .agg(max("nt").as("n_converted"),
+          min(when(col("cc") * 2 >= col("nt"), col("gap_h")))
+            .as("p50_gap_h"),
+          min(when(col("cc") * 10 >= col("nt") * 9, col("gap_h")))
+            .as("p90_gap_h"))
+      g.groupBy("cohort_day").agg(count(lit(1)).as("n_signups"))
+        .join(cum, Seq("cohort_day"), "left")
+        .na.fill(0L, Seq("n_converted"))
+        .na.fill(-1L, Seq("p50_gap_h", "p90_gap_h"))
+        .select(col("cohort_day"), col("n_signups"), col("n_converted"),
+          col("p50_gap_h"), col("p90_gap_h"))
+        .orderBy("cohort_day")
+    }),
+
     // SESSION EXIT PATHS (q193): sessionize each user's events on a
     // 30-minute inactivity gap, render every session's first PathLen
     // event types as a path string, and roll up how many sessions
@@ -605,6 +649,39 @@ object OpsQueries {
          |  AND $BurstDen * (x * n - s) * (x * n - s) >
          |    $BurstNum * (n * q - s * s)
          |ORDER BY event_type, d, hod""".stripMargin,
+
+    // q205: same first-event rollups and histogram percentiles; the
+    // unconverted render as -1/-null-filled on both sides.
+    "q205_funnel_latency" ->
+      s"""WITH su AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM events
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |pu AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t1 FROM events e
+         |  JOIN su ON su.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= su.t0
+         |  GROUP BY 1),
+         |g AS (SELECT su.t0 // 86400000 AS cohort_day,
+         |  CASE WHEN pu.t1 IS NULL THEN -1
+         |    ELSE (pu.t1 - su.t0) // 3600000 END AS gap_h
+         |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id),
+         |h AS (SELECT cohort_day, gap_h, CAST(count(*) AS BIGINT) AS c
+         |  FROM g WHERE gap_h >= 0 GROUP BY 1, 2),
+         |cum AS (SELECT cohort_day, gap_h,
+         |  sum(c) OVER (PARTITION BY cohort_day ORDER BY gap_h) AS cc,
+         |  sum(c) OVER (PARTITION BY cohort_day) AS nt FROM h),
+         |st AS (SELECT cohort_day, CAST(max(nt) AS BIGINT) AS n_converted,
+         |  CAST(min(CASE WHEN 2 * cc >= nt THEN gap_h END) AS BIGINT)
+         |    AS p50_gap_h,
+         |  CAST(min(CASE WHEN 10 * cc >= 9 * nt THEN gap_h END) AS BIGINT)
+         |    AS p90_gap_h
+         |  FROM cum GROUP BY 1),
+         |ns AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_signups
+         |  FROM g GROUP BY 1)
+         |SELECT ns.cohort_day, ns.n_signups,
+         |  coalesce(st.n_converted, 0) AS n_converted,
+         |  coalesce(st.p50_gap_h, -1) AS p50_gap_h,
+         |  coalesce(st.p90_gap_h, -1) AS p90_gap_h
+         |FROM ns LEFT JOIN st USING (cohort_day)
+         |ORDER BY ns.cohort_day""".stripMargin,
 
     // q193: same gap sessionization (lag + running sum), same ordered
     // path rendering.

@@ -90,6 +90,54 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q203: orphan and coverage counts are internally consistent") {
+    val rows = GovernanceQueries.queries("q203_fk_audit")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "orphans cannot exceed children")
+      assert(r.getLong(4) <= r.getLong(3),
+        "unreferenced parents cannot exceed parents")
+    }
+    // the fixture is referentially clean child->parent
+    assert(rows.forall(_.getLong(2) == 0L))
+    // but has unreferenced customers (events cover a user subset)
+    val ev = rows.find(_.getString(0).startsWith("events")).get
+    assert(ev.getLong(4) > 0L)
+  }
+
+  test("q204: sample shares sum like the full shares; drift is |sample - full|") {
+    val rows = GovernanceQueries.queries("q204_sample_bias")(spark, dir)
+      .collect()
+    val dims = rows.groupBy(_.getString(0))
+    assert(dims.keySet == Set("lang", "source"))
+    dims.values.foreach { rs =>
+      val tf = rs.map(_.getLong(2)).sum
+      val ts = rs.map(_.getLong(3)).sum
+      rs.foreach { r =>
+        assert(r.getLong(4) == 1000000L * r.getLong(2) / tf)
+        if (ts > 0)
+          assert(r.getLong(6) ==
+            math.abs(1000000L * r.getLong(3) / ts - r.getLong(4)))
+      }
+    }
+  }
+
+  test("q206: Lorenz curve is monotone to 1e6 and Gini matches a direct fold") {
+    val rows = GovernanceQueries.queries("q206_source_skew")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.last.getLong(3) == 1000000L ||
+      rows.last.getLong(3) == 999999L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(3) >= a.getLong(3)) }
+    val toks = rows.map(_.getLong(2))
+    val n = toks.length.toLong
+    val tot = toks.sum
+    val iws = toks.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = 1000000L * (2 * iws - (n + 1) * tot) / (n * tot)
+    assert(rows.forall(_.getLong(4) == gini))
+  }
+
   test("q183: candidates are non-adjacent distance-2 pairs with bounded scores") {
     val pairs = GraphQueries.queries("q183_link_prediction")(spark, dir)
       .collect()

@@ -169,6 +169,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("q205: cohorts partition signup users; converters bounded; percentiles ordered") {
+    val rows = OpsQueries.queries("q205_funnel_latency")(spark, dir)
+      .collect()
+    val nSignupUsers = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nSignupUsers)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      if (r.getLong(2) > 0)
+        assert(r.getLong(3) >= 0 && r.getLong(3) <= r.getLong(4))
+      else
+        assert(r.getLong(3) == -1L && r.getLong(4) == -1L)
+    }
+  }
+
   test("q193: paths cover every event exactly once; prefixes capped at 5") {
     val rows = OpsQueries.queries("q193_session_paths")(spark, dir).collect()
     val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
