@@ -154,6 +154,40 @@ object ClusteringQueries {
         .orderBy("vec_id")
     }),
 
+    // CLUSTER SEPARATION AUDIT (q207): a Davies–Bouldin-shaped quality
+    // report for the shared coarse k-means fit — per cluster, the mean
+    // within-cluster squared distance against the squared distance to
+    // the NEAREST other centroid, as an exact-integer ratio (ppm). A
+    // ratio near or above 10⁶ marks a cluster that bleeds into its
+    // neighbor — the signal that k is too high or the space too flat,
+    // read BEFORE trusting cluster-blocked dedup (q111) or
+    // cluster-balanced sampling (q100). Scale shape: assignment is
+    // the shared memoized model's literal-centroid projection; the
+    // intra rollup is map-combinable; the centroid-to-centroid
+    // nearest-neighbor table is pure driver arithmetic on the k×dim
+    // model (k² tiny) shipped back as a literal frame.
+    "q207_cluster_separation" -> ((s, dir) => {
+      val cents = coarseCents(s, dir)
+      def sq(a: Array[Long], b: Array[Long]): Long =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val nn = cents.indices.map { i =>
+        (i.toLong, cents.indices.filter(_ != i)
+          .map(j => sq(cents(i), cents(j))).min)
+      }
+      import s.implicits._
+      val nnDf = nn.toDF("cluster", "nn_d2")
+      KMeans.transform(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", cents)
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n_members"), sum("dist").as("sd"))
+        .join(broadcast(nnDf), "cluster")
+        .select(col("cluster"), col("n_members"),
+          expr("sd div n_members").as("avg_intra_d2"), col("nn_d2"),
+          expr("(CAST(1000000 AS BIGINT) * (sd div n_members)) div nn_d2")
+            .as("ratio_ppm"))
+        .orderBy("cluster")
+    }),
+
     // Cluster-balanced sampling — the data-mixing manifest over the
     // k-means domains (published recipe: cluster embeddings, then
     // sample per cluster with a temperature-rebalanced budget so small
@@ -693,6 +727,23 @@ object ClusteringQueries {
          |SELECT vec_id, cid AS cluster, d AS dist,
          |  count(*) OVER (PARTITION BY cid) AS n_members
          |FROM sf WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // q207: the same Lloyd chain; centroid-pair distances from the
+    // final centroid CTE; same integer ratio.
+    "q207_cluster_separation" ->
+      s"""$kmeansOracleCtes,
+         |intra AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(d) AS BIGINT) AS sd FROM sf WHERE rk = 1 GROUP BY 1),
+         |cc AS (SELECT a.cid,
+         |  CAST(min(${KMeans.sqDistSql("a.cv", "b.cv", Dim)}) AS BIGINT)
+         |    AS nn_d2
+         |  FROM c$Iters a JOIN c$Iters b ON b.cid <> a.cid GROUP BY 1)
+         |SELECT CAST(intra.cid AS BIGINT) AS cluster, intra.n_members,
+         |  CAST(intra.sd // intra.n_members AS BIGINT) AS avg_intra_d2,
+         |  cc.nn_d2,
+         |  CAST((1000000 * (intra.sd // intra.n_members)) // cc.nn_d2
+         |    AS BIGINT) AS ratio_ppm
+         |FROM intra JOIN cc USING (cid) ORDER BY cluster""".stripMargin,
 
     // q100: the same pinned-order float discipline as the q97 oracle —
     // sqrt is correctly rounded, the normalizer is an explicit

@@ -374,6 +374,40 @@ object OpsQueries {
         .orderBy("event_type", "day_bucket", "hod")
     }),
 
+    // TRANSITION DWELL TIMES (q209): the q120 transition matrix with
+    // TIME attached — per (from, to) event pair, the median and p90
+    // of the gap between the two events in minutes, from a
+    // value-space gap histogram (the q187/q205 percentile
+    // discipline). Separates fast reflk-path transitions from slow
+    // deliberation ones — the dwell profile session-timeout tuning
+    // and bot detection both read. Scale shape: one lead() window
+    // per user partition, a map-combinable (from, to, gap) rollup
+    // bounded by |types|²·|gap values|, same-partition windows.
+    "q209_transition_dwell" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val tr = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_millis(ts)").as("t"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .withColumn("next_t", lead("t", 1).over(w))
+        .where(col("next_type").isNotNull)
+        .withColumn("gap_min", expr("(next_t - t) div 60000"))
+      val h = tr.groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"), col("gap_min"))
+        .agg(count(lit(1)).as("c"))
+      val byPair = Window.partitionBy("from_type", "to_type")
+      h.withColumn("nt", sum("c").over(byPair))
+        .withColumn("cc", sum("c").over(Window
+          .partitionBy("from_type", "to_type").orderBy("gap_min")))
+        .groupBy("from_type", "to_type")
+        .agg(max("nt").as("n"),
+          min(when(col("cc") * 2 >= col("nt"), col("gap_min")))
+            .as("med_gap_min"),
+          min(when(col("cc") * 10 >= col("nt") * 9, col("gap_min")))
+            .as("p90_gap_min"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // FUNNEL TIME-TO-CONVERT (q205): per signup-day cohort, how long
     // the first purchase takes — conversion counts plus the p50/p90
     // of the signup→purchase gap in hours, computed from the same
@@ -649,6 +683,29 @@ object OpsQueries {
          |  AND $BurstDen * (x * n - s) * (x * n - s) >
          |    $BurstNum * (n * q - s * s)
          |ORDER BY event_type, d, hod""".stripMargin,
+
+    // q209: same lead() transitions, same histogram percentiles.
+    "q209_transition_dwell" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  epoch_ms(ts) AS t FROM events),
+         |seq AS (SELECT *, lead(event_type) OVER w AS next_type,
+         |  lead(t) OVER w AS next_t
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+         |  (next_t - t) // 60000 AS gap_min FROM seq
+         |  WHERE next_type IS NOT NULL),
+         |h AS (SELECT from_type, to_type, gap_min,
+         |  CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2, 3),
+         |cum AS (SELECT from_type, to_type, gap_min,
+         |  sum(c) OVER (PARTITION BY from_type, to_type ORDER BY gap_min)
+         |    AS cc,
+         |  sum(c) OVER (PARTITION BY from_type, to_type) AS nt FROM h)
+         |SELECT from_type, to_type, CAST(max(nt) AS BIGINT) AS n,
+         |  CAST(min(CASE WHEN 2 * cc >= nt THEN gap_min END) AS BIGINT)
+         |    AS med_gap_min,
+         |  CAST(min(CASE WHEN 10 * cc >= 9 * nt THEN gap_min END)
+         |    AS BIGINT) AS p90_gap_min
+         |FROM cum GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // q205: same first-event rollups and histogram percentiles; the
     // unconverted render as -1/-null-filled on both sides.

@@ -95,6 +95,40 @@ object RelationalQueries {
               |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     }),
 
+    // RATIO-TO-PARENT ROLLUP (q210): nation revenue with its share of
+    // the region and of the world, exact in ppm — the
+    // ratio-to-report shape every BI hierarchy drilldown renders,
+    // with money in exact cents (the q189 decimal discipline) so the
+    // shares are integer-stable under any fold order. Scale shape:
+    // one map-combinable fact rollup keyed on the customer dimension
+    // chain (both dimension joins broadcast), then windows over the
+    // |nations|-row aggregate — the global window sits on an
+    // aggregate, never the fact table.
+    "q210_ratio_to_parent" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rev = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+          .as("revenue_cents"))
+      rev
+        .withColumn("global_cents",
+          sum("revenue_cents").over(Window.partitionBy()))
+        .withColumn("region_cents",
+          sum("revenue_cents").over(Window.partitionBy("r_name")))
+        .select(col("r_name"), col("n_name"), col("revenue_cents"),
+          expr("(CAST(1000000 AS BIGINT) * revenue_cents) div region_cents")
+            .as("share_of_region_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * revenue_cents) div global_cents")
+            .as("share_of_global_ppm"))
+        .orderBy("r_name", "n_name")
+    }),
+
     // Window top-k: one shuffle on the partition key, rank inside.
     "q23_window_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -902,6 +936,24 @@ object RelationalQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    // q210: same cents rollup, shares by window.
+    "q210_ratio_to_parent" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |  FROM orders
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation ON n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, revenue_cents,
+        |  CAST((1000000 * revenue_cents) //
+        |    (sum(revenue_cents) OVER (PARTITION BY r_name)) AS BIGINT)
+        |    AS share_of_region_ppm,
+        |  CAST((1000000 * revenue_cents) // (sum(revenue_cents) OVER ())
+        |    AS BIGINT) AS share_of_global_ppm
+        |FROM rev ORDER BY r_name, n_name""".stripMargin,
 
     "q23_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

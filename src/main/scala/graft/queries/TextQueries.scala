@@ -516,6 +516,51 @@ object TextQueries {
         .orderBy("k")
     }),
 
+    // TOPIC-BOUNDARY DETECTION (q208): the TextTiling idea (Hearst
+    // 1997) made exact-integer — cut each document into TileW-token
+    // blocks, score every adjacent-block boundary by the Jaccard of
+    // the blocks' distinct-token sets, and report the WEAKEST
+    // boundary per document (the natural chunk split a RAG pipeline
+    // should cut at, instead of a blind fixed stride like q156's).
+    // Scale shape: blocks come from one per-row transform/explode
+    // (linear); the common-token count is an equi-join on
+    // (doc, boundary, token) — never a set-compare UDF; zero-overlap
+    // boundaries survive via the sizes frame with a left join; the
+    // per-doc argmin streams through TopKPerKeyExec.
+    "q208_text_tiling" -> ((s, dir) => {
+      val blocks = docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("nb", expr(s"size(toks) div $TileW").cast("long"))
+        .where(col("nb") >= 2)
+        .select(col("doc_id"), col("nb"), posexplode(expr(
+          s"""transform(sequence(0, CAST(nb - 1 AS INT)),
+             |  b -> array_distinct(slice(toks, b * $TileW + 1, $TileW)))"""
+            .stripMargin)).as(Seq("b", "set")))
+      val toksB = blocks.select(col("doc_id"), col("b"),
+        explode(col("set")).as("tok"))
+      val sizes = blocks.select(col("doc_id"), col("nb"),
+        col("b").cast("long").as("b"), size(col("set")).cast("long").as("sz"))
+      val common = toksB.select(col("doc_id"), col("b").cast("long").as("b"),
+          col("tok"))
+        .join(toksB.select(col("doc_id"),
+          (col("b") - 1).cast("long").as("b"), col("tok")),
+          Seq("doc_id", "b", "tok"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("common"))
+      val bounds = sizes.where(col("b") < col("nb") - 1)
+        .join(sizes.select(col("doc_id"), (col("b") - 1).as("b"),
+          col("sz").as("sz2")), Seq("doc_id", "b"))
+        .join(common, Seq("doc_id", "b"), "left")
+        .na.fill(0L, Seq("common"))
+        .select(col("doc_id"), col("nb").as("n_blocks"),
+          col("b").as("boundary"),
+          expr("(CAST(1000000 AS BIGINT) * common) div (sz + sz2 - common)")
+            .as("sim_ppm"))
+      graft.operators.TopK.perKey(bounds, Seq("doc_id"),
+          Seq("sim_ppm" -> true, "boundary" -> true), k = 1)
+        .select("doc_id", "n_blocks", "boundary", "sim_ppm")
+        .orderBy("doc_id")
+    }),
+
     // Truncated SUFFIX-ARRAY index build (q135): the index behind
     // suffix-array exact-substring dedup (Lee et al. 2022, "Deduplicating
     // Training Data Makes Language Models Better" — public) — every
@@ -798,6 +843,9 @@ object TextQueries {
     * them. */
   private val OverlapKs: Seq[Long] = Seq(1L, 5L, 10L, 20L)
   private def OverlapMaxK = 20
+
+  /** q208: tokens per tiling block. */
+  private def TileW = 10
 
   /** The oracle twin of [[bm25TopK]]: CTE chain ending in
     * `top(doc_id, dl, n_terms, score)`. */
@@ -1092,6 +1140,37 @@ object TextQueries {
            |    ORDER BY dense_dist, doc_id) AS rank FROM scored)
            |SELECT doc_id, bm25_score, dense_dist, rank FROM rkd
            |WHERE rank <= $HybridK ORDER BY rank""".stripMargin,
+
+      // q208: same blocks (range + list_distinct slices), same token
+      // equi-join for the overlap, same argmin tie order.
+      "q208_text_tiling" ->
+        s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+           |d AS (SELECT doc_id, toks,
+           |  CAST(len(toks) // $TileW AS BIGINT) AS nb FROM t
+           |  WHERE len(toks) // $TileW >= 2),
+           |blocks AS (SELECT doc_id, nb, CAST(u.b AS BIGINT) AS b,
+           |  list_distinct(list_slice(toks, CAST(u.b * $TileW + 1 AS INT),
+           |    CAST((u.b + 1) * $TileW AS INT))) AS s
+           |  FROM d, LATERAL (SELECT unnest(range(0, nb)) AS b) u),
+           |sizes AS (SELECT doc_id, nb, b, CAST(len(s) AS BIGINT) AS sz
+           |  FROM blocks),
+           |tk AS (SELECT doc_id, b, unnest(s) AS tok FROM blocks),
+           |common AS (SELECT a.doc_id, a.b, CAST(count(*) AS BIGINT) AS cm
+           |  FROM tk a JOIN tk b2 ON b2.doc_id = a.doc_id
+           |    AND b2.b = a.b + 1 AND b2.tok = a.tok
+           |  GROUP BY 1, 2),
+           |bounds AS (SELECT s1.doc_id, s1.nb AS n_blocks, s1.b AS boundary,
+           |  (CAST(1000000 AS BIGINT) * coalesce(c.cm, 0))
+           |    // (s1.sz + s2.sz - coalesce(c.cm, 0)) AS sim_ppm
+           |  FROM sizes s1
+           |  JOIN sizes s2 ON s2.doc_id = s1.doc_id AND s2.b = s1.b + 1
+           |  LEFT JOIN common c ON c.doc_id = s1.doc_id AND c.b = s1.b
+           |  WHERE s1.b < s1.nb - 1)
+           |SELECT doc_id, n_blocks, boundary, CAST(sim_ppm AS BIGINT)
+           |  AS sim_ppm
+           |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY sim_ppm, boundary) AS rn FROM bounds)
+           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       // q200: same two rankings (the BM25 chain CTE + the dense
       // TakeOrdered), same prefix-intersection arithmetic.

@@ -470,4 +470,17 @@ class ClusteringSpec extends SparkSpec {
     }
     assert(run().toSeq == rows.toSeq)
   }
+  test("q207: separation stats are consistent with the shared fit") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q207_cluster_separation")(spark, dir)
+      .collect()
+    assert(rows.length == 8, "one row per coarse cluster")
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs)
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0, "distinct centroids have positive distance")
+      assert(r.getLong(4) == 1000000L * r.getLong(2) / r.getLong(3))
+    }
+  }
+
 }

@@ -148,4 +148,16 @@ class GovernanceSpec extends SparkSpec {
       assert(u < v && cn >= 2 && jac >= 0 && jac <= 1000000L)
     }
   }
+  test("q210: shares sum to ~1e6 within each region and globally") {
+    val rows = graft.SparkEntry.queries("q210_ratio_to_parent")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (region, rs) =>
+      val t = rs.map(_.getLong(3)).sum
+      assert(t <= 1000000L && t > 1000000L - rs.length, region)
+    }
+    val g = rows.map(_.getLong(4)).sum
+    assert(g <= 1000000L && g > 1000000L - rows.length)
+  }
+
 }

@@ -106,4 +106,17 @@ class MiningSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1L, 3L, 4L, 5L))
   }
+  test("q208: the weakest boundary is a valid interior boundary with bounded similarity") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q208_text_tiling")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, b, sim) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb >= 2 && b >= 0 && b <= nb - 2)
+      assert(sim >= 0 && sim <= 1000000L)
+    }
+    // one row per doc with at least two full blocks
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
 }

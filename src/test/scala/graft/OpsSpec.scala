@@ -209,4 +209,16 @@ class OpsSpec extends SparkSpec {
       if (gap >= 0) assert(gap <= 604800000L)
     }
   }
+  test("q209: dwell percentiles are ordered and transition mass is conserved") {
+    val rows = OpsQueries.queries("q209_transition_dwell")(spark, dir)
+      .collect()
+    assert(rows.length == 25, "5x5 transition pairs on this fixture")
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers,
+      "each user contributes (events - 1) transitions")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
+
 }
