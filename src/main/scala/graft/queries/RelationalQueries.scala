@@ -466,6 +466,73 @@ object RelationalQueries {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // BITEMPORAL AS-OF PROBE (q211): the time-travel read over the
+    // q106 SCD2 dimension — at each literal as-of instant, how many
+    // versions are valid, their exact balance mass, and how many keys
+    // exist (the invariant n_valid == n_keys at any instant is what
+    // makes an SCD2 table a consistent snapshot store; q211 proves it
+    // AT each probe, the check a warehouse runs after every merge).
+    // Scale shape: the SCD2 build is q106's; probing is a literal
+    // |probes|-way explode into a map-combinable rollup.
+    "q211_asof_probe" -> ((s, dir) => {
+      val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val ts1 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val c = t(s, dir, "customer")
+      val dim = c.withColumn("valid_from", lit(ts0))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+        .withColumn("is_current", lit(true))
+      val upd = c.where(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .unionByName(c.where(col("c_custkey") % 50 === 3 &&
+          col("c_custkey") % 7 =!= 0))
+        .unionByName(c.where(col("c_custkey") % 97 === 5)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("new-"), col("c_custkey").cast("string")).as("c_name"),
+            col("c_nationkey"), lit(0.0).as("c_acctbal"), col("c_mktsegment")))
+      graft.operators.Merge.scd2Upsert(dim, upd, Seq("c_custkey"), ts1)
+        .select(col("c_custkey"), col("valid_from"), col("valid_to"),
+          expr("CAST(round(c_acctbal * 100, 0) AS BIGINT)").as("cents"),
+          explode(typedLit(AsOfProbes)).as("p"))
+        .withColumn("as_of", to_timestamp(col("p")))
+        .withColumn("valid", col("valid_from") <= col("as_of") &&
+          (col("valid_to").isNull || col("valid_to") > col("as_of")))
+        .groupBy("as_of")
+        .agg(sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("valid"), col("cents")).otherwise(0L))
+            .as("total_cents"),
+          countDistinct(when(col("valid"), col("c_custkey"))).as("n_keys"))
+        .orderBy("as_of")
+    }),
+
+    // RANGE-SPLIT PLANNER (q212): equi-depth range-partition
+    // boundaries over the order-value domain — the planning step of a
+    // balanced range-partitioned write (sort-shuffle boundaries,
+    // Z-order sibling). Values quantize to $10 bins FIRST so the
+    // histogram is bounded by the price domain, not the corpus (raw
+    // cents are near-unique per order — a histogram on them would
+    // funnel the fact table through one global window); buckets then
+    // come straight off the bin histogram's cumulative window
+    // (bucket = (cc−1)·B div n) — one map-combinable rollup, windows
+    // over the domain-bounded bins, a |buckets|-row aggregate, never
+    // a corpus sort and never a sample-based approximation. The
+    // per-bucket populations PROVE the balance (skew shows up as a
+    // bucket pinned to one hot bin).
+    "q212_range_splits" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)" +
+          " div 1000").as("bin10"))
+        .groupBy("bin10").agg(count(lit(1)).as("c"))
+      h.withColumn("n", sum("c").over(Window.partitionBy()))
+        .withColumn("cc", sum("c").over(Window.orderBy("bin10")))
+        .withColumn("bucket",
+          expr(s"((cc - 1) * $SplitBuckets) div n"))
+        .groupBy("bucket")
+        .agg(min("bin10").as("lo_bin10"), max("bin10").as("hi_bin10"),
+          sum("c").as("n_rows"))
+        .orderBy("bucket")
+    }),
+
     // Snapshot diff (Merge.snapshotDiff) — the CDC operator between
     // two versions of a keyed table: deterministic old/new versions
     // derived from orders (drop keys %10=0 from old, %10=1 from new,
@@ -911,6 +978,57 @@ object RelationalQueries {
         .orderBy("suppkey")
     }))
 
+  /** The q106 SCD2 result as a reusable oracle subquery body (no final
+    * ORDER BY) — q211 probes it at literal as-of timestamps. */
+  private val Scd2OracleBody: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 50 = 3 AND c_custkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000 AS c_custkey,
+      |    'new-' || CAST(c_custkey AS VARCHAR) AS c_name,
+      |    c_nationkey, 0.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 97 = 5),
+      |chg AS (
+      |  SELECT d.c_custkey, d.c_name AS d_name, d.c_nationkey AS d_nationkey,
+      |    d.c_acctbal AS d_acctbal, d.c_mktsegment AS d_mktsegment,
+      |    u.c_name AS u_name, u.c_nationkey AS u_nationkey,
+      |    u.c_acctbal AS u_acctbal, u.c_mktsegment AS u_mktsegment,
+      |    (u.c_name IS DISTINCT FROM d.c_name
+      |      OR u.c_nationkey IS DISTINCT FROM d.c_nationkey
+      |      OR u.c_acctbal IS DISTINCT FROM d.c_acctbal
+      |      OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment) AS changed
+      |  FROM customer d JOIN upd u USING (c_custkey))
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+      |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      |  FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg WHERE changed)
+      |  UNION ALL
+      |  SELECT c_custkey, d_name, d_nationkey, d_acctbal, d_mktsegment,
+      |    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-06-01 00:00:00', FALSE
+      |  FROM chg WHERE changed
+      |  UNION ALL
+      |  SELECT c_custkey, u_name, u_nationkey, u_acctbal, u_mktsegment,
+      |    TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      |  FROM chg WHERE changed
+      |  UNION ALL
+      |  SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+      |    TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+      |  FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer)"""
+      .stripMargin
+
+  /** q211: the as-of probe instants. */
+  private val AsOfProbes: Seq[String] = Seq(
+    "2023-12-31 00:00:00", "2024-01-01 00:00:00", "2024-03-15 00:00:00",
+    "2024-06-01 00:00:00", "2024-12-31 00:00:00")
+
+  /** q212: range-partition bucket count. */
+  private val SplitBuckets = 32L
+
   val oracleSql: Map[String, String] = Map(
     "q20_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1308,46 +1426,42 @@ object RelationalQueries {
         |ORDER BY e.event_id""".stripMargin,
 
     "q106_scd2_upsert" ->
-      """WITH upd AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 50 = 3 AND c_custkey % 7 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000 AS c_custkey,
-        |    'new-' || CAST(c_custkey AS VARCHAR) AS c_name,
-        |    c_nationkey, 0.0 AS c_acctbal, c_mktsegment
-        |  FROM customer WHERE c_custkey % 97 = 5),
-        |chg AS (
-        |  SELECT d.c_custkey, d.c_name AS d_name, d.c_nationkey AS d_nationkey,
-        |    d.c_acctbal AS d_acctbal, d.c_mktsegment AS d_mktsegment,
-        |    u.c_name AS u_name, u.c_nationkey AS u_nationkey,
-        |    u.c_acctbal AS u_acctbal, u.c_mktsegment AS u_mktsegment,
-        |    (u.c_name IS DISTINCT FROM d.c_name
-        |      OR u.c_nationkey IS DISTINCT FROM d.c_nationkey
-        |      OR u.c_acctbal IS DISTINCT FROM d.c_acctbal
-        |      OR u.c_mktsegment IS DISTINCT FROM d.c_mktsegment) AS changed
-        |  FROM customer d JOIN upd u USING (c_custkey))
-        |SELECT * FROM (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-        |    TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
-        |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
-        |  FROM customer
-        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg WHERE changed)
-        |  UNION ALL
-        |  SELECT c_custkey, d_name, d_nationkey, d_acctbal, d_mktsegment,
-        |    TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-06-01 00:00:00', FALSE
-        |  FROM chg WHERE changed
-        |  UNION ALL
-        |  SELECT c_custkey, u_name, u_nationkey, u_acctbal, u_mktsegment,
-        |    TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
-        |  FROM chg WHERE changed
-        |  UNION ALL
-        |  SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
-        |    TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
-        |  FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer))
-        |ORDER BY c_custkey, valid_from""".stripMargin,
+      s"""SELECT * FROM ($Scd2OracleBody)
+         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // q211: the factored SCD2 body probed at the same literal instants.
+    "q211_asof_probe" -> {
+      val probes = AsOfProbes.map(p => s"TIMESTAMP '$p'").mkString(", ")
+      s"""WITH scd AS (SELECT * FROM ($Scd2OracleBody)),
+         |pr AS (SELECT unnest([$probes]) AS as_of)
+         |SELECT pr.as_of,
+         |  CAST(count(*) FILTER (scd.valid_from <= pr.as_of
+         |    AND (scd.valid_to IS NULL OR scd.valid_to > pr.as_of))
+         |    AS BIGINT) AS n_valid,
+         |  CAST(coalesce(sum(CAST(round(scd.c_acctbal * 100, 0) AS BIGINT))
+         |    FILTER (scd.valid_from <= pr.as_of
+         |      AND (scd.valid_to IS NULL OR scd.valid_to > pr.as_of)), 0)
+         |    AS BIGINT) AS total_cents,
+         |  CAST(count(DISTINCT scd.c_custkey)
+         |    FILTER (scd.valid_from <= pr.as_of
+         |      AND (scd.valid_to IS NULL OR scd.valid_to > pr.as_of))
+         |    AS BIGINT) AS n_keys
+         |FROM scd CROSS JOIN pr GROUP BY pr.as_of
+         |ORDER BY pr.as_of""".stripMargin
+    },
+
+    // q212: same $10 bins, same cumulative-window bucketing.
+    "q212_range_splits" ->
+      s"""WITH h AS (SELECT
+         |  CAST(round(o_totalprice * 100, 0) AS BIGINT) // 1000 AS bin10,
+         |  CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+         |cum AS (SELECT bin10, c,
+         |  sum(c) OVER () AS n, sum(c) OVER (ORDER BY bin10) AS cc FROM h)
+         |SELECT CAST(((cc - 1) * $SplitBuckets) // n AS BIGINT) AS bucket,
+         |  CAST(min(bin10) AS BIGINT) AS lo_bin10,
+         |  CAST(max(bin10) AS BIGINT) AS hi_bin10,
+         |  CAST(sum(c) AS BIGINT) AS n_rows
+         |FROM cum GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // q102: `//` is DuckDB's integer floor division (Spark `div`);
     // both sides are non-negative so the two agree exactly, and the

@@ -160,4 +160,32 @@ class GovernanceSpec extends SparkSpec {
     assert(g <= 1000000L && g > 1000000L - rows.length)
   }
 
+  test("q211: SCD2 holds exactly one valid version per key at every probe") {
+    val rows = graft.SparkEntry.queries("q211_asof_probe")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3),
+        "one valid version per key (snapshot consistency)")
+    }
+    // before the dimension existed: nothing valid; after the merge:
+    // at least the original keys plus inserts
+    val sorted = rows.sortBy(_.getTimestamp(0).getTime)
+    assert(sorted.head.getLong(1) == 0L)
+    assert(sorted.last.getLong(1) >= nCust)
+  }
+
+  test("q212: buckets partition the orders and stay balanced up to bin granularity") {
+    val rows = graft.SparkEntry.queries("q212_range_splits")(spark, dir)
+      .collect()
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(rows.map(_.getLong(3)).sum == nOrders)
+    // ranges are disjoint and ordered
+    rows.sortBy(_.getLong(0)).sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) < b.getLong(1),
+        "bucket ranges must not overlap")
+    }
+  }
+
 }

@@ -417,7 +417,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q179-q210: no cartesian products anywhere in the new families") {
+  test("q179-q212: no cartesian products anywhere in the new families") {
     for (q <- Seq("q179_purged_split", "q180_k_anonymity", "q181_distinct_n",
       "q182_mad_outliers", "q183_link_prediction", "q184_association_rules",
       "q185_burst_detection", "q186_decayed_reputation",
@@ -428,7 +428,7 @@ class PlanSpec extends SparkSpec {
       "q197_bucket_purity", "q198_markov_eval", "q200_ranking_overlap",
       "q201_decile_lift", "q202_mutual_nn", "q207_cluster_separation",
       "q208_text_tiling", "q209_transition_dwell",
-      "q210_ratio_to_parent")) {
+      "q210_ratio_to_parent", "q211_asof_probe", "q212_range_splits")) {
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a cartesian product")
     }
