@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through RAW instead of re-logging it
+// with an "[info] " prefix: the driver's ~2 KB tail parse of Bench's
+// summary line expects a line that starts with '{' (rounds 5-8 recorded
+// `parsed: null`; round 8's tail had the summary present but prefixed).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -28,6 +28,24 @@ object Bench {
   def qmap(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
 
+  /** Contention guard (round-8 judge ask): min-of-2 still recorded 4×
+    * phantom spikes when BOTH runs landed on a loaded box (q130 5.56 s
+    * vs 1.40 s in judge isolation). If the two timings disagree by more
+    * than 2×, the spread is contention, not the plan — take ONE more
+    * sample and report the min of all successes. Bounded extra cost
+    * (at most one retry, only under measured disagreement).
+    *
+    * `sample()` returns Some(seconds) on success, None on failure. */
+  def minWithRetry(sample: () => Option[Double]): Double = {
+    val first = Seq(sample(), sample()).flatten
+    val all = first match {
+      case Seq(a, b) if math.max(a, b) > 2.0 * math.min(a, b) =>
+        first ++ sample().toSeq
+      case _ => first
+    }
+    if (all.nonEmpty) all.min else -1.0
+  }
+
   /** The LAST stdout line — the only payload the driver's ~2 KB tail
     * parse is guaranteed to see, so it must stay far under that bound
     * at any surface size (BenchSpec pins it): headline fields plus
@@ -47,7 +65,12 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: bounded-frame window queries legitimately emit
+    // "WindowExec: No Partition Defined" WARNs, and ten of those lines
+    // flooded the driver's 2 KB stdout tail in round 8 (BENCH_r08.json
+    // `parsed: null`). Nothing actionable is logged at WARN during a
+    // timed sweep; failures are surfaced by the harness itself.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up: touch every fixture table's footer/file index + JIT
     graft.sources.Tables.schemas.keys.foreach { t =>
@@ -63,7 +86,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val sample: () => Option[Double] = () => {
         val t0 = System.nanoTime()
         val ok =
           try { run(fn); true } catch { case e: Throwable =>
@@ -89,8 +112,8 @@ object Bench {
         if (ok) Some(dt) else None
       }
       // a failed run must never be the recorded time (a fast-fail would
-      // masquerade as a fast query); both runs failing → sentinel -1
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      // masquerade as a fast query); all runs failing → sentinel -1
+      name -> minWithRetry(sample)
     }
     // The driver captures a ~2 KB stdout TAIL, and sbt appends its own
     // "[success] ..." line after ours — a 118-entry per-query map is a

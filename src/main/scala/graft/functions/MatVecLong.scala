@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -37,8 +38,19 @@ case class MatVecLong(left: Expression, right: Expression)
     case _ => false
   }
 
-  override lazy val resolved: Boolean =
-    childrenResolved && isLongArray(left.dataType) && isLongMatrix(right.dataType)
+  /** Typed analysis error instead of an opaque "unresolved expression"
+    * (round-8 advisor): misuse (e.g. array<int> input) now reports the
+    * expected signature, matching the sibling MultiMatchCount. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!isLongArray(left.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_matvec expects (array<bigint>, array<array<bigint>>); " +
+          s"first argument is ${left.dataType.simpleString}")
+    else if (!isLongMatrix(right.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_matvec expects (array<bigint>, array<array<bigint>>); " +
+          s"second argument is ${right.dataType.simpleString}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -42,14 +42,18 @@ final class AcAutomaton(patterns: Array[Array[Byte]]) extends Serializable {
 
   val nPatterns: Int = patterns.length
 
+  // one compile per instance (the bounded LRU could otherwise evict
+  // between field initializers and recompile the same tables)
+  private val tables = AcAutomaton.compile(patterns)
+
   /** delta(state, byte) flattened to state*256+byte; total states
     * bounded by 1 + Σ pattern lengths. */
-  private val delta: Array[Int] = AcAutomaton.compile(patterns)._1
+  private val delta: Array[Int] = tables._1
 
   /** Pattern ids ending at each state, suffix-closure included —
     * `outFlat` slices indexed by `outOff(state) until outOff(state+1)`. */
-  private val outOff: Array[Int] = AcAutomaton.compile(patterns)._2
-  private val outFlat: Array[Int] = AcAutomaton.compile(patterns)._3
+  private val outOff: Array[Int] = tables._2
+  private val outFlat: Array[Int] = tables._3
 
   /** Per-pattern occurrence counts over `bytes` (all positions,
     * overlaps included). */
@@ -76,15 +80,25 @@ object AcAutomaton {
 
   /** Memoized compile keyed on pattern content — the expression tree is
     * copied/transformed many times during analysis and each copy's
-    * lazy automaton would otherwise rebuild the tables. */
+    * lazy automaton would otherwise rebuild the tables. BOUNDED
+    * (round-8 advisor): an access-ordered LRU capped at [[MaxCached]]
+    * pattern sets, so a driver that compiles many distinct blocklists
+    * over its lifetime cannot retain every O(pattern-bytes × 256)
+    * table forever; an evicted set simply recompiles on next use. */
+  private val MaxCached = 64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[Seq[Byte]],
-      (Array[Int], Array[Int], Array[Int])]
+    new java.util.LinkedHashMap[Seq[Seq[Byte]],
+        (Array[Int], Array[Int], Array[Int])](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[Seq[Byte]],
+            (Array[Int], Array[Int], Array[Int])]): Boolean =
+        size() > MaxCached
+    }
 
   /** Classic construction: byte trie → BFS failure links → full
     * transition table + per-state output closure. */
   private[functions] def compile(patterns: Array[Array[Byte]])
-      : (Array[Int], Array[Int], Array[Int]) =
+      : (Array[Int], Array[Int], Array[Int]) = cache.synchronized {
     cache.computeIfAbsent(patterns.toSeq.map(_.toSeq), { _ =>
       val maxStates = 1 + patterns.map(_.length).sum
       val children = Array.fill(maxStates * 256)(-1)
@@ -139,6 +153,7 @@ object AcAutomaton {
       }
       (java.util.Arrays.copyOf(delta, nStates * 256), outOff, outFlat)
     })
+  }
 }
 
 /** `graft_multi_count(text, array('p1', 'p2', ...)) -> array<bigint>` —

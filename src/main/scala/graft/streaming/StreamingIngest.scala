@@ -126,29 +126,51 @@ object StreamingIngest {
       .select(col("l_key").as(key), col("l_ts"), col("r_ts"))
   }
 
-  /** foreachBatch upsert into a parquet target: each micro-batch is one
-    * `Merge.upsert` (idempotent ⇒ effectively-once under retries). */
+  /** Read a [[VersionedStore]]-managed sink (the full-store foreachBatch
+    * sinks below) — resolves the live version through the pointer;
+    * empty DataFrame semantics are the caller's (None before the first
+    * commit). */
+  def readStore(spark: SparkSession, targetPath: String): Option[DataFrame] =
+    VersionedStore.read(spark, targetPath)
+
+  /** One micro-batch of the upsert sink, factored out so replay safety
+    * is directly testable. No committed-batch skip here — the merge is
+    * IDEMPOTENT (upsert by key), so a replay converges by re-merging,
+    * and skipping by batchId would wrongly drop batch 0 of a fresh
+    * checkpoint lineage over an existing store. The [[VersionedStore]]
+    * pointer flip closes the store-missing swap window. */
+  private[graft] def upsertOneBatch(batch: DataFrame, batchId: Long,
+                                        targetPath: String,
+                                        keys: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val deduped = Transform.dedupFirst(batch, keys, keys)
+    val merged = VersionedStore.read(spark, targetPath) match {
+      case Some(target) =>
+        Merge.upsert(target.select(batch.columns.map(col).toSeq: _*),
+          deduped, keys).persist()
+      case None => deduped.persist()
+    }
+    merged.count() // materialize before reading+rewriting the store
+    VersionedStore.commit(targetPath, batchId) { dir =>
+      merged.write.mode("overwrite").parquet(dir)
+    }
+    merged.unpersist()
+  }
+
+  /** foreachBatch upsert into a versioned parquet target: each
+    * micro-batch is one `Merge.upsert`; idempotent merge + the
+    * [[VersionedStore]] atomic pointer flip + committed-batch skip ⇒
+    * effectively-once under at-least-once replays, with no
+    * store-missing window during the swap. Read back via
+    * [[readStore]]. */
   def upsertEachBatch(stream: DataFrame, targetPath: String, keys: Seq[String],
                       checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val deduped = Transform.dedupFirst(batch, keys, keys)
-        val merged =
-          if (new java.io.File(targetPath).exists()) {
-            val target = spark.read.schema(batch.schema).parquet(targetPath)
-            Merge.upsert(target, deduped, keys).persist()
-          } else deduped.persist()
-        merged.count() // materialize before overwriting the input path
-        merged.write.mode("overwrite").parquet(targetPath + ".tmp")
-        merged.unpersist()
-        val tmp = new java.io.File(targetPath + ".tmp")
-        val dst = new java.io.File(targetPath)
-        org.apache.commons.io.FileUtils.deleteQuietly(dst)
-        org.apache.commons.io.FileUtils.moveDirectory(tmp, dst)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertOneBatch(batch, batchId, targetPath, keys)
       }
       .start()
 
@@ -162,36 +184,45 @@ object StreamingIngest {
     * store equals the batch rollup over the union of all inputs
     * (StreamingSpec pins store == the q157 machinery over the full
     * corpus). Unlike the Bloom-admission twins, the merge itself is
-    * NOT idempotent (a replayed batch would double-count) —
-    * effectively-once is delegated to the checkpoint, which
-    * Trigger.AvailableNow honors across restarts. */
+    * NOT idempotent (a replayed batch would double-count), so
+    * effectively-once is enforced structurally: the store is a
+    * [[VersionedStore]] (atomic pointer flip — no store-missing
+    * window) and a replayed batchId that is already committed SKIPS
+    * the merge (StreamingSpec pins both). Read back via
+    * [[readStore]]. */
   def trackSharedPrefixes(stream: DataFrame, targetPath: String,
                           checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val b = graft.queries.CorpusQueries.prefixKeys(batch)
-          .groupBy("h").agg(count(lit(1)).as("n_docs"),
-            min("plen").as("prefix_len"), min("doc_id").as("rep_doc_id"))
-        val merged = (if (new java.io.File(targetPath).exists())
-            spark.read.parquet(targetPath).unionByName(b)
-          else b)
-          .groupBy("h").agg(sum("n_docs").as("n_docs"),
-            min("prefix_len").as("prefix_len"),
-            min("rep_doc_id").as("rep_doc_id"))
-          .persist()
-        merged.count() // materialize before overwriting the input path
-        merged.write.mode("overwrite").parquet(targetPath + ".tmp")
-        merged.unpersist()
-        val tmp = new java.io.File(targetPath + ".tmp")
-        val dst = new java.io.File(targetPath)
-        org.apache.commons.io.FileUtils.deleteQuietly(dst)
-        org.apache.commons.io.FileUtils.moveDirectory(tmp, dst)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergePrefixBatch(batch, batchId, targetPath)
       }
       .start()
+
+  /** One micro-batch of the prefix store merge (factored for replay
+    * tests): counts SUM on merge — double-applying a batch corrupts
+    * the store, so an already-committed batchId must skip. */
+  private[graft] def mergePrefixBatch(batch: DataFrame, batchId: Long,
+                                          targetPath: String): Unit = {
+    if (VersionedStore.committed(targetPath, batchId)) return
+    val spark = batch.sparkSession
+    val b = graft.queries.CorpusQueries.prefixKeys(batch)
+      .groupBy("h").agg(count(lit(1)).as("n_docs"),
+        min("plen").as("prefix_len"), min("doc_id").as("rep_doc_id"))
+    val merged = VersionedStore.read(spark, targetPath)
+      .map(_.unionByName(b)).getOrElse(b)
+      .groupBy("h").agg(sum("n_docs").as("n_docs"),
+        min("prefix_len").as("prefix_len"),
+        min("rep_doc_id").as("rep_doc_id"))
+      .persist()
+    merged.count() // materialize before reading+rewriting the store
+    VersionedStore.commit(targetPath, batchId) { dir =>
+      merged.write.mode("overwrite").parquet(dir)
+    }
+    merged.unpersist()
+  }
 
   /** Streaming semantic admission — q90's incremental embedding dedup
     * as a foreachBatch sink: each micro-batch of `(vec_id, embedding)`
@@ -282,46 +313,93 @@ object StreamingIngest {
     * order a stream has); within a batch it is (doc_id, k), the batch
     * operator's order. Feeding batches in ascending doc_id order makes
     * the stream's output bit-identical to batch q130 over the same
-    * corpus — StreamingSpec pins exactly that parity. */
+    * corpus — StreamingSpec pins exactly that parity.
+    *
+    * Replay safety (round-8 advisor): both outputs are PARTITIONED BY
+    * batchId (`batch=<id>` dirs) and each batch OVERWRITES its own
+    * partition, so an at-least-once replay rewrites instead of
+    * appending duplicates; a `_COMMITTED` marker written after both
+    * partitions makes a completed-but-unacknowledged batch skip
+    * outright; and the exact-check index EXCLUDES the replaying
+    * batch's own partition, so a crashed attempt's half-written
+    * segment hashes can never scrub the replay's own novel segments.
+    * Readers get an extra `batch` partition column — drop it (or treat
+    * it as lineage). */
   def scrubSeenSegments(stream: DataFrame, history: DataFrame,
                         targetPath: String, checkpoint: String): StreamingQuery = {
-    import graft.functions.Bloom
-    import graft.queries.CorpusQueries
-    val segStore = targetPath + "_segs"
-    def seenHashes(spark: SparkSession): DataFrame = {
-      val hist = CorpusQueries.segmentize(history).select("h")
-      if (new java.io.File(segStore).exists())
-        hist.unionByName(spark.read.parquet(segStore))
-      else hist
-    }
-    var bloom: Array[Byte] = seenHashes(history.sparkSession)
-      .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
+    val bloomRef = new java.util.concurrent.atomic.AtomicReference(
+      initSegmentBloom(history, targetPath))
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val sp = CorpusQueries.segmentize(batch).persist()
-        val firstInBatch = graft.operators.TopK.perKey(sp, keys = Seq("h"),
-            order = Seq("doc_id" -> true, "k" -> true), k = 1)
-          .select("doc_id", "k", "seg", "h")
-        val flagged = firstInBatch.withColumn("bloom_positive",
-          call_function("graft_bloom_contains", lit(bloom), col("h")))
-        val neg = flagged.where(!col("bloom_positive"))
-        val pos = flagged.where(col("bloom_positive"))
-          .join(seenHashes(spark).distinct(), Seq("h"), "left_anti")
-        val kept = neg.unionByName(pos)
-          .select("doc_id", "k", "seg", "h").persist()
-        CorpusQueries.reconstructDocs(sp, kept)
-          .write.mode("append").parquet(targetPath)
-        kept.select("h").distinct().write.mode("append").parquet(segStore)
-        val delta = kept
-          .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
-        kept.unpersist(); sp.unpersist()
-        bloom = Bloom.or(bloom, delta)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scrubOneBatch(batch, batchId, history, targetPath, bloomRef)
       }
       .start()
+  }
+
+  private[graft] def segStorePath(targetPath: String): String =
+    targetPath + "_segs"
+
+  /** History ∪ accumulated store segment hashes, with `excludeBatch`'s
+    * own partition filtered out (pass -1 to include everything). */
+  private def seenSegHashes(spark: SparkSession, history: DataFrame,
+                            targetPath: String, excludeBatch: Long): DataFrame = {
+    val segStore = segStorePath(targetPath)
+    val hist = graft.queries.CorpusQueries.segmentize(history).select("h")
+    // require at least one batch=<id> partition, not just the root dir
+    // (a first-batch crash can leave the root with no readable data)
+    val parts = Option(new java.io.File(segStore).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith("batch="))
+    if (parts.nonEmpty)
+      hist.unionByName(spark.read.parquet(segStore)
+        .where(col("batch") =!= excludeBatch).select("h"))
+    else hist
+  }
+
+  /** Restart-safe Bloom init over history ∪ the committed store. A
+    * crashed batch's partial partition may be included — harmless: the
+    * Bloom is a one-sided prefilter and positives are exact-checked
+    * against [[seenSegHashes]] with the replaying batch excluded. */
+  private[graft] def initSegmentBloom(history: DataFrame,
+                                          targetPath: String): Array[Byte] =
+    seenSegHashes(history.sparkSession, history, targetPath, excludeBatch = -1L)
+      .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
+
+  /** One micro-batch of the segment scrub (factored for replay tests). */
+  private[graft] def scrubOneBatch(batch: DataFrame, batchId: Long,
+      history: DataFrame, targetPath: String,
+      bloomRef: java.util.concurrent.atomic.AtomicReference[Array[Byte]]): Unit = {
+    import graft.functions.Bloom
+    import graft.queries.CorpusQueries
+    val spark = batch.sparkSession
+    val part = s"batch=$batchId"
+    val marker = new java.io.File(s"$targetPath/$part/_COMMITTED")
+    if (marker.exists()) return // completed batch replayed: both writes landed
+    val sp = CorpusQueries.segmentize(batch).persist()
+    val firstInBatch = graft.operators.TopK.perKey(sp, keys = Seq("h"),
+        order = Seq("doc_id" -> true, "k" -> true), k = 1)
+      .select("doc_id", "k", "seg", "h")
+    val flagged = firstInBatch.withColumn("bloom_positive",
+      call_function("graft_bloom_contains", lit(bloomRef.get), col("h")))
+    val neg = flagged.where(!col("bloom_positive"))
+    val pos = flagged.where(col("bloom_positive"))
+      .join(seenSegHashes(spark, history, targetPath, excludeBatch = batchId)
+        .distinct(), Seq("h"), "left_anti")
+    val kept = neg.unionByName(pos)
+      .select("doc_id", "k", "seg", "h").persist()
+    CorpusQueries.reconstructDocs(sp, kept)
+      .write.mode("overwrite").parquet(s"$targetPath/$part")
+    kept.select("h").distinct()
+      .write.mode("overwrite").parquet(s"${segStorePath(targetPath)}/$part")
+    val delta = kept
+      .agg(call_function("graft_bloom", col("h"))).head.getAs[Array[Byte]](0)
+    kept.unpersist(); sp.unpersist()
+    bloomRef.set(Bloom.or(bloomRef.get, delta))
+    // marker LAST: present ⇔ both partition writes completed
+    java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
   }
 
   /** Streaming k-means inference — classify `(vec_id, embedding)`

@@ -40,4 +40,26 @@ class BenchSpec extends AnyFunSuite {
     // locale-independent decimal point
     assert(Bench.fmt(1.5) == "1.50")
   }
+
+  /** Pins the round-9 contention guard: min-of-2 recorded 4× phantom
+    * spikes in the round-8 driver run (q130 5.56 s vs 1.40 s judge
+    * isolation). If the two samples disagree >2×, ONE more is taken. */
+  test("minWithRetry takes a 3rd sample only when the first two disagree >2x") {
+    def feed(xs: Double*): () => Option[Double] = {
+      val it = xs.iterator
+      () => if (it.hasNext) Some(it.next()) else fail("sampled more than provided")
+    }
+    // agreement within 2x: exactly two samples, min reported
+    assert(Bench.minWithRetry(feed(1.0, 1.9)) == 1.0)
+    // >2x disagreement: third sample drawn, min of all three
+    assert(Bench.minWithRetry(feed(5.0, 1.0, 0.8)) == 0.8)
+    assert(Bench.minWithRetry(feed(1.0, 5.0, 4.0)) == 1.0)
+    // exactly 2x is agreement (strict >): no third sample
+    assert(Bench.minWithRetry(feed(1.0, 2.0)) == 1.0)
+    // failures: one failed run never masks the other; all failed → -1
+    val it = Iterator(Some(3.0), None)
+    assert(Bench.minWithRetry(() => it.next()) == 3.0)
+    val it2 = Iterator(None, None)
+    assert(Bench.minWithRetry(() => it2.next()) == -1.0)
+  }
 }

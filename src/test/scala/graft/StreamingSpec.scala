@@ -237,8 +237,9 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     input.addData(odd.toSeq: _*)
     runOnce()
-    // the streamed store, filtered and finished like the batch query
-    val streamed = spark.read.parquet(s"$dir/pfx")
+    // the streamed store (resolved through the VersionedStore pointer),
+    // filtered and finished like the batch query
+    val streamed = StreamingIngest.readStore(spark, s"$dir/pfx").get
       .where(col("n_docs") >= 2)
       .select(col("h"), col("n_docs"), col("prefix_len"),
         ((col("n_docs") - 1) * col("prefix_len")).as("saved_tokens"),
@@ -276,7 +277,7 @@ class StreamingSpec extends SparkSpec {
     // second run: update key 1, add key 3, duplicate key 3 in-batch
     input.addData((1L, "a2", 2L), (3L, "c", 1L), (3L, "c-dup", 2L))
     runOnce()
-    val rows = spark.read.parquet(s"$dir/posts")
+    val rows = StreamingIngest.readStore(spark, s"$dir/posts").get
       .select("post_id", "title").as[(Long, String)].collect().toMap
     assert(rows(1L) == "a2")      // last writer wins across runs
     assert(rows(2L) == "b")       // untouched key survives
@@ -426,8 +427,98 @@ class StreamingSpec extends SparkSpec {
     runBatch(("p1", "v1"), ("p2", "v1"))
     runBatch(("p2", "v2"), ("p3", "v1")) // update p2, insert p3
     runBatch(("p2", "v2"), ("p3", "v1")) // exact replay — must be a no-op
-    val out = spark.read.parquet(target)
+    val out = StreamingIngest.readStore(spark, target).get
       .as[(String, String)].collect().toSeq.sorted
     assert(out == Seq(("p1", "v1"), ("p2", "v2"), ("p3", "v1")))
+  }
+
+  test("VersionedStore: partial writes are invisible until the pointer flips; committed() gates replays") {
+    import graft.streaming.VersionedStore
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vstore").toString + "/store"
+    assert(VersionedStore.current(root).isEmpty)
+    assert(!VersionedStore.committed(root, 0L))
+    // a crashed attempt: version dir written, pointer NEVER flipped
+    Seq((1L, "partial")).toDF("k", "v").write
+      .parquet(s"$root/v000000000000")
+    assert(VersionedStore.read(spark, root).isEmpty,
+      "an unflipped version dir must be invisible to readers")
+    // real commit at batch 0, then batch 1
+    VersionedStore.commit(root, 0L) { dir =>
+      Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    }
+    assert(VersionedStore.committed(root, 0L) && !VersionedStore.committed(root, 1L))
+    VersionedStore.commit(root, 1L) { dir =>
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    }
+    assert(VersionedStore.committed(root, 1L))
+    assert(VersionedStore.read(spark, root).get.count() == 2)
+    // GC keeps the live version and its immediate predecessor only
+    val dirs = new java.io.File(root).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 2 && dirs.last == new java.io.File(
+      VersionedStore.current(root).get._1).getName)
+  }
+
+  test("mergePrefixBatch: a replayed batchId is skipped — counts never double") {
+    import spark.implicits._
+    val store = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "pfx-replay").toString + "/pfx"
+    val docs = Seq(
+      (1L, "shared prefix tokens one two three four five six seven eight alpha"),
+      (2L, "shared prefix tokens one two three four five six seven eight beta"))
+      .toDF("doc_id", "text")
+    StreamingIngest.mergePrefixBatch(docs, 0L, store)
+    val once = StreamingIngest.readStore(spark, store).get
+      .select("h", "n_docs").as[(String, Long)].collect().toMap
+    // at-least-once replay of the SAME batchId: non-idempotent merge
+    // must be skipped (crash after pointer flip, before checkpoint)
+    StreamingIngest.mergePrefixBatch(docs, 0L, store)
+    val twice = StreamingIngest.readStore(spark, store).get
+      .select("h", "n_docs").as[(String, Long)].collect().toMap
+    assert(once.nonEmpty && twice == once,
+      s"replay double-counted: $twice vs $once")
+    // the NEXT batchId merges normally
+    StreamingIngest.mergePrefixBatch(docs, 1L, store)
+    val next = StreamingIngest.readStore(spark, store).get
+      .select("h", "n_docs").as[(String, Long)].collect().toMap
+    assert(next.values.sum == 2 * once.values.sum)
+  }
+
+  test("scrubOneBatch: replays (complete and partial) rewrite, never duplicate") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "scrub-replay").toString
+    val target = s"$base/clean"
+    val history = Seq((1L, "h one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "novel a b c d e f g h i j k l m n o p q r s t u v w x"),
+      (11L, "h one two three four five six seven eight nine ten tail x1 x2 x3 x4 x5 x6"))
+      .toDF("doc_id", "text")
+    val bloom = new java.util.concurrent.atomic.AtomicReference(
+      StreamingIngest.initSegmentBloom(history, target))
+    StreamingIngest.scrubOneBatch(batch, 0L, history, target, bloom)
+    def docs() = spark.read.parquet(target)
+      .select("doc_id", "clean_hash").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    def segRows() = spark.read.parquet(StreamingIngest.segStorePath(target)).count()
+    val (d1, s1) = (docs(), segRows())
+    assert(d1.map(_._1) == Seq(10L, 11L))
+    // complete replay (marker present): strict no-op
+    StreamingIngest.scrubOneBatch(batch, 0L, history, target, bloom)
+    assert(docs() == d1 && segRows() == s1)
+    // partial-failure replay: docs written but segs + marker lost (the
+    // crash window between the two writes) — restart re-inits the
+    // Bloom from what's on disk, replay must rewrite identically
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(StreamingIngest.segStorePath(target)))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$target/batch=0/_COMMITTED"))
+    val bloom2 = new java.util.concurrent.atomic.AtomicReference(
+      StreamingIngest.initSegmentBloom(history, target))
+    StreamingIngest.scrubOneBatch(batch, 0L, history, target, bloom2)
+    assert(docs() == d1 && segRows() == s1,
+      "partial replay diverged from the original attempt")
   }
 }

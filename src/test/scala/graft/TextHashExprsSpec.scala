@@ -153,6 +153,13 @@ class TextHashExprsSpec extends SparkSpec {
       spark.sql("SELECT graft_chargrams(xs, 3) FROM th_bad").collect()
     }
     assert(e2.getMessage.toLowerCase.contains("string"), e2.getMessage)
+    // graft_matvec (round-8 advisor): array<int> misuse must name the
+    // expected signature, not fail as an unresolved expression
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_matvec(xs, array(xs)) FROM th_bad").collect()
+    }
+    assert(e3.getMessage.contains("graft_matvec") &&
+      e3.getMessage.contains("array<bigint>"), e3.getMessage)
   }
 
   test("kernel null semantics: null array → null/skip; null element rules") {
