@@ -106,8 +106,15 @@ object EvalQueries {
           min(when(col("rank") === 1, col("d2"))).as("d_best"),
           min(when(col("rank") === 2, col("d2"))).as("d_second"))
         .select(col("label"), col("pred"),
-          expr("(CAST(1000000 AS BIGINT) * (d_second - d_best))" +
-            " div d_second").as("margin_ppm"))
+          // degenerate margins defined EXPLICITLY (round-8 advisor):
+          // a lone label (no second centroid) is unopposed → full
+          // margin; d_second = 0 forces d_best = 0 (a tie at the
+          // query point) → zero margin — and the guard keeps the
+          // ANSI-mode div from ever seeing a zero divisor.
+          when(col("d_second").isNull, lit(1000000L))
+            .when(col("d_second") === 0L, lit(0L))
+            .otherwise(expr("(CAST(1000000 AS BIGINT) * (d_second - d_best))" +
+              " div d_second")).as("margin_ppm"))
       val tot = m.agg(count(lit(1)).as("total"))
       m.crossJoin(broadcast(tot))
         .select(col("label"), col("pred"), col("margin_ppm"), col("total"),
@@ -233,10 +240,20 @@ object EvalQueries {
     // table that validates a scoring model ("does the top decile
     // actually convert more"). Exact integers: scores are the q186
     // cents arithmetic, conversion and lift in ppm with the overflow-
-    // safe cross-multiplied form. Scale shape: the per-user rollup is
-    // map-combinable; NTILE runs over the |users|-row aggregate (the
-    // dimension-sized global sort, q189's discipline); the rest is a
-    // 10-row rollup against broadcast scalars.
+    // safe cross-multiplied form. Scale shape (round-9 rewrite — the
+    // previous global ntile was a single-partition sort of the
+    // largest dimension): the per-user rollup is map-combinable; the
+    // decile comes from the q212 two-level equi-depth recipe with the
+    // $10-score-bin histogram DRIVER-HELD (bounded by the score
+    // domain, not the corpus — the KMeans-centroid precedent), so
+    // global rank = rows-before(bin), a literal map lookup, plus
+    // row_number within the bin — a PARTITIONED window — and the
+    // decile is ntile's exact bucket arithmetic on (rank, N):
+    // bit-identical to the oracle's NTILE (the (score DESC, user_id)
+    // order is total, so ties never straddle engines), with NO
+    // unpartitioned window anywhere in the plan (PlanSpec pins it).
+    // Tie-heavy score values land in one bin's window partition — the
+    // irreducible skew of ANY exact rank over that order.
     "q201_decile_lift" -> ((s, dir) => {
       val mx = Tables.load(s, dir, "events")
         .agg(max(expr("unix_millis(ts)")).as("tmax"))
@@ -251,11 +268,29 @@ object EvalQueries {
           .as("score"),
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("n_purchases"))
-        .withColumn("decile", ntile(LiftBuckets).over(
-          Window.orderBy(col("score").desc, col("user_id"))).cast("long"))
-      val g = users.agg(count(lit(1)).as("all_users"),
+        .withColumn("bin", expr("score div 1000"))
+      // bounded bin histogram → driver-held prefix sums (desc score)
+      val hist = users.groupBy("bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      val nUsers = hist.map(_._2).sum
+      val rowsBefore = hist.map(_._1)
+        .zip(hist.scanLeft(0L)(_ + _._2).init).toMap
+      val (bq, brem) = (nUsers / LiftBuckets, nUsers % LiftBuckets)
+      val deciled = users
+        .withColumn("rn", row_number().over(Window.partitionBy("bin")
+          .orderBy(col("score").desc, col("user_id"))))
+        .withColumn("r",
+          element_at(typedLit(rowsBefore), col("bin")) + col("rn"))
+        // ntile(B) exact arithmetic: first N%B buckets hold ⌈N/B⌉ rows
+        .withColumn("decile",
+          when(lit(brem) > 0 && col("r") <= lit((bq + 1) * brem),
+            expr(s"(r - 1) div ${bq + 1} + 1"))
+          .otherwise(expr(
+            s"$brem + (r - 1 - ${brem * (bq + 1)}) div ${math.max(bq, 1L)} + 1"))
+          .cast("long"))
+      val g = deciled.agg(count(lit(1)).as("all_users"),
         sum(when(col("n_purchases") > 0, 1L).otherwise(0L)).as("all_conv"))
-      users.groupBy("decile")
+      deciled.groupBy("decile")
         .agg(count(lit(1)).as("n_users"),
           sum(when(col("n_purchases") > 0, 1L).otherwise(0L))
             .as("n_converted"),
@@ -383,8 +418,10 @@ object EvalQueries {
          |    ORDER BY d2, cl) AS rn FROM dist)
          |  GROUP BY 1, 2),
          |m AS (SELECT label, pred,
-         |  CAST((1000000 * (d_second - d_best)) // d_second AS BIGINT)
-         |    AS margin_ppm FROM best),
+         |  CAST(CASE WHEN d_second IS NULL THEN 1000000
+         |            WHEN d_second = 0 THEN 0
+         |            ELSE (1000000 * (d_second - d_best)) // d_second
+         |       END AS BIGINT) AS margin_ppm FROM best),
          |thr AS (SELECT unnest([${Thresholds.mkString(", ")}]) AS t),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS total FROM m)
          |SELECT CAST(thr.t AS BIGINT) AS threshold_ppm,

@@ -246,11 +246,16 @@ object OpsQueries {
     // "which sources contribute 80 % of my corpus tokens"). Money
     // stays exact: price × (1−discount) in decimal (q20's recipe),
     // rounded to cents, then LONG cents everywhere — the rank and the
-    // class are integer-exact, never a float cumsum. Scale shape: one
-    // map-combinable fact rollup to |parts| rows; the global
-    // rank/cumsum window runs on that DIMENSION-sized aggregate (the
-    // one place a global sort is the right plan), with the grand
-    // total as a broadcast scalar.
+    // class are integer-exact, never a float cumsum. Scale shape
+    // (round-9 rewrite — |parts| is LINEAR in SF, so the old global
+    // rank/cumsum window weakened at 100×): the q212 two-level split —
+    // the $1000-revenue-bin histogram is DRIVER-HELD (bounded by the
+    // per-part revenue domain: ~constant lineitems/part in this
+    // schema), rank = rows-before(bin) + row_number within the bin
+    // (PARTITIONED window), cum_before = revenue-before(bin) + the
+    // within-bin running sum; bins are total in the (revenue DESC,
+    // partkey) order because equal revenues share a bin. The grand
+    // total rides as a literal. No global-sort window (PlanSpec).
     "q189_abc_pareto" -> ((s, dir) => {
       val price = col("l_extendedprice").cast("decimal(12,2)")
       val oneMinusD = (lit(1.0) - col("l_discount")).cast("decimal(3,2)")
@@ -258,15 +263,26 @@ object OpsQueries {
         .select(col("l_partkey").as("partkey"),
           (round(price * oneMinusD, 2) * 100).cast("long").as("cents"))
         .groupBy("partkey").agg(sum("cents").as("revenue_cents"))
-      val tot = r.agg(sum("revenue_cents").as("t"))
-      val byRev = Window.orderBy(col("revenue_cents").desc, col("partkey"))
-      r.withColumn("rank", row_number().over(byRev).cast("long"))
+        .withColumn("bin", expr("revenue_cents div 100000"))
+      val hist = r.groupBy("bin")
+        .agg(count(lit(1)).as("c"), sum("revenue_cents").as("s"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(-_._1)
+      val total = hist.map(_._3).sum
+      val rowsBefore = hist.map(_._1)
+        .zip(hist.scanLeft(0L)(_ + _._2).init).toMap
+      val revBefore = hist.map(_._1)
+        .zip(hist.scanLeft(0L)(_ + _._3).init).toMap
+      val byRevInBin = Window.partitionBy("bin")
+        .orderBy(col("revenue_cents").desc, col("partkey"))
+      r.withColumn("rank", (element_at(typedLit(rowsBefore), col("bin")) +
+          row_number().over(byRevInBin)).cast("long"))
         .withColumn("cum_before",
-          sum("revenue_cents").over(byRev) - col("revenue_cents"))
-        .crossJoin(broadcast(tot))
+          element_at(typedLit(revBefore), col("bin")) +
+            sum("revenue_cents").over(byRevInBin) - col("revenue_cents"))
         .select(col("partkey"), col("revenue_cents"), col("rank"),
-          when(col("cum_before") * 100 < lit(AbcA) * col("t"), "A")
-            .when(col("cum_before") * 100 < lit(AbcB) * col("t"), "B")
+          when(col("cum_before") * 100 < lit(AbcA) * lit(total), "A")
+            .when(col("cum_before") * 100 < lit(AbcB) * lit(total), "B")
             .otherwise("C").as("abc"))
         .orderBy("rank")
     }),

@@ -370,6 +370,29 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q201/q189: rank/decile plans carry NO unpartitioned window at all") {
+    // round-9 rewrite pin: both queries used to global-sort a
+    // SF-linear dimension (users / parts) through a single-partition
+    // WindowExec. The two-level split (driver-held bounded bin
+    // histogram + bin-partitioned row_number) removes every
+    // empty-partitionSpec window from the plan — a revert fails here.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q201_decile_lift", "q189_abc_pareto")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      val global = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$q: unpartitioned window reintroduced:\n${global.mkString("\n")}")
+      // and the partitioned ranking window is still there (the pin
+      // must not pass vacuously on a rewritten plan with no windows)
+      assert(plan.collect {
+        case w: WindowExec if w.partitionSpec.nonEmpty => w
+      }.nonEmpty, s"$q: expected a bin-partitioned window")
+    }
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"
