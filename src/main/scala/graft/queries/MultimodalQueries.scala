@@ -1,8 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import graft.sources.Tables
 
 /** Multimodal extension queries (q60–q62) over a media table synthesized
@@ -19,6 +19,18 @@ object MultimodalQueries {
 
   private def media(s: SparkSession, dir: String): DataFrame =
     Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+
+  /** q213 perceptual fingerprint parameters: the payload's first
+    * [[CropBytes]] bytes (the "thumbnail crop" — perceptual hashes
+    * always work on a fixed-size resample, which is also what makes
+    * byte-appended variants of the same media collide) resampled to
+    * [[DHashPixels]] pixels, then the difference hash (bit i = pixel
+    * i > pixel i+1, Krawetz's dHash) packed as two 32-bit words for
+    * safe int64 band/XOR arithmetic in both engines. */
+  private val CropBytes = 128
+  private val DHashPixels = 65 // 64 difference bits = 2 × 32-bit words
+  private val HamThresh = 6    // near-dup: ≤6 of 64 bits differ
+  private val BandCap = 64     // per-(band,value) occupancy cap
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -74,6 +86,72 @@ object MultimodalQueries {
           aggregate(col("pixels"), lit(0L), (a, x) => a + x).as("pixel_sum"),
           concat_ws("|", col("pixels").cast("array<string>")).as("pixels_str"))
         .orderBy("media_id")
+    }),
+
+    // MEDIA PERCEPTUAL NEAR-DUP (q213): the dedup modality the text
+    // families (q130/q137) cover for text and q54/q88 for embeddings,
+    // closed for binary media — fingerprint every payload with a
+    // 64-bit difference hash over a fixed-crop resample (the q84
+    // pixel codec), block candidates by 16-bit Hamming BANDS (two
+    // sketches within distance d < 4 share ≥1 of 4 bands — the q160
+    // two-word XOR/popcount machinery), exact-verify popcount ≤
+    // HamThresh, and emit q87-style keep representatives (keep = min
+    // media_id over verified neighbors ∪ self; one-hop by design so
+    // the oracle stays SQL-expressible — transitive closure is q70/
+    // q87's components territory). Scale shape: fingerprints are a
+    // per-row projection (no shuffle); candidates come from a
+    // band-bucket equi-join with Dedup.capBuckets bounding any hot
+    // bucket (quadratic occupancy structurally impossible — ScaleSpec
+    // precedent); verification is codegen'd xor+bit_count on two
+    // int64s; the rep rollup is one shuffle on media_id. Fixture
+    // behavior (sf0.001): 24 pairs at Hamming 0 (the shared-prefix
+    // media), next candidate at 15 — the ≤6 threshold sits in a
+    // 9-bit empty gap, so the verify isn't knife-edged.
+    "q213_media_near_dup" -> ((s, dir) => {
+      val len = octet_length(col("content"))
+      val crop = least(len, lit(CropBytes))
+      val hx = hex(col("content"))
+      // pixel i = byte[(i·crop) div DHashPixels]: (i·crop)/65 is exact
+      // in double (ints ≪ 2^53) so floor ≡ the oracle's integer div
+      val pixels = transform(sequence(lit(0), lit(DHashPixels - 1)), i =>
+        conv(hx.substr(
+          (floor((i * crop) / lit(DHashPixels.toDouble)).cast("int") * 2 + 1),
+          lit(2)), 16, 10).cast("long"))
+      def word(p: Column, off: Int): Column =
+        (0 until 32).map(i =>
+          when(element_at(p, off + i + 1) > element_at(p, off + i + 2),
+            lit(1L << i)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+      val f = media(s, dir).where(len > 0)
+        .select(col("media_id"), pixels.as("p"))
+        .select(col("media_id"),
+          word(col("p"), 0).as("w0"), word(col("p"), 32).as("w1"))
+      val banded = f.select(col("media_id"), col("w0"), col("w1"),
+          explode(array(
+            struct(lit(0L).as("band"), expr("w0 div 65536").as("v")),
+            struct(lit(1L).as("band"), expr("w0 % 65536").as("v")),
+            struct(lit(2L).as("band"), expr("w1 div 65536").as("v")),
+            struct(lit(3L).as("band"), expr("w1 % 65536").as("v")))).as("bd"))
+        .select(col("media_id"), col("w0"), col("w1"),
+          col("bd.band").as("band"), col("bd.v").as("v"))
+      val capped = Dedup.capBuckets(banded, Seq("band", "v"), "media_id", BandCap)
+      val pairs = capped.select(col("band"), col("v"), col("media_id").as("a"),
+          col("w0").as("a0"), col("w1").as("a1"))
+        .join(capped.select(col("band"), col("v"), col("media_id").as("b"),
+          col("w0").as("b0"), col("w1").as("b1")), Seq("band", "v"))
+        .where(col("a") < col("b"))
+        .select("a", "a0", "a1", "b", "b0", "b1").distinct()
+        .where(expr(s"bit_count(a0 ^ b0) + bit_count(a1 ^ b1) <= $HamThresh"))
+        .select(col("a"), col("b"))
+      val sym = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      val agg = sym.groupBy("a")
+        .agg(min("b").as("mn"), count(lit(1)).as("n_near_dups"))
+      f.join(agg, f("media_id") === agg("a"), "left")
+        .select(col("media_id"),
+          least(col("media_id"), coalesce(col("mn"), col("media_id")))
+            .as("keep_media_id"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy("media_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -105,6 +183,55 @@ object MultimodalQueries {
     "q62_frame_offsets" ->
       """SELECT doc_id AS media_id, unnest(range(0, CAST(len(text) AS BIGINT) * 10 + 1, 100)) AS frame_ms
         |FROM documents ORDER BY media_id, frame_ms""".stripMargin,
+
+    // q213: same crop/resample/dHash pipeline, bands via UNION ALL,
+    // same cap (row_number ≤ BandCap by media_id), same ≤HamThresh
+    // verify, same one-hop min-neighbor representative.
+    "q213_media_near_dup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    least(octet_length(encode(text)), $CropBytes) AS crop,
+         |    hex(encode(text)) AS hx
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |p AS (
+         |  SELECT media_id,
+         |    [CAST('0x' || substr(hx, ((i * crop) // $DHashPixels) * 2 + 1, 2)
+         |      AS BIGINT) for i in range(0, $DHashPixels)] AS px
+         |  FROM m),
+         |f AS (
+         |  SELECT media_id,
+         |    list_sum([CASE WHEN px[i+1] > px[i+2]
+         |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+         |      for i in range(0, 32)]) AS w0,
+         |    list_sum([CASE WHEN px[32+i+1] > px[32+i+2]
+         |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+         |      for i in range(0, 32)]) AS w1
+         |  FROM p),
+         |banded AS (
+         |  SELECT media_id, w0, w1, 0 AS band, w0 // 65536 AS v FROM f
+         |  UNION ALL SELECT media_id, w0, w1, 1, w0 % 65536 FROM f
+         |  UNION ALL SELECT media_id, w0, w1, 2, w1 // 65536 FROM f
+         |  UNION ALL SELECT media_id, w0, w1, 3, w1 % 65536 FROM f),
+         |capped AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY band, v ORDER BY media_id) AS rk FROM banded)
+         |  WHERE rk <= $BandCap),
+         |pairs AS (
+         |  SELECT DISTINCT x.media_id AS a, x.w0 AS a0, x.w1 AS a1,
+         |         y.media_id AS b, y.w0 AS b0, y.w1 AS b1
+         |  FROM capped x JOIN capped y ON y.band = x.band AND y.v = x.v
+         |    AND x.media_id < y.media_id),
+         |ver AS (
+         |  SELECT a, b FROM pairs
+         |  WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) <= $HamThresh),
+         |sym AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+         |agg AS (SELECT a, min(b) AS mn, CAST(count(*) AS BIGINT) AS nn
+         |  FROM sym GROUP BY 1)
+         |SELECT f.media_id,
+         |  least(f.media_id, coalesce(agg.mn, f.media_id)) AS keep_media_id,
+         |  coalesce(agg.nn, 0) AS n_near_dups
+         |FROM f LEFT JOIN agg ON agg.a = f.media_id
+         |ORDER BY media_id""".stripMargin,
 
     "q84_media_resize" ->
       """WITH m AS (
