@@ -317,9 +317,8 @@ object PageRank {
     * Scale shape: the adjacency persists TWICE — src-partitioned for
     * the hub→authority message join and dst-partitioned for the
     * authority→hub join — so each of the two per-round joins is
-    * co-located and only (key, partial-sum) rows cross the wire;
-    * normalization sums are 1-row tree-reduced broadcasts (the q77
-    * scalar-join idiom). Returns (node, hub, auth). */
+    * co-located and only (key, partial-sum) rows cross the wire.
+    * Returns (node, hub, auth). */
   def runHits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val adjS = edges.select(col("src"), col("dst"))
@@ -327,53 +326,57 @@ object PageRank {
     val adjD = adjS.repartition(col("dst")).persist()
     val nodes = adjS.select(col("src").as("node"))
       .unionByName(adjS.select(col("dst").as("node"))).distinct().persist()
-    // Each half-step references its raw-sum frame TWICE — once inside
-    // the normalization scalar and once as the join probe — so the
-    // LOGICAL plan doubles per half-step and Catalyst re-analysis cost
-    // grows 2^(2·rounds) even when the data is cached (measured:
-    // 3 rounds ran 62–77 s at sf0.1 on driver-side planning alone).
-    // localCheckpoint (the Bfs.scala pattern) truncates the lineage to
-    // the materialized state, keeping the plan constant-size per round
-    // — measured 76.8 → 4.9 s for the q125 binding when first
-    // introduced. Round-8 cadence: only the ROUND-END state (hNew's
-    // raw sums) truncates eagerly; the mid-round authority state
-    // persists lazily instead, so its two references (normalization
-    // scalar + join probe) compute it once without paying a separate
-    // scheduling-floor job. (The every-other-ROUND variant was tried
-    // and measured SLOWER at sf0.1 — 4.6 vs 3.9 s: with two frames per
-    // round the un-truncated round's doubled subtrees outweigh the
-    // saved checkpoint job.)
+    // Lineage: each half-step localCheckpoints (the Bfs.scala pattern —
+    // without truncation Catalyst re-analysis grows 2^(2·rounds);
+    // measured 76.8 → 4.9 s at sf0.1 when first introduced).
+    //
+    // Round-9 fusion (the q125 job-count floor was scheduling, not
+    // data): each half-step is now EXACTLY ONE scheduled job. The
+    // normalization divisor Σx no longer costs its own scalar-
+    // broadcast job — it rides the half-step's checkpoint job as an
+    // OBSERVED METRIC (`observe` + eager localCheckpoint fire the
+    // metric), becomes a driver-held Long, and the NEXT half-step
+    // normalizes inline per edge with the divisor as a plan literal:
+    // (x · HMass) div s is a per-node constant, so applying it per
+    // edge before the message sum is bit-identical to normalizing the
+    // state first (6 jobs → 4 at iters = 3, and the per-job plans
+    // shrink — no crossJoin(broadcast(scalar)) subtree).
     //
     // The loop state is SPARSE: a node absent from a half-step's raw
-    // sums has x = 0, contributes 0 to the normalization sum and 0 to
-    // every next-round message, and normalizes to (0 · HMass) div s =
-    // 0 — so densifying against the node universe INSIDE the loop
-    // (a nodes-join per half-step, 2·iters shuffle joins) changes no
-    // bit of the result and is done ONCE at the end instead, where the
-    // output contract (every node, zeros included) actually needs it.
-    def normalized(raw: DataFrame, out: String, truncate: Boolean): DataFrame = {
-      val r = if (truncate) raw.localCheckpoint() else raw.persist()
-      val s = r.agg(coalesce(sum("x"), lit(0L)).as("s"))
-      r.crossJoin(broadcast(s))
-        .select(col("node"),
-          expr(s"(x * $HMass) div greatest(s, 1L)").as(out))
+    // sums has x = 0, contributes 0 to the divisor and 0 to every
+    // next-round message — so densifying against the node universe
+    // happens ONCE at the end, where the output contract (every node,
+    // zeros included) actually needs it.
+    // (The lazy-persist-the-mid-round-state variant — divisor via a
+    // 1-row agg head that fills the cache, checkpoint only at round
+    // end — was measured SLOWER: 38 jobs / 5.1 s vs 34 / 4.2 s for
+    // checkpointing both half-steps. The agg-head action doesn't
+    // subsume the materialization the way the observed checkpoint
+    // does.)
+    def halfStep(adj: DataFrame, state: DataFrame, s: Long,
+                 inKey: String, outKey: String): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val raw = adj
+        .join(state.select(col("node").as(inKey), col("x")), inKey)
+        .groupBy(col(outKey).as("node"))
+        .agg(sum(expr(s"(x * $HMass) div ${math.max(s, 1L)}")).as("x"))
+        .observe(obs, coalesce(sum(col("x")), lit(0L)).as("s"))
+        .localCheckpoint()
+      (raw, obs.get("s").asInstanceOf[Long])
     }
-    val h0 = nodes.withColumn("h", lit(HMass))
-    val (h, a) = (1 to iters).foldLeft(
-      (h0, nodes.withColumn("a", lit(HMass)))) { case ((h, _), _) =>
-      val aNew = normalized(
-        adjS.join(h.select(col("node").as("src"), col("h")), "src")
-          .groupBy(col("dst").as("node")).agg(sum("h").as("x")), "a",
-        truncate = false)
-      val hNew = normalized(
-        adjD.join(aNew.select(col("node").as("dst"), col("a")), "dst")
-          .groupBy(col("src").as("node")).agg(sum("a").as("x")), "h",
-        truncate = true)
-      (hNew, aNew)
+    var h = nodes.withColumn("x", lit(HMass))
+    var sH = HMass // h0 = HMass per node ⇒ (HMass·HMass) div HMass = HMass
+    var a: DataFrame = null
+    var sA = 1L
+    for (_ <- 1 to iters) {
+      val (a1, s1) = halfStep(adjS, h, sH, "src", "dst"); a = a1; sA = s1
+      val (h1, s2) = halfStep(adjD, a, sA, "dst", "src"); h = h1; sH = s2
     }
     nodes
-      .join(h, Seq("node"), "left")
-      .join(a, Seq("node"), "left")
+      .join(h.select(col("node"),
+        expr(s"(x * $HMass) div ${math.max(sH, 1L)}").as("h")), Seq("node"), "left")
+      .join(a.select(col("node"),
+        expr(s"(x * $HMass) div ${math.max(sA, 1L)}").as("a")), Seq("node"), "left")
       .select(col("node"), coalesce(col("h"), lit(0L)).as("hub"),
         coalesce(col("a"), lit(0L)).as("auth"))
   }
