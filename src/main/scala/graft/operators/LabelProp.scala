@@ -64,7 +64,7 @@ object LabelProp {
     * `lp` = (node, label). The TopKPerKey argmax is rendered as the
     * equivalent rank-1 window (same (cnt DESC, label ASC) total
     * order). */
-  def oracleCtes(iters: Int): String = {
+  def oracleCtes(iters: Int, edge: String = "e"): String = {
     def step(i: Int): String =
       s"""m$i AS (SELECT a.dst AS node, l.label, count(*) AS cnt
          |  FROM adj a JOIN l${i - 1} l ON l.node = a.src GROUP BY 1, 2),
@@ -73,7 +73,7 @@ object LabelProp {
          |    PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk
          |  FROM m$i) WHERE rk = 1)""".stripMargin
     s"""adj AS MATERIALIZED (
-       |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |  SELECT src, dst FROM $edge UNION ALL SELECT dst, src FROM $edge),
        |nodes AS (SELECT DISTINCT src AS node FROM adj),
        |l0 AS (SELECT node, node AS label FROM nodes),
        |${(1 to iters).map(step).mkString(",\n")},

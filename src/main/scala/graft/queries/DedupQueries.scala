@@ -28,6 +28,10 @@ object DedupQueries {
     * bucket-generation cost for a geometric recall lift on the tail. */
   val NumTables = 3
 
+  /** q219: ingest-order slices of the yield curve (doc_id range
+    * buckets — the spine every cumulative window runs over). */
+  val YieldBuckets = 10L
+
   /** q104's rare-token blocking cut: only tokens with distinct-text
     * df ≤ this generate candidate pairs (the AllPairs prefix-filter
     * analog — a frequent token contributes df² candidates and almost
@@ -121,6 +125,43 @@ object DedupQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DEDUP YIELD CURVE (q219): how much NEW unique content each
+    // successive slice of the ingest adds — the saturation curve that
+    // tells a crawl when another increment stops paying (the "data
+    // scaling" audit run before buying more of a source). The doc_id
+    // axis cuts into YieldBuckets equal-width ranges (ingest order);
+    // a fingerprint (md5 of text) is NEW in the bucket holding its
+    // FIRST occurrence (min doc_id). Scale shape: one hash-groupBy on
+    // the 128-bit fingerprint (the q50 shuffle — never the payload),
+    // one map-combinable per-bucket rollup, and the cumulative window
+    // runs over the YieldBuckets-row spine. yield_ppm = new uniques
+    // per doc in the bucket; saturation shows as the ppm falling
+    // toward the duplicate rate.
+    "q219_yield_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val mx = d.agg(max("doc_id").as("mid"))
+      val bucketed = d.crossJoin(broadcast(mx))
+        .select(col("doc_id"), col("fp"),
+          expr(s"least($YieldBuckets - 1, " +
+            s"(doc_id * $YieldBuckets) div (mid + 1))").as("bucket"))
+      val perB = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+      val firsts = bucketed.groupBy("fp").agg(min("bucket").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+      perB.join(firsts, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("cum_docs", sum("n_docs").over(Window.orderBy("bucket")))
+        .withColumn("cum_unique", sum("n_new").over(Window.orderBy("bucket")))
+        .select(col("bucket"), col("n_docs"), col("n_new"),
+          col("cum_docs"), col("cum_unique"),
+          expr("(CAST(1000000 AS BIGINT) * n_new) div n_docs")
+            .as("yield_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * cum_unique) div cum_docs")
+            .as("cum_unique_ppm"))
+        .orderBy("bucket")
+    }),
 
     // Exact dedup: hash-groupBy — ONE shuffle on the 128-bit text hash,
     // never on the full text payload. Keeper = min(doc_id).
@@ -582,6 +623,33 @@ object DedupQueries {
     val toksE = TextAnalysis.tokensSql("title")
     val docsCte = s"docs AS (SELECT doc_id, title FROM posts_proxy WHERE title <> '')"
     Map(
+      // q219: identical bucket/first-occurrence arithmetic (all
+      // operands non-negative, // = div; the two unpartitioned windows
+      // run over the YieldBuckets-row spine in both engines).
+      "q219_yield_curve" ->
+        s"""WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+           |mx AS (SELECT max(doc_id) AS mid FROM d),
+           |bk AS (SELECT doc_id, fp,
+           |    least($YieldBuckets - 1,
+           |      (doc_id * $YieldBuckets) // (mx.mid + 1)) AS bucket
+           |  FROM d CROSS JOIN mx),
+           |per_b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM bk GROUP BY 1),
+           |fo AS (SELECT fp, min(bucket) AS bucket FROM bk GROUP BY 1),
+           |fb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_new
+           |  FROM fo GROUP BY 1),
+           |j AS (SELECT p.bucket, p.n_docs, coalesce(f.n_new, 0) AS n_new,
+           |    CAST(sum(p.n_docs) OVER (ORDER BY p.bucket) AS BIGINT)
+           |      AS cum_docs,
+           |    CAST(sum(coalesce(f.n_new, 0)) OVER (ORDER BY p.bucket)
+           |      AS BIGINT) AS cum_unique
+           |  FROM per_b p LEFT JOIN fb f ON f.bucket = p.bucket)
+           |SELECT bucket, n_docs, n_new, cum_docs, cum_unique,
+           |  (CAST(1000000 AS BIGINT) * n_new) // n_docs AS yield_ppm,
+           |  (CAST(1000000 AS BIGINT) * cum_unique) // cum_docs
+           |    AS cum_unique_ppm
+           |FROM j ORDER BY bucket""".stripMargin,
+
       "q50_dedup_exact" ->
         """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,

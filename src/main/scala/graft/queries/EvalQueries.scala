@@ -34,6 +34,67 @@ object EvalQueries {
   /** q201: score deciles. */
   private val LiftBuckets = 10
 
+  /** q220: coverage target 1−α = ConfNum/ConfDen; score-bin width for
+    * the two-level order statistic (score domain ≤ 4·Scale²·dim, so
+    * the histogram is a few hundred bins per label at any corpus
+    * size); BinKeyStride packs (label, bin) into one literal-map key
+    * (bins < 2⁴⁰ by the domain bound). */
+  private val ConfNum = 9L
+  private val ConfDen = 10L
+  private val ConfBin = 1L << 20
+  private val BinKeyStride = 1L << 40
+
+  /** q215: Spearman rank correlation between two integer document
+    * measures, tie-corrected, WITHOUT a corpus-sized rank window: the
+    * average rank of a value v is rows_before(v) + (cnt(v)+1)/2, which
+    * is pure value-level histogram arithmetic — the cumulative windows
+    * run over the per-source DISTINCT-VALUE spine (length-domain
+    * bounded, the q212 discipline), and doubled ranks (rx2 = 2·avg
+    * rank) keep everything integer (ρ is affine-invariant, so ρ of the
+    * doubled ranks IS Spearman's ρ). Moments are exact int64 sums off
+    * the (x, y) joint histogram; only the final ρ divides, in doubles
+    * with a FIXED association order (every IEEE op correctly rounded →
+    * bit-identical across engines), rendered floor(x·1e6 + 0.5).
+    * Portable SQL — the engine runs it over a temp view, the oracle
+    * over the documents table; only the y-expression differs. */
+  private def spearmanSql(table: String, yExpr: String): String =
+    s"""WITH base AS (SELECT source, x, y FROM (
+       |    SELECT source, CAST(n_chars AS BIGINT) AS x, $yExpr AS y
+       |    FROM $table) b),
+       |hx AS (SELECT source, x,
+       |    2 * (CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY x)
+       |      AS BIGINT) - count(*)) + count(*) + 1 AS rx2
+       |  FROM base GROUP BY source, x),
+       |hy AS (SELECT source, y,
+       |    2 * (CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY y)
+       |      AS BIGINT) - count(*)) + count(*) + 1 AS ry2
+       |  FROM base GROUP BY source, y),
+       |joint AS (SELECT source, x, y, count(*) AS c
+       |  FROM base GROUP BY source, x, y),
+       |m AS (SELECT j.source,
+       |    CAST(sum(j.c) AS BIGINT) AS n,
+       |    CAST(sum(j.c * hx.rx2) AS BIGINT) AS sx,
+       |    CAST(sum(j.c * hy.ry2) AS BIGINT) AS sy,
+       |    CAST(sum(j.c * hx.rx2 * hy.ry2) AS BIGINT) AS sxy,
+       |    CAST(sum(j.c * hx.rx2 * hx.rx2) AS BIGINT) AS sxx,
+       |    CAST(sum(j.c * hy.ry2 * hy.ry2) AS BIGINT) AS syy
+       |  FROM joint j
+       |  JOIN hx ON hx.source = j.source AND hx.x = j.x
+       |  JOIN hy ON hy.source = j.source AND hy.y = j.y
+       |  GROUP BY j.source)
+       |SELECT source, n,
+       |  n * sxy - sx * sy AS rho_num,
+       |  n * sxx - sx * sx AS d1,
+       |  n * syy - sy * sy AS d2,
+       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+       |    CAST(floor(CAST(1000000 AS DOUBLE) *
+       |      CAST(n * sxy - sx * sy AS DOUBLE) /
+       |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+       |        CAST(n * syy - sy * sy AS DOUBLE)) +
+       |      CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |  ELSE 0 END AS rho_ppm
+       |FROM m ORDER BY source""".stripMargin
+
   /** Quantized embeddings with their labels, and the per-label integer
     * centroid table (c = Σq div n per dimension, ordered dim list) —
     * shared by q194/q195. Both stages are map-combinable rollups; the
@@ -62,6 +123,104 @@ object EvalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SPEARMAN RANK CORRELATION (q215): per source, the tie-corrected
+    // Spearman ρ between document length (n_chars) and whitespace
+    // token count — the monotone-association audit between any two
+    // corpus measures (does "longer" actually mean "more content" in
+    // this feed, or is a source padding characters). See
+    // [[spearmanSql]] for the windowless value-histogram rank
+    // construction and the exactness argument; the engine evaluates
+    // the same portable SQL over a temp view (the shared-lineage
+    // hx/hy/joint self-joins resolve cleanly through a view — the
+    // DedupQueries convention).
+    "q215_rank_correlation" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          size(graft.functions.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_toks"))
+        .createOrReplaceTempView("q215_docs")
+      s.sql(spearmanSql("q215_docs", "n_toks"))
+    }),
+
+    // SPLIT-CONFORMAL CALIBRATION (q220): the distribution-free
+    // coverage guarantee (Vovk; Angelopoulos & Bates 2021) applied to
+    // the centroid classifier, with the PROPER three-way split — fit
+    // label centroids on the TRAIN third (vec_id % 3 = 0), take each
+    // label's nonconformity threshold as the ⌈(n+1)·(1−α)⌉-th smallest
+    // own-centroid distance over the CALIBRATION third (% 3 = 1), and
+    // audit empirical coverage on the TEST third (% 3 = 2). Fitting on
+    // the calibration rows themselves would break the exchangeability
+    // the ≈ 1−α guarantee rests on (the fitted centroid shrinks its
+    // own calibration scores); with the split, calibration and test
+    // scores are exchangeable and coverage concentrates at 1−α — the
+    // deviation is the drift signal. Exact integers: quantized
+    // distances, ceil as integer division, a total (score, vec_id)
+    // tie order. Scale shape: the k-th order statistic per label
+    // comes from the q212 two-level recipe — the (label, bin)
+    // histogram is DRIVER-HELD (score-domain bounded × |labels|),
+    // global position = rows-before literal-map lookup + row_number
+    // within the (label, bin) PARTITIONED window; the |labels|-row
+    // threshold table rides back as a broadcast literal map (the
+    // q98/q199 driver-held-model precedent). Labels absent from a
+    // split would coast through with a NULL threshold — impossible
+    // under the mod-3 split of a label-balanced corpus, and the
+    // oracle's inner join pins it.
+    "q220_conformal" -> ((s, dir) => {
+      val e = labeled(s, dir)
+      val cal = e.where(col("vec_id") % 3 === 1)
+      val cents = broadcast(centroids(e.where(col("vec_id") % 3 === 0)))
+      val sc = cal.join(cents, col("label") === col("cl"))
+        .select(col("vec_id"), col("label"),
+          KMeans.sqDist(col("qv"), col("cv")).as("score"))
+        .withColumn("bin", expr(s"score div $ConfBin"))
+        .persist()
+      try {
+        val hist = sc.groupBy("label", "bin").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val byLabel = hist.groupBy(_._1)
+        val rbMap: Map[Long, Long] = byLabel.iterator.flatMap {
+          case (_, rows) =>
+            val sorted = rows.sortBy(_._2)
+            sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+              case ((l, b, _), rb) => (l * BinKeyStride + b, rb)
+            }
+        }.toMap
+        val nCal: Map[Long, Long] =
+          byLabel.map { case (l, rows) => (l, rows.map(_._3).sum) }
+        def kOf(n: Long) = (ConfNum * (n + 1) + ConfDen - 1) / ConfDen
+        val kMap = nCal.map { case (l, n) => (l, math.min(kOf(n), n)) }
+        val clippedMap = nCal.map { case (l, n) => (l, kOf(n) > n) }
+        val thrMap: Map[Long, Long] = sc
+          .withColumn("rb", element_at(typedLit(rbMap),
+            expr(s"label * $BinKeyStride + bin")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("label", "bin")
+              .orderBy(col("score"), col("vec_id"))))
+          .where(col("rb") + col("rn") ===
+            element_at(typedLit(kMap), col("label")))
+          .select(col("label"), col("score"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        e.where(col("vec_id") % 3 === 2)
+          .join(cents, col("label") === col("cl"))
+          .select(col("label"), KMeans.sqDist(col("qv"), col("cv")).as("score"))
+          .withColumn("threshold", element_at(typedLit(thrMap), col("label")))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("score") <= col("threshold"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .withColumn("n_cal", element_at(typedLit(nCal), col("label")))
+          .withColumn("k", element_at(typedLit(kMap), col("label")))
+          .withColumn("clipped", element_at(typedLit(clippedMap), col("label")))
+          .withColumn("threshold", element_at(typedLit(thrMap), col("label")))
+          .withColumn("cover_ppm",
+            expr("(CAST(1000000 AS BIGINT) * n_covered) div n_test"))
+          .select(col("label"), col("n_cal"), col("k"), col("clipped"),
+            col("threshold"), col("n_test"), col("n_covered"),
+            col("cover_ppm"))
+          .orderBy("label")
+      } finally { sc.unpersist(); () }
+    }),
 
     // NEAREST-CENTROID CONFUSION MATRIX (q194): classify every vector
     // to its nearest label centroid (integer means of the q82/q98
@@ -393,6 +552,56 @@ object EvalQueries {
        |  FROM e CROSS JOIN cvs)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+
+    // q215: the identical portable SQL over the documents table; only
+    // the y-expression is dialect-specific (DuckDB list ops).
+    "q215_rank_correlation" -> spearmanSql("documents",
+      s"CAST(len(${graft.functions.TextAnalysis.tokensSql("text")}) AS BIGINT)"),
+
+    // q220: centroids over the train third; the k-th order statistic
+    // as the naive per-label rank window (hash-equality proves the
+    // engine's two-level decomposition reproduces it); identical
+    // ceil-as-integer-division and tie order.
+    "q220_conformal" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  ${KMeans.quantizeSql("embedding")} AS qv FROM embeddings),
+         |cal AS (SELECT * FROM e WHERE vec_id % 3 = 1),
+         |dims AS (SELECT vec_id, label, generate_subscripts(qv, 1) AS d,
+         |  unnest(qv) AS q FROM e WHERE vec_id % 3 = 0),
+         |cent AS (SELECT label AS cl, d,
+         |  CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+         |  FROM dims GROUP BY 1, 2),
+         |cvs AS (SELECT cl, list(c ORDER BY d) AS cv FROM cent GROUP BY 1),
+         |sc AS (SELECT c.vec_id, c.label,
+         |  ${KMeans.sqDistSql("c.qv", "cvs.cv", graft.operators.Similarity.Dim)}
+         |    AS score
+         |  FROM cal c JOIN cvs ON cvs.cl = c.label),
+         |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n_cal
+         |  FROM sc GROUP BY 1),
+         |kk AS (SELECT label, n_cal,
+         |  least(($ConfNum * (n_cal + 1) + $ConfDen - 1) // $ConfDen, n_cal)
+         |    AS k,
+         |  (($ConfNum * (n_cal + 1) + $ConfDen - 1) // $ConfDen) > n_cal
+         |    AS clipped
+         |  FROM st),
+         |r AS (SELECT label, score, row_number() OVER (
+         |    PARTITION BY label ORDER BY score, vec_id) AS pos FROM sc),
+         |thr AS (SELECT kk.label, kk.n_cal, kk.k, kk.clipped,
+         |    r.score AS threshold
+         |  FROM kk JOIN r ON r.label = kk.label AND r.pos = kk.k),
+         |tst AS (SELECT t.label,
+         |  ${KMeans.sqDistSql("t.qv", "cvs.cv", graft.operators.Similarity.Dim)}
+         |    AS score
+         |  FROM e t JOIN cvs ON cvs.cl = t.label WHERE t.vec_id % 3 = 2)
+         |SELECT thr.label, thr.n_cal, thr.k, thr.clipped, thr.threshold,
+         |  CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN tst.score <= thr.threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_covered,
+         |  (CAST(1000000 AS BIGINT) *
+         |    CAST(sum(CASE WHEN tst.score <= thr.threshold THEN 1 ELSE 0 END)
+         |      AS BIGINT)) // CAST(count(*) AS BIGINT) AS cover_ppm
+         |FROM tst JOIN thr ON thr.label = tst.label
+         |GROUP BY 1, 2, 3, 4, 5 ORDER BY thr.label""".stripMargin,
 
     // q194: same centroids, same argmin tie order, share by window.
     "q194_centroid_classifier" ->

@@ -37,6 +37,10 @@ object GovernanceQueries {
     * median token count. */
   private val MadC = 3L
 
+  /** q221: ECDF bin width in characters (the length domain bounds the
+    * bin spine — ~28 bins over the fixture's ≤560-char docs). */
+  private val KsBinChars = 20L
+
   /** q203: the referential constraints audited — (name, child table,
     * child key, parent table, parent key). */
   private val FkConstraints: Seq[(String, String, String, String, String)] =
@@ -80,6 +84,51 @@ object GovernanceQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // KOLMOGOROV–SMIRNOV SOURCE-SHIFT AUDIT (q221): for every source,
+    // the exact two-sample KS distance between ITS document-length
+    // distribution and the rest of the corpus — the distribution-shift
+    // gate that catches a feed whose content changed shape (truncated
+    // docs, template floods) even when its volume looks normal. All
+    // exact integers: lengths quantize to width-[[KsBinChars]] bins,
+    // both ECDFs are evaluated on the shared bin spine, and the sup
+    // statistic is the max over bins of |cum_s·n_other − cum_o·n_s|
+    // (the cross-multiplied form of |F̂_s − F̂_o|, no division). Scale
+    // shape: one map-combinable (source, bin) rollup; every window
+    // runs over the LENGTH-DOMAIN-bounded bin spine (the q212
+    // histogram discipline — the unpartitioned cum_all window sorts
+    // |bins| rows, never the corpus); the per-source argmax streams
+    // through a |sources|·|bins| frame. ks_scaled ≤ n_s·n_other, so
+    // the ×1e6 ppm rendering stays in int64 below ~3e6 docs per side
+    // — past that, drop the fixed-point scale (comment, not cliff).
+    "q221_ks_distance" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("source"), expr(s"n_chars div $KsBinChars").as("bin"))
+      val bySrc = d.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      val srcs = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val tot = d.agg(count(lit(1)).as("n_tot"))
+      val cAll = d.groupBy("bin").agg(count(lit(1)).as("ca"))
+        .withColumn("cum_all", sum("ca").over(Window.orderBy("bin")))
+        .select("bin", "cum_all")
+      val cells = srcs.crossJoin(broadcast(cAll))
+        .join(bySrc, Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+        .withColumn("cum_s",
+          sum("c").over(Window.partitionBy("source").orderBy("bin")))
+        .crossJoin(broadcast(tot))
+        .withColumn("n_other", col("n_tot") - col("n_s"))
+        .withColumn("diff", abs(col("cum_s") * col("n_other") -
+          (col("cum_all") - col("cum_s")) * col("n_s")))
+      cells
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(col("diff").desc, col("bin").asc)))
+        .where(col("rk") === 1)
+        .select(col("source"), col("n_s"), col("n_other"),
+          col("bin").as("ks_bin"), col("diff").as("ks_scaled"),
+          expr("(CAST(1000000 AS BIGINT) * diff) div (n_s * n_other)")
+            .as("ks_ppm"))
+        .orderBy("source")
+    }),
 
     // PURGED WALK-FORWARD SPLIT (q179): the leakage-safe K-fold scheme
     // for time-ordered data (the purged CV of the financial-ML
@@ -318,6 +367,33 @@ object GovernanceQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    // q221: the same shared-spine ECDF construction; every operand is
+    // a non-negative integer count so // mirrors div exactly.
+    "q221_ks_distance" ->
+      s"""WITH d AS (SELECT source, n_chars // $KsBinChars AS bin
+         |  FROM documents),
+         |by_src AS (SELECT source, bin, count(*) AS c FROM d GROUP BY 1, 2),
+         |srcs AS (SELECT source, count(*) AS n_s FROM d GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_tot FROM d),
+         |c_all AS (SELECT bin, CAST(sum(count(*))
+         |    OVER (ORDER BY bin) AS BIGINT) AS cum_all
+         |  FROM d GROUP BY bin),
+         |cells AS (SELECT s.source, s.n_s, a.bin, a.cum_all,
+         |    CAST(sum(coalesce(b.c, 0)) OVER (PARTITION BY s.source
+         |      ORDER BY a.bin) AS BIGINT) AS cum_s,
+         |    t.n_tot - s.n_s AS n_other
+         |  FROM srcs s CROSS JOIN c_all a CROSS JOIN tot t
+         |  LEFT JOIN by_src b ON b.source = s.source AND b.bin = a.bin),
+         |diffs AS (SELECT source, n_s, n_other, bin,
+         |    abs(cum_s * n_other - (cum_all - cum_s) * n_s) AS diff,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY abs(cum_s * n_other - (cum_all - cum_s) * n_s) DESC,
+         |        bin ASC) AS rk
+         |  FROM cells)
+         |SELECT source, n_s, n_other, bin AS ks_bin, diff AS ks_scaled,
+         |  (CAST(1000000 AS BIGINT) * diff) // (n_s * n_other) AS ks_ppm
+         |FROM diffs WHERE rk = 1 ORDER BY source""".stripMargin,
 
     // q179: identical integer boundary arithmetic (epoch_ms mirrors
     // unix_millis; all operands non-negative offsets so // = div).

@@ -21,6 +21,9 @@ object GraphQueries {
     * oracle (the GraphFrames maxIter contract). */
   private val Iters = 3
 
+  /** q216: communities reported (largest-first TakeOrdered cap). */
+  private val TopCommunities = 20
+
   /** q169: negative-sampling geometry — candidates drawn per source
     * and negatives kept after edge rejection. */
   private val NegCand = 8
@@ -158,6 +161,61 @@ object GraphQueries {
        |  FROM sel)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MODULARITY AUDIT (q216): Newman–Girvan modularity of label-
+    // propagation communities over the supplier co-purchase kNN
+    // similarity graph (q140/q142's sparsified edge list — the dense
+    // bipartite purchase graph LPA-collapses into two blobs, so the
+    // audit runs where community structure can exist) — the standard
+    // "did the clustering find real structure" score (Q > 0 means
+    // denser-than-chance intra-community wiring; Q ≈ 0 means the
+    // partition is noise). Exact integers end-to-end: Q·4m² =
+    // Σ_c (4m·e_c − d_c²), so each community's q_num and the global
+    // numerator are int64 (safe while m < ~10⁹ edges; past that drop
+    // to a coarser fixed point); only the final ppm rendering divides,
+    // in doubles with floor (negative-safe — `div`/`//` disagree on
+    // negative operands). Scale shape: the label join is the e⋈lp
+    // equi-join twice (shuffles on node — linear); community stats are
+    // map-combinable rollups; the global numerator is ONE scalar agg
+    // broadcast back; output is the 20 largest communities via
+    // TakeOrdered, never a global sort. The e_in self-join of labels
+    // goes through temp views (the DedupQueries ambiguous-self-join
+    // convention).
+    "q216_modularity" -> ((s, dir) => {
+      val e = knnEdges(s, dir)
+        .select(col("u").as("src"), col("v").as("dst"))
+      val labels = LabelProp.run(e, Iters)
+      e.createOrReplaceTempView("q216_edges")
+      labels.createOrReplaceTempView("q216_labels")
+      val ein = s.sql(
+        """SELECT la.label AS community, CAST(count(*) AS BIGINT) AS e_in
+          |FROM q216_edges e
+          |JOIN q216_labels la ON la.node = e.src
+          |JOIN q216_labels lb ON lb.node = e.dst AND lb.label = la.label
+          |GROUP BY la.label""".stripMargin)
+      val mRow = e.agg(count(lit(1)).as("m"))
+      val deg = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val cs = labels.join(deg, "node")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+      val g = cs.join(ein, Seq("community"), "left")
+        .na.fill(0L, Seq("e_in"))
+        .crossJoin(broadcast(mRow))
+        .withColumn("q_num",
+          lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+      val tot = g.agg(sum("q_num").as("q_num_total"))
+      g.crossJoin(broadcast(tot))
+        .select(col("community"), col("n_nodes"), col("e_in"),
+          col("d_sum"), col("q_num"), col("m"), col("q_num_total"),
+          expr("CAST(floor((CAST(1000000 AS DOUBLE) * " +
+            "CAST(q_num_total AS DOUBLE)) / (CAST(4 AS DOUBLE) * " +
+            "CAST(m AS DOUBLE) * CAST(m AS DOUBLE))) AS BIGINT)")
+            .as("q_ppm"))
+        .orderBy(col("n_nodes").desc, col("community").asc)
+        .limit(TopCommunities)
+    }),
 
     // Purchase-graph PageRank: distinct (customer, supplier) edges
     // from orders ⋈ lineitem (the payload never rides past the
@@ -524,6 +582,41 @@ object GraphQueries {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  label AS community
          |FROM lp ORDER BY node""".stripMargin,
+
+    // q216: the lp CTE chain is q126's machinery over the q140 kNN
+    // edge CTEs; deg comes off the symmetrized adj (each incidence
+    // once), e_in off the one-direction edge list — identical to the
+    // engine's construction.
+    "q216_modularity" ->
+      s"""WITH $knnEdgesSql,
+         |eg AS (SELECT u AS src, v AS dst FROM e),
+         |${LabelProp.oracleCtes(Iters, edge = "eg")},
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eg),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY 1),
+         |cs AS (SELECT lp.label AS community,
+         |    CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg.deg) AS BIGINT) AS d_sum
+         |  FROM lp JOIN deg ON deg.node = lp.node GROUP BY 1),
+         |ein AS (SELECT la.label AS community,
+         |    CAST(count(*) AS BIGINT) AS e_in
+         |  FROM eg JOIN lp la ON la.node = eg.src
+         |  JOIN lp lb ON lb.node = eg.dst AND lb.label = la.label
+         |  GROUP BY 1),
+         |g AS (SELECT cs.community, cs.n_nodes,
+         |    coalesce(ein.e_in, 0) AS e_in, cs.d_sum,
+         |    4 * m.m * coalesce(ein.e_in, 0) - cs.d_sum * cs.d_sum AS q_num,
+         |    m.m AS m
+         |  FROM cs CROSS JOIN m
+         |  LEFT JOIN ein ON ein.community = cs.community),
+         |t AS (SELECT CAST(sum(q_num) AS BIGINT) AS q_num_total FROM g)
+         |SELECT g.community, g.n_nodes, g.e_in, g.d_sum, g.q_num, g.m,
+         |  t.q_num_total,
+         |  CAST(floor((CAST(1000000 AS DOUBLE) *
+         |    CAST(t.q_num_total AS DOUBLE)) / (CAST(4 AS DOUBLE) *
+         |    CAST(g.m AS DOUBLE) * CAST(g.m AS DOUBLE))) AS BIGINT) AS q_ppm
+         |FROM g CROSS JOIN t
+         |ORDER BY g.n_nodes DESC, g.community LIMIT $TopCommunities""".stripMargin,
 
     "q114_centrality_sample" ->
       s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),

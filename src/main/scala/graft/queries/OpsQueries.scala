@@ -65,6 +65,51 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // χ² DISTRIBUTION-DRIFT MONITOR (q217): for each event type, the
+    // two-sample χ² homogeneity statistic between the value
+    // distribution of the stream's EARLY half and its LATE half (time
+    // split at the exact integer midpoint of the observed range) —
+    // the drift gate that catches a feed whose amounts changed shape
+    // between snapshots. Values quantize to $10 cents-bins (bounded
+    // by the value domain, the q212 histogram discipline); per bin
+    // the engine-exact integer t = c1·n2 − c2·n1 is formed in int64,
+    // and the per-bin contribution t²/((c1+c2)·n1·n2) is evaluated in
+    // doubles with a FIXED association order (each IEEE op is
+    // correctly rounded, so identical inputs give identical bits in
+    // both engines), rendered as a floor(x·1000 + 0.5) integer. The
+    // reported chi2_milli is the exact integer sum of those per-bin
+    // integers — order-independent, hash-stable. Scale shape: two
+    // map-combinable rollups on (type, bin) / (type), a broadcast
+    // totals join, windows only over the bounded bin spine.
+    "q217_chisq_drift" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val b = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
+        max(expr("unix_millis(ts)")).as("t1"))
+      val halves = ev.crossJoin(broadcast(b))
+        .select(col("event_type"),
+          expr("CAST(round(value * 100, 0) AS BIGINT) div 1000").as("bin"),
+          when(expr("unix_millis(ts) * 2 < t0 + t1"), 0L).otherwise(1L)
+            .as("half"))
+      val cells = halves.groupBy("event_type", "bin")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c2"))
+      val totals = halves.groupBy("event_type")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n2"))
+      cells.join(broadcast(totals), "event_type")
+        .withColumn("t", col("c1") * col("n2") - col("c2") * col("n1"))
+        .withColumn("contrib_milli", expr(
+          "CAST(floor(CAST(1000 AS DOUBLE) * ((CAST(t AS DOUBLE) * " +
+            "CAST(t AS DOUBLE)) / CAST(c1 + c2 AS DOUBLE) / " +
+            "CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE)) + " +
+            "CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        .withColumn("chi2_milli",
+          sum("contrib_milli").over(Window.partitionBy("event_type")))
+        .select(col("event_type"), col("bin"), col("c1"), col("c2"),
+          col("n1"), col("n2"), col("contrib_milli"), col("chi2_milli"))
+        .orderBy("event_type", "bin")
+    }),
+
     // ASSOCIATION RULES (q184): the market-basket classic (Agrawal &
     // Srikant 1994) over order baskets — for supplier pairs
     // co-occurring in ≥ MinSup orders, both directional rules A⇒C
@@ -503,6 +548,39 @@ object OpsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    // q217: identical integer split/bin/count arithmetic; the per-bin
+    // double expression is rendered with the SAME association order so
+    // every IEEE step is bit-identical.
+    "q217_chisq_drift" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1
+        |  FROM events),
+        |h AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) // 1000 AS bin,
+        |    CASE WHEN epoch_ms(ts) * 2 < b.t0 + b.t1 THEN 0 ELSE 1 END
+        |      AS half
+        |  FROM events CROSS JOIN b),
+        |cells AS (SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM h GROUP BY 1, 2),
+        |tt AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM h GROUP BY 1),
+        |j AS (SELECT c.event_type, c.bin, c.c1, c.c2, t.n1, t.n2,
+        |    c.c1 * t.n2 - c.c2 * t.n1 AS t
+        |  FROM cells c JOIN tt t ON t.event_type = c.event_type),
+        |k AS (SELECT event_type, bin, c1, c2, n1, n2,
+        |    CAST(floor(CAST(1000 AS DOUBLE) * ((CAST(t AS DOUBLE) *
+        |      CAST(t AS DOUBLE)) / CAST(c1 + c2 AS DOUBLE) /
+        |      CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE)) +
+        |      CAST(0.5 AS DOUBLE)) AS BIGINT) AS contrib_milli
+        |  FROM j)
+        |SELECT event_type, bin, c1, c2, n1, n2, contrib_milli,
+        |  CAST(sum(contrib_milli) OVER (PARTITION BY event_type) AS BIGINT)
+        |    AS chi2_milli
+        |FROM k ORDER BY event_type, bin""".stripMargin,
 
     // q184: the same pair/item/basket arithmetic; the per-antecedent
     // cap as a row_number window with the same tie order.

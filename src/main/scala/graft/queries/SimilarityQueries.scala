@@ -66,12 +66,57 @@ object SimilarityQueries {
   /** q161: evaluation depth for the binary-sketch recall audit. */
   private val RecallK = 10
 
+  /** q218: prefix depths audited (matryoshka truncation points). */
+  private val PrefixDims = Seq(8, 16, 32)
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .withColumn("nrm", Dedup.norm(col("embedding")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PREFIX-DIMENSION FIDELITY (q218): the matryoshka-truncation
+    // audit (Kusupati et al. 2022) — how much of exact top-k retrieval
+    // survives when vectors are cut to their first 8/16/32 dimensions
+    // (the storage/latency lever of prefix-truncatable embeddings:
+    // overlap@k tells you which depth is safe to serve from). Exact
+    // ground truth at full dim and exact retrieval at each prefix —
+    // the audit's whole value is that BOTH sides are exact, so the
+    // number is the truncation's fault alone. Scale shape: the q161
+    // recipe — a broadcast query panel (NumQueries rows), per-depth
+    // distances through the codegen'd sqdist kernel over array
+    // slices (linear corpus scans, no shuffle), top-k via
+    // TopKPerKeyExec, overlap by one |panel·k|-row join per depth.
+    "q218_prefix_fidelity" -> ((s, dir) => {
+      import graft.operators.KMeans
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val pr = broadcast(q.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("qv").as("pqv")))
+      val pairs = q.crossJoin(pr).where(col("vec_id") =!= col("query_id"))
+      val full = graft.operators.TopK.perKey(
+          pairs.select(col("query_id"), col("vec_id"),
+            KMeans.sqDist(col("qv"), col("pqv")).as("d")),
+          Seq("query_id"), Seq("d" -> true, "vec_id" -> true), k = RecallK)
+        .select(col("query_id"), col("vec_id"))
+      PrefixDims.map { pd =>
+        val pk = graft.operators.TopK.perKey(
+            pairs.select(col("query_id"), col("vec_id"),
+              KMeans.sqDist(slice(col("qv"), 1, pd),
+                slice(col("pqv"), 1, pd)).as("d")),
+            Seq("query_id"), Seq("d" -> true, "vec_id" -> true),
+            k = RecallK)
+          .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+        full.join(pk, Seq("query_id", "vec_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("n_overlap"))
+          .select(col("query_id"), lit(pd.toLong).as("prefix_dim"),
+            lit(RecallK.toLong).as("k"), col("n_overlap"),
+            expr(s"(CAST(1000000 AS BIGINT) * n_overlap) div $RecallK")
+              .as("overlap_ppm"))
+      }.reduce(_ unionByName _).orderBy("query_id", "prefix_dim")
+    }),
 
     // Exact top-k: queries × corpus ranked by pinned-fold cosine.
     // Broadcast of the tiny query side keeps the corpus unshuffled.
@@ -317,6 +362,42 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = {
     val dot = Dedup.dotProductSql("q.embedding", "c.embedding")
     Map(
+      // q218: per depth, the same exact rank construction with the
+      // distance fold truncated to the prefix (sqDistSql's dim
+      // parameter indexes only the first pd slots); blocks UNION ALL.
+      "q218_prefix_fidelity" -> {
+        val sqf = graft.operators.KMeans.sqDistSql("a.qv", "p.pqv", Dim)
+        val blocks = PrefixDims.map { pd =>
+          val sqp = graft.operators.KMeans.sqDistSql("a.qv", "p.pqv", pd)
+          s"""SELECT e.query_id, CAST($pd AS BIGINT) AS prefix_dim,
+             |  CAST($RecallK AS BIGINT) AS k,
+             |  CAST(count(h$pd.vec_id) AS BIGINT) AS n_overlap,
+             |  CAST((1000000 * count(h$pd.vec_id)) // $RecallK AS BIGINT)
+             |    AS overlap_ppm
+             |FROM exk e LEFT JOIN (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT p.query_id, a.vec_id, row_number() OVER (
+             |      PARTITION BY p.query_id ORDER BY $sqp, a.vec_id) AS rn
+             |    FROM q a CROSS JOIN pr p
+             |    WHERE a.vec_id <> p.query_id) r$pd
+             |  WHERE rn <= $RecallK) h$pd
+             |  ON h$pd.query_id = e.query_id AND h$pd.vec_id = e.vec_id
+             |GROUP BY e.query_id""".stripMargin
+        }
+        s"""WITH q AS (SELECT vec_id,
+           |    ${graft.operators.KMeans.quantizeSql("embedding")} AS qv
+           |  FROM embeddings),
+           |pr AS (SELECT vec_id AS query_id, qv AS pqv FROM q
+           |  WHERE vec_id < $NumQueries),
+           |ex AS (SELECT p.query_id, a.vec_id,
+           |    row_number() OVER (PARTITION BY p.query_id
+           |      ORDER BY $sqf, a.vec_id) AS rn
+           |  FROM q a CROSS JOIN pr p WHERE a.vec_id <> p.query_id),
+           |exk AS (SELECT query_id, vec_id FROM ex WHERE rn <= $RecallK)
+           |SELECT * FROM (
+           |${blocks.mkString("\nUNION ALL\n")}
+           |) u ORDER BY query_id, prefix_dim""".stripMargin
+      },
       "q117_embedding_decontamination" -> {
         val d = graft.operators.KMeans.sqDistSql("c.qv", "b.bv", Dim)
         s"""WITH q AS (SELECT vec_id,

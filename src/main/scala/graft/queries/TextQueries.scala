@@ -16,6 +16,10 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** q214: spectrum depth — ranks of the frequency curve reported per
+    * language. Vocab-bounded (the q45 discipline), never corpus-sized. */
+  private val ZipfRanks = 50
+
   /** q101's oracle: [[graft.operators.Bpe.Steps]] unrolled training
     * rounds. Round i reads seq`i`, counts pairs (c`i`), picks the
     * winner (m`i`), and — except after the last round — rebuilds
@@ -91,6 +95,37 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ZIPF RANK–FREQUENCY CURVE (q214): the token frequency spectrum
+    // audit that catches template/boilerplate corruption in a crawl —
+    // natural text follows f(r) ≈ f(1)/r, machine-generated or
+    // deduplication-damaged corpora bend the curve. Per language: the
+    // top ZipfRanks tokens with `zipf_fit_ppm` = 1e6·n·r/f(1) (flat at
+    // ~1e6 under ideal Zipf, the deviation IS the diagnostic) and the
+    // observed f(1)/f(r) decay. Scale shape: the count rollup is
+    // map-combinable on (lang, token); the rank window partitions by
+    // lang over the VOCAB-bounded count table (the q45 discipline),
+    // never the corpus. The ×1e6 products stay under 2^63 while the
+    // per-language token count stays under ~9e12 per top term — at a
+    // bigger corpus drop the fixed-point scale to 1e3.
+    "q214_zipf_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("token").asc)
+      docs(s, dir)
+        .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= ZipfRanks)
+        .withColumn("f1",
+          max(when(col("rank") === 1, col("n")))
+            .over(Window.partitionBy("lang")))
+        .select(col("lang"), col("rank"), col("token"), col("n"),
+          expr("(CAST(1000000 AS BIGINT) * n * rank) div f1")
+            .as("zipf_fit_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * f1) div n").as("f1_over_fr_ppm"))
+        .orderBy("lang", "rank")
+    }),
 
     "q40_lang_id" -> ((s, dir) =>
       docs(s, dir)
@@ -907,6 +942,22 @@ object TextQueries {
     val (en, de, fr, es) = (stopwordHitsSql("toks", "en"), stopwordHitsSql("toks", "de"),
       stopwordHitsSql("toks", "fr"), stopwordHitsSql("toks", "es"))
     Map(
+      "q214_zipf_curve" ->
+        s"""WITH tok AS (SELECT lang, unnest($toksE) AS token FROM documents),
+           |cnt AS (SELECT lang, token, count(*) AS n FROM tok
+           |  GROUP BY lang, token),
+           |rnk AS (SELECT lang, token, n,
+           |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC)
+           |    AS rank
+           |  FROM cnt),
+           |top AS (SELECT * FROM rnk WHERE rank <= $ZipfRanks),
+           |f AS (SELECT lang, n AS f1 FROM top WHERE rank = 1)
+           |SELECT t.lang, t.rank, t.token, t.n,
+           |  (CAST(1000000 AS BIGINT) * t.n * t.rank) // f.f1 AS zipf_fit_ppm,
+           |  (CAST(1000000 AS BIGINT) * f.f1) // t.n AS f1_over_fr_ppm
+           |FROM top t JOIN f ON f.lang = t.lang
+           |ORDER BY t.lang, t.rank""".stripMargin,
+
       "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
 
       // q135: the oracle is the NAIVE single global dense_rank window —

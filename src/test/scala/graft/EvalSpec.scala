@@ -130,4 +130,45 @@ class EvalSpec extends SparkSpec {
       assert(r.getLong(4) == 1000000L * r.getLong(3) / r.getLong(2))
     }
   }
+
+  test("q215: windowless rank moments reproduce the naive global-rank Spearman") {
+    val rows = EvalQueries.queries("q215_rank_correlation")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(5))).toMap
+    // independent reconstruction: tie-averaged ranks via the NAIVE
+    // per-source windows (min-rank + cnt ⇒ avg·2), then Pearson corr
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val base = graft.sources.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("n_chars").as("x"),
+        size(graft.functions.TextAnalysis.tokens(col("text")))
+          .cast("long").as("y"))
+      .withColumn("rx2", lit(2) * rank().over(w.orderBy("x")) +
+        count(lit(1)).over(w.partitionBy("source", "x")) - 1)
+      .withColumn("ry2", lit(2) * rank().over(w.orderBy("y")) +
+        count(lit(1)).over(w.partitionBy("source", "y")) - 1)
+    val naive = base.groupBy("source")
+      .agg(corr(col("rx2").cast("double"), col("ry2").cast("double"))
+        .as("rho"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rows.keySet == naive.keySet)
+    rows.foreach { case (src, ppm) =>
+      assert(math.abs(ppm / 1e6 - naive(src)) < 1e-5,
+        s"$src: $ppm vs ${naive(src)}")
+    }
+  }
+
+  test("q220: ceil-k formula holds and coverage concentrates at 1 - alpha") {
+    val rows = EvalQueries.queries("q220_conformal")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nCal, k) = (r.getLong(1), r.getLong(2))
+      assert(k == math.min((9 * (nCal + 1) + 9) / 10, nCal), s"label ${r.getLong(0)}")
+      assert(!r.getBoolean(3) || k == nCal)
+      assert(r.getLong(6) <= r.getLong(5)) // covered <= tested
+      assert(r.getLong(7) == 1000000L * r.getLong(6) / r.getLong(5))
+    }
+    // distribution-free coverage: the per-label mean sits near 0.9 on
+    // the exchangeable three-way split (wide band — small per-label n)
+    val mean = rows.map(r => r.getLong(7).toDouble).sum / rows.length / 1e6
+    assert(mean > 0.75 && mean <= 1.0, s"mean coverage $mean")
+  }
 }

@@ -188,4 +188,19 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q221: KS stays inside the cross-multiplied bound; one row per source") {
+    val rows = graft.queries.GovernanceQueries
+      .queries("q221_ks_distance")(spark, dir).collect()
+    val nSrc = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(rows.length == nSrc)
+    rows.foreach { r =>
+      val (nS, nO, ks, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(ks <= nS * nO, s"${r.getString(0)}: sup exceeds the bound")
+      assert(ppm == 1000000L * ks / (nS * nO))
+      assert(ppm <= 1000000L)
+    }
+  }
+
 }

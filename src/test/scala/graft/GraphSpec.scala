@@ -516,4 +516,28 @@ class GraphSpec extends SparkSpec {
     }
     assert(run().toSeq == rows.toSeq)
   }
+
+  test("q216: modularity identity per community and the rendered global Q") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.GraphQueries
+      .queries("q216_modularity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val m = rows.head.getLong(5)
+    val qTot = rows.head.getLong(6)
+    rows.foreach { r =>
+      assert(r.getLong(5) == m && r.getLong(6) == qTot,
+        "global columns must be constant")
+      assert(r.getLong(4) ==
+        4 * m * r.getLong(2) - r.getLong(3) * r.getLong(3),
+        s"community ${r.getLong(0)}: q_num identity")
+      assert(r.getLong(2) <= m)
+      val expPpm = math.floor(1000000.0 * qTot.toDouble /
+        (4.0 * m.toDouble * m.toDouble)).toLong
+      assert(r.getLong(7) == expPpm)
+    }
+    assert(qTot <= 4 * m * m, "Q must be <= 1")
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
+      "largest-first prefix")
+  }
 }

@@ -221,4 +221,18 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
   }
 
+  test("q217: per-type chi2 equals the sum of its bin contributions; halves partition") {
+    val rows = OpsQueries.queries("q217_chisq_drift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val chi = rs.head.getLong(7)
+      assert(rs.forall(_.getLong(7) == chi), s"$t: chi2 not constant")
+      assert(rs.map(_.getLong(6)).sum == chi, s"$t: contribs don't sum")
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(4),
+        s"$t: c1 must sum to n1")
+      assert(rs.map(_.getLong(3)).sum == rs.head.getLong(5),
+        s"$t: c2 must sum to n2")
+    }
+  }
+
 }

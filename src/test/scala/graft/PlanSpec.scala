@@ -393,6 +393,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q215/q220: rank machinery carries NO unpartitioned window") {
+    // both compute corpus-frame order statistics (per-source average
+    // ranks / per-label k-th smallest) — the windows must run over
+    // value-bounded spines (source × distinct-value, label × bin),
+    // never an empty partitionSpec.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q215_rank_correlation", "q220_conformal")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      val global = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty,
+        s"$q: unpartitioned window:\n${global.mkString("\n")}")
+    }
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"
