@@ -428,6 +428,10 @@ object EvalQueries {
           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
             .as("n_purchases"))
         .withColumn("bin", expr("score div 1000"))
+        // persisted: feeds the driver-held bin histogram (eager) AND
+        // the lazy decile pass — one fact scan, not two. Freed by the
+        // harness's per-query clearCache.
+        .persist()
       // bounded bin histogram → driver-held prefix sums (desc score)
       val hist = users.groupBy("bin").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)

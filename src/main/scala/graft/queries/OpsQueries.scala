@@ -304,11 +304,16 @@ object OpsQueries {
     "q189_abc_pareto" -> ((s, dir) => {
       val price = col("l_extendedprice").cast("decimal(12,2)")
       val oneMinusD = (lit(1.0) - col("l_discount")).cast("decimal(3,2)")
+      // persisted: the rollup feeds BOTH the driver-held histogram
+      // (eager collect — fills the cache) and the lazy ranking pass;
+      // without it the fact scan runs twice. Freed by the harness's
+      // per-query clearCache (the iterative-operator cache contract).
       val r = Tables.load(s, dir, "lineitem")
         .select(col("l_partkey").as("partkey"),
           (round(price * oneMinusD, 2) * 100).cast("long").as("cents"))
         .groupBy("partkey").agg(sum("cents").as("revenue_cents"))
         .withColumn("bin", expr("revenue_cents div 100000"))
+        .persist()
       val hist = r.groupBy("bin")
         .agg(count(lit(1)).as("c"), sum("revenue_cents").as("s"))
         .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
