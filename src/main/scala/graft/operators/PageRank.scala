@@ -202,18 +202,31 @@ object PageRank {
         expr(s"${Mass}L div n").as("rank"),
         expr(s"(15 * (${Mass}L div n)) div 100").as("base"))
       .persist()
-    val r0 = degBase.select(col("node"), col("outdeg"), col("n"), col("rank"))
-    (1 to iters).foldLeft(r0) { (r0r, i) =>
-      // the rank frame is referenced TWICE per round (message
-      // contributions + the dangling scalar), so the logical plan
-      // doubles per round and Catalyst pays 2^rounds re-analysis —
-      // localCheckpoint truncates the lineage (the Bfs pattern;
-      // measured 6.5 s → 3.9 s end-to-end at sf0.1), on the round-8
-      // every-other-round cadence: odd rounds persist lazily (both
-      // references still compute the state once) instead of paying an
-      // eager checkpoint job, bounding plan depth at two rounds'
-      // subtrees with half the scheduling floor.
-      val r = if (i % 2 == 0) r0r.localCheckpoint() else r0r.persist()
+    // Round-9 fusion (the runHits recipe): the per-round dangling
+    // mass no longer costs its own scalar agg + broadcast-exchange
+    // job — it rides each round's eager localCheckpoint as an
+    // OBSERVED METRIC and enters the NEXT round's rank expression as
+    // a driver-held plan literal (dm div n is row-local arithmetic on
+    // the n column, bit-identical to the old broadcast column). With
+    // the dangling reference gone the rank frame is referenced ONCE
+    // per round, and every round checkpoints (the observation only
+    // fires on an executed job), so plan depth stays O(1) and the
+    // loop schedules exactly iters checkpoint jobs — no
+    // crossJoin(broadcast(1-row-agg)) subtrees. The seed dangling
+    // mass comes off the persisted degBase in one setup agg
+    // (replacing the old round-1 dangling job). Measured at sf0.1 in
+    // isolation: LEVEL (q123 min-of-runs 4.1 s before and after —
+    // unlike HITS, this loop's floor is the per-round message-join
+    // shuffle, not scalar-job scheduling); kept for the plan hygiene
+    // (single state reference, no per-round broadcast subtree) and
+    // the one fewer scheduled job per round it buys at cluster scale,
+    // where job setup is not local-mode cheap.
+    val dm0 = degBase
+      .agg(coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0L)))
+      .first.getLong(0)
+    var r = degBase.select(col("node"), col("outdeg"), col("n"), col("rank"))
+    var dm = dm0
+    for (_ <- 1 to iters) {
       // contribution projected BEFORE the message join (exchange
       // carries (src, contrib) only); src ∈ adj ⇒ outdeg ≥ 1, so the
       // filter guards the division without losing mass
@@ -221,14 +234,18 @@ object PageRank {
         .select(col("node").as("src"), expr("rank div outdeg").as("contrib"))
       val in = adj.join(contribs, "src")
         .groupBy(col("dst").as("node")).agg(sum("contrib").as("insum"))
-      val dangling = r.where(col("outdeg") === 0)
-        .agg(coalesce(sum("rank"), lit(0L)).as("dm"))
-      degBase.join(in, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
+      val obs = org.apache.spark.sql.Observation()
+      r = degBase.join(in, Seq("node"), "left")
         .select(col("node"), col("outdeg"), col("n"),
-          (expr(s"($DampNum * (coalesce(insum, 0L) + dm div n)) div $DampDen") +
+          (expr(s"($DampNum * (coalesce(insum, 0L) + ${dm}L div n)) div $DampDen") +
             col("base")).as("rank"))
-    }.select("node", "outdeg", "rank")
+        .observe(obs,
+          coalesce(sum(when(col("outdeg") === 0, col("rank"))), lit(0L))
+            .as("dm"))
+        .localCheckpoint()
+      dm = obs.get("dm").asInstanceOf[Long]
+    }
+    r.select("node", "outdeg", "rank")
   }
 
   /** [[runHits]]'s twin: expects `e` (src, dst); ends in `hits` =

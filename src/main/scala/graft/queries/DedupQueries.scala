@@ -163,6 +163,46 @@ object DedupQueries {
         .orderBy("bucket")
     }),
 
+    // LSH BAND-EFFICIENCY AUDIT (q225): per MinHash band, how many
+    // candidate pairs the band's buckets generate and how many survive
+    // the exact-Jaccard verify — candidate PRECISION per band, the
+    // number that prices the verify stage (a band at 2 % precision
+    // burns 50 exact-Jaccard evaluations per true duplicate; tuning
+    // bands/rows trades that against recall). Also reports the
+    // distinct-pair union so the cross-band duplication factor (Σ per
+    // band ÷ distinct) is visible — redundant candidates are re-verify
+    // waste a dedup pipeline pays at every band count. Scale shape:
+    // identical to q51's candidate stage (capped band buckets — the
+    // MaxBucket skew guard bounds every bucket's pair count), one
+    // rollup per band, |Bands| output rows.
+    "q225_lsh_band_audit" -> ((s, dir) => {
+      titlePairs(s, dir) // registers the mh_sh / mh_bands temp views
+      s.sql("""
+        |WITH cand AS (
+        |  SELECT a.band, a.title AS ta, b.title AS tb
+        |  FROM mh_bands a JOIN mh_bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep),
+        |ver AS (
+        |  SELECT c.band,
+        |    CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+        |      (size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh)))
+        |      AS j
+        |  FROM cand c
+        |  JOIN mh_sh sa ON sa.title = c.ta
+        |  JOIN mh_sh sb ON sb.title = c.tb),
+        |per_band AS (SELECT band, CAST(count(*) AS BIGINT) AS n_candidates,
+        |    CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_verified
+        |  FROM ver GROUP BY band),
+        |uniq AS (SELECT CAST(count(*) AS BIGINT) AS distinct_pairs
+        |  FROM (SELECT DISTINCT ta, tb FROM cand))
+        |SELECT CAST(band AS BIGINT) AS band, n_candidates, n_verified,
+        |  (CAST(1000000 AS BIGINT) * n_verified) div n_candidates
+        |    AS precision_ppm,
+        |  distinct_pairs
+        |FROM per_band CROSS JOIN uniq ORDER BY band""".stripMargin)
+    }),
+
     // Exact dedup: hash-groupBy — ONE shuffle on the 128-bit text hash,
     // never on the full text payload. Keeper = min(doc_id).
     "q50_dedup_exact" -> ((s, dir) =>
@@ -586,7 +626,9 @@ object DedupQueries {
     * capped contract is identical on both sides at ANY corpus size —
     * a doc-level rendering would diverge from the title-level cap the
     * moment a bucket crossed the cap. */
-  private lazy val q51OracleSql: String = {
+  /** q51/q225 shared oracle prefix: posts CTE → title reps → shingles
+    * → minhash signatures → band rows → capped buckets. */
+  private lazy val mhCandidateCtes: String = {
     val cte = PostsProxy.duckCte
     val toksE = TextAnalysis.tokensSql("title")
     val docsCte = s"docs AS (SELECT doc_id, title FROM posts_proxy WHERE title <> '')"
@@ -600,7 +642,11 @@ object DedupQueries {
        |bands AS ($bandRows),
        |capped AS (SELECT title, rep, band, bkey FROM (
        |  SELECT *, row_number() OVER (PARTITION BY band, bkey ORDER BY rep) AS rk FROM bands)
-       |  WHERE rk <= ${Dedup.MaxBucket}),
+       |  WHERE rk <= ${Dedup.MaxBucket})""".stripMargin
+  }
+
+  private lazy val q51OracleSql: String = {
+    s"""$mhCandidateCtes,
        |cand AS (
        |  SELECT DISTINCT a.title AS title_a, b.title AS title_b
        |  FROM capped a JOIN capped b
@@ -655,6 +701,31 @@ object DedupQueries {
           |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
 
       "q51_minhash_lsh" -> q51OracleSql,
+
+      // q225: the q51 candidate chain (shared CTEs) with the band kept
+      // through the pair join; same strict-< pair order, same Jaccard
+      // rendering (q51's hash-compare already pins its equality).
+      "q225_lsh_band_audit" ->
+        s"""$mhCandidateCtes,
+           |cand AS (
+           |  SELECT a.band, a.title AS ta, b.title AS tb
+           |  FROM capped a JOIN capped b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep),
+           |ver AS (SELECT c.band, ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS j
+           |  FROM cand c
+           |  JOIN sh sa ON sa.title = c.ta
+           |  JOIN sh sb ON sb.title = c.tb),
+           |per_band AS (SELECT band, CAST(count(*) AS BIGINT) AS n_candidates,
+           |    CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_verified
+           |  FROM ver GROUP BY band),
+           |uniq AS (SELECT CAST(count(*) AS BIGINT) AS distinct_pairs
+           |  FROM (SELECT DISTINCT ta, tb FROM cand) dp)
+           |SELECT CAST(band AS BIGINT) AS band, n_candidates, n_verified,
+           |  (CAST(1000000 AS BIGINT) * n_verified) // n_candidates
+           |    AS precision_ppm,
+           |  distinct_pairs
+           |FROM per_band CROSS JOIN uniq ORDER BY band""".stripMargin,
 
       "q70_dup_clusters" ->
         s"""WITH RECURSIVE pairs AS (

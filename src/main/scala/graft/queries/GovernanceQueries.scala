@@ -41,6 +41,10 @@ object GovernanceQueries {
     * bin spine — ~28 bins over the fixture's ≤560-char docs). */
   private val KsBinChars = 20L
 
+  /** q227: minimum distinct sensitive values per quasi-identifier
+    * cell (the l-diversity bar). */
+  private val LDiv = 3L
+
   /** q203: the referential constraints audited — (name, child table,
     * child key, parent table, parent key). */
   private val FkConstraints: Seq[(String, String, String, String, String)] =
@@ -128,6 +132,36 @@ object GovernanceQueries {
           expr("(CAST(1000000 AS BIGINT) * diff) div (n_s * n_other)")
             .as("ks_ppm"))
         .orderBy("source")
+    }),
+
+    // L-DIVERSITY AUDIT (q227): q180's k-anonymity counts how many
+    // rows share a quasi-identifier cell; this audits what an attacker
+    // LEARNS inside the cell — a cell where every member shares one
+    // sensitive value is fully disclosed no matter how k-anonymous
+    // (the homogeneity attack; Machanavajjhala et al. 2007). QI =
+    // (nation, balance band), sensitive = market segment; per cell the
+    // distinct-sensitive count l, the k/l gates, and the strongest
+    // inference confidence max_seg_ppm = the largest single-value
+    // share (exact ppm — 1e6 means disclosed). Scale shape: two
+    // map-combinable rollups on bounded-cardinality keys, zero
+    // windows, zero joins.
+    "q227_l_diversity" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)" +
+            " div 100000").as("bal_band"),
+          col("c_mktsegment").as("seg"))
+      q.groupBy("nation", "bal_band", "seg").agg(count(lit(1)).as("c"))
+        .groupBy("nation", "bal_band")
+        .agg(sum("c").as("n"), count(lit(1)).as("l_distinct"),
+          max("c").as("max_seg"))
+        .select(col("nation"), col("bal_band"), col("n"),
+          col("l_distinct"),
+          (col("n") >= KAnon).as("k_anonymous"),
+          (col("l_distinct") >= LDiv).as("l_diverse"),
+          expr("(CAST(1000000 AS BIGINT) * max_seg) div n")
+            .as("max_seg_ppm"))
+        .orderBy("nation", "bal_band")
     }),
 
     // PURGED WALK-FORWARD SPLIT (q179): the leakage-safe K-fold scheme
@@ -420,6 +454,23 @@ object GovernanceQueries {
          |FROM x GROUP BY 1 ORDER BY fold""".stripMargin,
 
     // q180: same cents offset banding, same two rollups.
+    // q227: identical cell/band arithmetic (non-negative operands,
+    // // = div); booleans compare identically.
+    "q227_l_diversity" ->
+      s"""WITH q AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |  (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000
+         |    AS bal_band,
+         |  c_mktsegment AS seg FROM customer),
+         |cells AS (SELECT nation, bal_band, seg,
+         |  CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2, 3)
+         |SELECT nation, bal_band, CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS l_distinct,
+         |  sum(c) >= $KAnon AS k_anonymous,
+         |  count(*) >= $LDiv AS l_diverse,
+         |  (CAST(1000000 AS BIGINT) * max(c)) // CAST(sum(c) AS BIGINT)
+         |    AS max_seg_ppm
+         |FROM cells GROUP BY 1, 2 ORDER BY nation, bal_band""".stripMargin,
+
     "q180_k_anonymity" ->
       s"""WITH q AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
          |  c_mktsegment,

@@ -162,6 +162,45 @@ object GraphQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // DEGREE ASSORTATIVITY (q226): Newman's degree-correlation
+    // coefficient over the kNN similarity graph — do high-degree
+    // nodes attach to high-degree nodes (r > 0, social-network shape:
+    // template mills linking template mills) or to low-degree ones
+    // (r < 0, hub-and-spoke shape)? The number that says whether
+    // degree-targeted curation (drop the hubs) removes a community or
+    // a star. Exact integer moments over the 2m edge orientations
+    // (deg(u), deg(v)) — Pearson's r in the exact cross-multiplied
+    // form, only the final rendering divides (fixed-association
+    // doubles + floor). Scale shape: one map-combinable degree
+    // rollup; the deg⋈edges double attach goes through temp views
+    // (the ambiguous-self-join convention) and shuffles on node —
+    // linear; the moments are ONE scalar rollup; output is one row.
+    "q226_assortativity" -> ((s, dir) => {
+      knnEdges(s, dir).createOrReplaceTempView("q226_edges")
+      s.sql("""
+        |WITH adj AS (SELECT u AS a, v AS b FROM q226_edges
+        |  UNION ALL SELECT v, u FROM q226_edges),
+        |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+        |  FROM adj GROUP BY a),
+        |pairs AS (SELECT da.d AS dx, db.d AS dy
+        |  FROM adj JOIN deg da ON da.node = adj.a
+        |  JOIN deg db ON db.node = adj.b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS mm,
+        |    CAST(sum(dx) AS BIGINT) AS sx,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx
+        |  FROM pairs)
+        |SELECT mm AS n_orientations, sx, sxy, sxx,
+        |  mm * sxy - sx * sx AS r_num, mm * sxx - sx * sx AS r_den,
+        |  CASE WHEN mm * sxx - sx * sx > 0 THEN
+        |    CAST(floor(CAST(1000000 AS DOUBLE) *
+        |      CAST(mm * sxy - sx * sx AS DOUBLE) /
+        |      CAST(mm * sxx - sx * sx AS DOUBLE) +
+        |      CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |  ELSE 0 END AS r_ppm
+        |FROM m""".stripMargin)
+    }),
+
     // MODULARITY AUDIT (q216): Newman–Girvan modularity of label-
     // propagation communities over the supplier co-purchase kNN
     // similarity graph (q140/q142's sparsified edge list — the dense
@@ -582,6 +621,33 @@ object GraphQueries {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  label AS community
          |FROM lp ORDER BY node""".stripMargin,
+
+    // q226: identical moment arithmetic over the q140 kNN edge CTEs;
+    // by orientation symmetry sy = sx and syy = sxx, so the
+    // simplified r form matches the engine's.
+    "q226_assortativity" ->
+      s"""WITH $knnEdgesSql,
+         |adj2 AS (SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d
+         |  FROM adj2 GROUP BY a),
+         |pairs AS (SELECT da.d AS dx, db.d AS dy
+         |  FROM adj2 JOIN deg da ON da.node = adj2.a
+         |  JOIN deg db ON db.node = adj2.b),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS mm,
+         |    CAST(sum(dx) AS BIGINT) AS sx,
+         |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |    CAST(sum(dx * dx) AS BIGINT) AS sxx
+         |  FROM pairs)
+         |SELECT mm AS n_orientations, sx, sxy, sxx,
+         |  mm * sxy - sx * sx AS r_num, mm * sxx - sx * sx AS r_den,
+         |  CASE WHEN mm * sxx - sx * sx > 0 THEN
+         |    CAST(floor(CAST(1000000 AS DOUBLE) *
+         |      CAST(mm * sxy - sx * sx AS DOUBLE) /
+         |      CAST(mm * sxx - sx * sx AS DOUBLE) +
+         |      CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |  ELSE 0 END AS r_ppm
+         |FROM m""".stripMargin,
 
     // q216: the lp CTE chain is q126's machinery over the q140 kNN
     // edge CTEs; deg comes off the symmetrized adj (each incidence

@@ -63,7 +63,87 @@ object OpsQueries {
     ("orders.o_orderpriority", "orders", "o_orderpriority"),
     ("orders.o_orderstatus", "orders", "o_orderstatus"))
 
+  /** q222: the join keys profiled — (label, table, column) — and the
+    * heavy keys reported per column. */
+  private val SkewCols: Seq[(String, String, String)] = Seq(
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"))
+  private val SkewTopK = 10
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LAG-1 AUTOCORRELATION (q223): per event type, Pearson's r
+    // between consecutive days of the dense daily count grid — the
+    // persistence diagnostic that picks the anomaly detector (q192's
+    // seasonal baseline needs r₁ high; white-noise traffic with r₁≈0
+    // wants the pointwise q185 z-test; negative r₁ means oscillation,
+    // usually a batching artifact upstream). Exact integer moments
+    // over the (xₜ, xₜ₊₁) pairs; only the final r divides, in
+    // fixed-association doubles + floor (the q215 rendering). Scale
+    // shape: the q185 dense-grid discipline — one map-combinable
+    // (type, day) rollup, the grid and every window bounded by
+    // |types|·|days|, moments one rollup, |types| output rows.
+    "q223_autocorrelation" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("d"))
+      val b = e.agg(min("d").as("d0"), max("d").as("d1"))
+      val obs = e.groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+      val grid = e.select("event_type").distinct()
+        .crossJoin(broadcast(b))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(obs, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("x"))
+      val pairs = grid
+        .withColumn("y", lead("x", 1)
+          .over(Window.partitionBy("event_type").orderBy("d")))
+        .where(col("y").isNotNull)
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"), col("sx"), col("sy"),
+          col("sxy"), col("sxx"), col("syy"),
+          expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                 |THEN CAST(floor(CAST(1000000 AS DOUBLE) *
+                 |  CAST(n * sxy - sx * sy AS DOUBLE) /
+                 |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                 |    CAST(n * syy - sy * sy AS DOUBLE)) +
+                 |  CAST(0.5 AS DOUBLE)) AS BIGINT)
+                 |ELSE 0 END""".stripMargin).as("r1_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // JOIN-KEY SKEW PROFILE (q222): for the three hottest join keys
+    // in the schema, the heaviest SkewTopK key values with their
+    // exact corpus share and their multiple of the mean key frequency
+    // — the report that decides salting factors and AQE skew-join
+    // thresholds BEFORE a 100 TB shuffle discovers them the hard way
+    // (a key at 40× mean needs ~40-way salting; a flat profile needs
+    // none). Exact integers: share and ×-mean are cross-multiplied
+    // ppm (the ×1e6·f·n_keys product stays in int64 while f·n_keys <
+    // 9·10¹² — at a bigger corpus drop the fixed point). Scale shape:
+    // one map-combinable frequency rollup per column (the key DOMAIN,
+    // never the fact table, reaches the driver), one broadcast scalar,
+    // top keys via TakeOrdered — no global sort, no windows.
+    "q222_skew_profile" -> ((s, dir) => {
+      SkewCols.map { case (label, tbl, c) =>
+        val f = Tables.load(s, dir, tbl)
+          .groupBy(col(c).cast("long").as("key"))
+          .agg(count(lit(1)).as("f"))
+        val g = f.agg(count(lit(1)).as("n_keys"), sum("f").as("total"))
+        f.crossJoin(broadcast(g))
+          .select(lit(label).as("col_label"), col("key"), col("f"),
+            col("n_keys"), col("total"),
+            expr("(CAST(1000000 AS BIGINT) * f) div total").as("share_ppm"),
+            expr("(CAST(1000000 AS BIGINT) * f * n_keys) div total")
+              .as("x_mean_ppm"))
+          .orderBy(col("f").desc, col("key").asc).limit(SkewTopK)
+      }.reduce(_ unionByName _)
+        .orderBy(col("col_label"), col("f").desc, col("key").asc)
+    }),
 
     // χ² DISTRIBUTION-DRIFT MONITOR (q217): for each event type, the
     // two-sample χ² homogeneity statistic between the value
@@ -553,6 +633,57 @@ object OpsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    // q223: identical dense grid, lead-pairing as a self-join on
+    // d+1, the same moment arithmetic and double rendering.
+    "q223_autocorrelation" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) // 86400000 AS d0,
+        |  max(epoch_ms(ts)) // 86400000 AS d1 FROM events),
+        |obs AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, g.d, coalesce(obs.x, 0) AS x
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(range(b.d0, b.d1 + 1)) AS d FROM b) g
+        |  LEFT JOIN obs ON obs.event_type = t.event_type AND obs.d = g.d),
+        |pairs AS (SELECT a.event_type, a.x, bb.x AS y
+        |  FROM grid a JOIN grid bb
+        |    ON bb.event_type = a.event_type AND bb.d = a.d + 1),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pairs GROUP BY 1)
+        |SELECT event_type, n, sx, sy, sxy, sxx, syy,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN CAST(floor(CAST(1000000 AS DOUBLE) *
+        |    CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n * syy - sy * sy AS DOUBLE)) +
+        |    CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |  ELSE 0 END AS r1_ppm
+        |FROM m ORDER BY event_type""".stripMargin,
+
+    // q222: identical per-column frequency/share arithmetic; the
+    // per-column top-k as ORDER BY ... LIMIT with the same tie order.
+    "q222_skew_profile" -> {
+      val blocks = SkewCols.map { case (label, tbl, c) =>
+        s"""SELECT * FROM (
+           |  WITH f AS (SELECT CAST($c AS BIGINT) AS key,
+           |      CAST(count(*) AS BIGINT) AS f FROM $tbl GROUP BY 1),
+           |  g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |      CAST(sum(f) AS BIGINT) AS total FROM f)
+           |  SELECT '$label' AS col_label, f.key, f.f, g.n_keys, g.total,
+           |    (CAST(1000000 AS BIGINT) * f.f) // g.total AS share_ppm,
+           |    (CAST(1000000 AS BIGINT) * f.f * g.n_keys) // g.total
+           |      AS x_mean_ppm
+           |  FROM f CROSS JOIN g
+           |  ORDER BY f.f DESC, f.key ASC LIMIT $SkewTopK) b_$c""".stripMargin
+      }
+      s"""SELECT * FROM (
+         |${blocks.mkString("\nUNION ALL\n")}
+         |) u ORDER BY col_label, f DESC, key ASC""".stripMargin
+    },
 
     // q217: identical integer split/bin/count arithmetic; the per-bin
     // double expression is rendered with the SAME association order so

@@ -106,6 +106,44 @@ object SamplingQueries {
         .orderBy("source", "cum_before", "doc_id")
     }),
 
+    // MIXTURE FEASIBILITY (q224): the converse of q132 — q132 spends
+    // a GIVEN budget ∝ temperature weight; this computes the LARGEST
+    // total budget the corpus can serve before some source exhausts
+    // (B·wₛ/W ≤ tokensₛ for all s ⇒ B_max = min_s tokensₛ·W/wₛ), the
+    // binding source, and each source's headroom — the "can we train
+    // for another epoch at this mixture" check run before a data buy.
+    // Exact integers via the q132 overflow-safe decomposition in
+    // reverse: tokensₛ·W div wₛ = (tokensₛ div wₛ)·W +
+    // ((tokensₛ mod wₛ)·W) div wₛ — the naive product wraps int64 at
+    // 100 TB (T·W ≈ 10¹³ · 3·10¹⁰), the decomposition's largest
+    // intermediate is wₛ·W ≈ 10¹⁷. Scale shape: one map-combinable
+    // per-source rollup, two broadcast scalars, |sources| output rows,
+    // no windows. (The per-source bound is a floor of the true
+    // rational, so min-of-floors can undershoot the exact B_max by at
+    // most 1 token — the conservative side.)
+    "q224_mixture_feasibility" -> ((s, dir) => {
+      val per = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(graft.functions.TextAnalysis.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+        .where(col("src_tokens") > 0)
+        .withColumn("w",
+          floor(sqrt(col("src_tokens").cast("double"))).cast("long"))
+      val tot = per.agg(sum("w").as("wsum"))
+      val j = per.crossJoin(broadcast(tot))
+        .withColumn("max_budget", expr(
+          "(src_tokens div w) * wsum + ((src_tokens % w) * wsum) div w"))
+      val mn = j.agg(min("max_budget").as("feasible_budget"))
+      j.crossJoin(broadcast(mn))
+        .select(col("source"), col("src_tokens"), col("w"), col("wsum"),
+          expr("(CAST(1000000 AS BIGINT) * w) div wsum").as("share_ppm"),
+          col("max_budget"),
+          (col("max_budget") === col("feasible_budget")).as("is_binding"),
+          col("feasible_budget"))
+        .orderBy("source")
+    }),
+
     // 10% reproducible sample of documents.
     "q63_hash_sample" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
@@ -205,6 +243,29 @@ object SamplingQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // q224: identical rollup, identical IEEE sqrt+floor weight, the
+    // same overflow-safe decomposition (non-negative operands).
+    "q224_mixture_feasibility" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(sum(len(${graft.functions.TextAnalysis.tokensSql("text")}))
+         |      AS BIGINT) AS src_tokens
+         |  FROM documents GROUP BY 1),
+         |pw AS (SELECT source, src_tokens,
+         |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE))) AS BIGINT) AS w
+         |  FROM per WHERE src_tokens > 0),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM pw),
+         |j AS (SELECT pw.source, pw.src_tokens, pw.w, tot.wsum,
+         |    (pw.src_tokens // pw.w) * tot.wsum +
+         |      ((pw.src_tokens % pw.w) * tot.wsum) // pw.w AS max_budget
+         |  FROM pw CROSS JOIN tot),
+         |mn AS (SELECT min(max_budget) AS feasible_budget FROM j)
+         |SELECT j.source, j.src_tokens, j.w, j.wsum,
+         |  (CAST(1000000 AS BIGINT) * j.w) // j.wsum AS share_ppm,
+         |  j.max_budget,
+         |  j.max_budget = mn.feasible_budget AS is_binding,
+         |  mn.feasible_budget
+         |FROM j CROSS JOIN mn ORDER BY j.source""".stripMargin,
+
     "q63_hash_sample" ->
       s"""SELECT doc_id, ${hashBucketSql("doc_id", "sample:", 100)} AS bucket, lang
          |FROM documents WHERE ${hashBucketSql("doc_id", "sample:", 100)} < 10

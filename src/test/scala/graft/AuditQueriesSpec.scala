@@ -42,6 +42,74 @@ class AuditQueriesSpec extends SparkSpec {
       == rows.length)
   }
 
+  test("q222: per-column top keys are ordered, shares exact, at most top-k") {
+    val rows = graft.queries.OpsQueries.queries("q222_skew_profile")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (label, rs) =>
+      assert(rs.length <= 10, label)
+      val fs = rs.sortBy(r => (-r.getLong(2), r.getLong(1))).map(_.getLong(2))
+      assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+      rs.foreach { r =>
+        assert(r.getLong(5) == 1000000L * r.getLong(2) / r.getLong(4))
+        assert(r.getLong(6) ==
+          1000000L * r.getLong(2) * r.getLong(3) / r.getLong(4))
+      }
+      // the heaviest key of a column is at or above the mean frequency
+      val top = rs.maxBy(r => (r.getLong(2), -r.getLong(1)))
+      assert(top.getLong(6) >= 1000000L,
+        s"$label: max frequency must be >= the mean")
+    }
+  }
+
+  test("q223: lag-1 correlation is bounded and the pair count matches the grid") {
+    val rows = graft.queries.OpsQueries
+      .queries("q223_autocorrelation")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "all types share the dense grid")
+      assert(math.abs(r.getLong(7)) <= 1000000L, r.getString(0))
+    }
+  }
+
+  test("q224: the feasible budget is the exact min and binding rows mark it") {
+    val rows = graft.queries.SamplingQueries
+      .queries("q224_mixture_feasibility")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val feasible = rows.head.getLong(7)
+    assert(rows.forall(_.getLong(7) == feasible))
+    assert(rows.map(_.getLong(5)).min == feasible)
+    rows.foreach { r =>
+      assert(r.getBoolean(6) == (r.getLong(5) == feasible))
+      assert(r.getLong(2) ==
+        math.floor(math.sqrt(r.getLong(1).toDouble)).toLong)
+      // the budget bound really is affordable: B·w/W ≤ tokens (exact
+      // cross-multiplication, the decomposition's defining property)
+      val (toks, w, wsum, b) =
+        (BigInt(r.getLong(1)), BigInt(r.getLong(2)),
+          BigInt(r.getLong(3)), BigInt(r.getLong(5)))
+      assert(b * w / wsum <= toks)
+      assert((b + wsum) * w / wsum >= toks, "bound is tight up to floor slack")
+    }
+  }
+
+  test("q225: per-band precision is exact and candidates bound the union") {
+    val rows = graft.queries.DedupQueries
+      .queries("q225_lsh_band_audit")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= graft.operators.Dedup.Bands)
+    val distinct = rows.head.getLong(4)
+    rows.foreach { r =>
+      assert(r.getLong(4) == distinct)
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == 1000000L * r.getLong(2) / r.getLong(1))
+      assert(r.getLong(1) <= distinct,
+        "a band cannot generate more distinct pairs than the union")
+    }
+    assert(rows.map(_.getLong(1)).sum >= distinct,
+      "the union is covered by the per-band counts")
+  }
+
   test("q219: buckets partition the corpus; cumulative uniques are consistent") {
     val rows = DedupQueries.queries("q219_yield_curve")(spark, dir)
       .collect().sortBy(_.getLong(0))

@@ -188,6 +188,30 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q227: l-diversity matches an independent distinct count per cell") {
+    val rows = graft.queries.GovernanceQueries
+      .queries("q227_l_diversity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val naive = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS nation",
+        "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)" +
+          " div 100000 AS bal_band",
+        "c_mktsegment AS seg")
+      .groupBy("nation", "bal_band")
+      .agg(count(lit(1)).as("n"), countDistinct("seg").as("l"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.length == naive.size)
+    rows.foreach { r =>
+      val (n, l) = naive((r.getLong(0), r.getLong(1)))
+      assert(r.getLong(2) == n && r.getLong(3) == l)
+      assert(r.getBoolean(4) == (n >= 4) && r.getBoolean(5) == (l >= 3))
+      assert(r.getLong(6) <= 1000000L &&
+        r.getLong(6) >= 1000000L / math.max(l, 1L) - 1)
+    }
+  }
+
   test("q221: KS stays inside the cross-multiplied bound; one row per source") {
     val rows = graft.queries.GovernanceQueries
       .queries("q221_ks_distance")(spark, dir).collect()

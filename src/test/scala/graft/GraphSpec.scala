@@ -540,4 +540,21 @@ class GraphSpec extends SparkSpec {
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b },
       "largest-first prefix")
   }
+
+  test("q226: assortativity is a bounded correlation with consistent moments") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.queries.GraphQueries
+      .queries("q226_assortativity")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (mm, sx, sxy, sxx) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(mm % 2 == 0, "orientations come in pairs")
+    assert(row.getLong(4) == mm * sxy - sx * sx)
+    assert(row.getLong(5) == mm * sxx - sx * sx)
+    assert(row.getLong(5) >= 0, "variance is nonnegative")
+    assert(math.abs(row.getLong(6)) <= 1000001L, "r in [-1, 1] up to rounding")
+    // Cauchy–Schwarz on the symmetric moments: |num| <= den
+    assert(math.abs(row.getLong(4)) <= row.getLong(5))
+  }
 }
