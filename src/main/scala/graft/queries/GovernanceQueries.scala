@@ -45,6 +45,11 @@ object GovernanceQueries {
     * cell (the l-diversity bar). */
   private val LDiv = 3L
 
+  /** q228: the t-closeness bar in ppm (t = 0.35). The ×1e6 rendering
+    * of Σ|cᵥ·N − gᵥ·n| stays in int64 while n·N < 9·10¹² — at a
+    * larger table drop the fixed point before the N² product. */
+  private val TClosePpm = 350000L
+
   /** q203: the referential constraints audited — (name, child table,
     * child key, parent table, parent key). */
   private val FkConstraints: Seq[(String, String, String, String, String)] =
@@ -132,6 +137,47 @@ object GovernanceQueries {
           expr("(CAST(1000000 AS BIGINT) * diff) div (n_s * n_other)")
             .as("ks_ppm"))
         .orderBy("source")
+    }),
+
+    // T-CLOSENESS AUDIT (q228): the third privacy bar (Li et al.
+    // 2007) — a cell can be k-anonymous AND l-diverse yet still leak
+    // when its sensitive DISTRIBUTION deviates from the table's (a
+    // cell that is 90 % one segment against a 20 % base rate tells an
+    // attacker plenty). Per QI cell, the variational distance between
+    // the cell's segment distribution and the global one, in the
+    // exact cross-multiplied form Σ|cᵥ·N − gᵥ·n| over the segment
+    // spine (ordered-EMD reduces to this for categorical attributes;
+    // ÷ 2·n·N gives the [0,1] statistic, rendered as exact ppm with
+    // non-negative integer division). Scale shape: two map-combinable
+    // rollups + one broadcast of the |segments|-row global
+    // distribution against the cell×segment spine — no windows, no
+    // corpus-sized frame.
+    "q228_t_closeness" -> ((s, dir) => {
+      val q = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          expr("(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)" +
+            " div 100000").as("bal_band"),
+          col("c_mktsegment").as("seg"))
+      val global = q.groupBy("seg").agg(count(lit(1)).as("g"))
+      val totals = q.agg(count(lit(1)).as("big_n"))
+      val cells = q.groupBy("nation", "bal_band", "seg")
+        .agg(count(lit(1)).as("c"))
+      val cellN = q.groupBy("nation", "bal_band").agg(count(lit(1)).as("n"))
+      cellN.crossJoin(broadcast(global))
+        .join(cells, Seq("nation", "bal_band", "seg"), "left")
+        .na.fill(0L, Seq("c"))
+        .crossJoin(broadcast(totals))
+        .groupBy("nation", "bal_band")
+        .agg(max("n").as("n"),
+          sum(abs(col("c") * col("big_n") - col("g") * col("n")))
+            .as("dist_scaled"),
+          max(col("big_n")).as("big_n"))
+        .select(col("nation"), col("bal_band"), col("n"),
+          col("dist_scaled"),
+          expr("(CAST(1000000 AS BIGINT) * dist_scaled)" +
+            " div (2 * n * big_n)").as("t_ppm"))
+        .withColumn("t_close", col("t_ppm") <= lit(TClosePpm))
+        .orderBy("nation", "bal_band")
     }),
 
     // L-DIVERSITY AUDIT (q227): q180's k-anonymity counts how many
@@ -454,6 +500,35 @@ object GovernanceQueries {
          |FROM x GROUP BY 1 ORDER BY fold""".stripMargin,
 
     // q180: same cents offset banding, same two rollups.
+    // q228: identical spine join (every cell × every global segment,
+    // absent cells as 0) and cross-multiplied distance.
+    "q228_t_closeness" ->
+      s"""WITH q AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+         |  (CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000
+         |    AS bal_band,
+         |  c_mktsegment AS seg FROM customer),
+         |g AS (SELECT seg, CAST(count(*) AS BIGINT) AS g FROM q GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM q),
+         |cells AS (SELECT nation, bal_band, seg,
+         |  CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2, 3),
+         |cn AS (SELECT nation, bal_band, CAST(count(*) AS BIGINT) AS n
+         |  FROM q GROUP BY 1, 2),
+         |sp AS (SELECT cn.nation, cn.bal_band, cn.n, g.seg, g.g,
+         |    coalesce(cells.c, 0) AS c, tt.big_n
+         |  FROM cn CROSS JOIN g CROSS JOIN tt
+         |  LEFT JOIN cells ON cells.nation = cn.nation
+         |    AND cells.bal_band = cn.bal_band AND cells.seg = g.seg),
+         |d AS (SELECT nation, bal_band, max(n) AS n,
+         |    CAST(sum(abs(c * big_n - g * n)) AS BIGINT) AS dist_scaled,
+         |    max(big_n) AS big_n
+         |  FROM sp GROUP BY 1, 2)
+         |SELECT nation, bal_band, n, dist_scaled,
+         |  (CAST(1000000 AS BIGINT) * dist_scaled) // (2 * n * big_n)
+         |    AS t_ppm,
+         |  (CAST(1000000 AS BIGINT) * dist_scaled) // (2 * n * big_n)
+         |    <= $TClosePpm AS t_close
+         |FROM d ORDER BY nation, bal_band""".stripMargin,
+
     // q227: identical cell/band arithmetic (non-negative operands,
     // // = div); booleans compare identically.
     "q227_l_diversity" ->

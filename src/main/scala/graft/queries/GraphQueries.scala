@@ -24,6 +24,9 @@ object GraphQueries {
   /** q216: communities reported (largest-first TakeOrdered cap). */
   private val TopCommunities = 20
 
+  /** q229: HyperANF rounds (N(h) reported for h = 0..AnfRounds). */
+  private val AnfRounds = 4
+
   /** q169: negative-sampling geometry — candidates drawn per source
     * and negatives kept after edge rejection. */
   private val NegCand = 8
@@ -161,6 +164,64 @@ object GraphQueries {
        |  FROM sel)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HYPERANF NEIGHBORHOOD FUNCTION (q229): N(h) — how many nodes are
+    // within h hops of each node, summed over the graph — via the
+    // HyperANF recipe (Boldi, Rosa & Vigna, WWW 2011): every node
+    // carries an HLL register set seeded with itself; each round every
+    // node max-merges its neighbors' registers; the per-round estimate
+    // sum IS the neighborhood function, whose growth curve gives the
+    // effective-diameter/expansion profile that says whether a
+    // similarity graph is one small world (dedup components will
+    // chain) or many islands. Deterministic end-to-end: the q177
+    // register representation (content-addressed 48-bit hash → (reg,
+    // rho) rows, integer rho, max-merge) makes the "approximate"
+    // sketch bit-exact and oracle-checkable — the DuckDB twin unrolls
+    // the same rounds. Scale shape, per round: ONE shuffle of the
+    // SPARSE (node, reg, rho) state along edges (≤ 64 registers per
+    // node — constant-size state, the entire point of ANF-by-sketch
+    // vs exact pair BFS), a map-combinable max-merge, localCheckpoint
+    // to keep the doubly-referenced state's plan O(1); estimates are
+    // one rollup per round over the node-bounded state.
+    "q229_hyperanf" -> ((s, dir) => {
+      import MiningQueries.{h48, hllEst, HllM, HllNum}
+      val e = knnEdges(s, dir)
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+        .repartition(col("a")).persist()
+      val nodes = adj.select(col("a").as("node")).distinct()
+      val r0 = nodes
+        .withColumn("h", h48(concat(lit("anf:"), col("node").cast("string"))))
+        .select(col("node"), (col("h") % HllM).as("reg"),
+          when(expr(s"h div $HllM") === 0, lit(43L))
+            .otherwise(lit(43L) - length(bin(expr(s"h div $HllM"))))
+            .cast("long").as("rho"))
+        .localCheckpoint()
+      val states = (1 to AnfRounds).scanLeft(r0) { (prev, _) =>
+        val msgs = adj
+          .join(prev.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("reg"), col("rho"))
+        prev.unionByName(msgs)
+          .groupBy("node", "reg").agg(max("rho").as("rho"))
+          .localCheckpoint()
+      }
+      states.zipWithIndex.map { case (st, h) =>
+        st.groupBy("node")
+          .agg(sum(expr(
+            "shiftleft(CAST(1 AS BIGINT), 30 - least(CAST(rho AS INT), 30))"))
+            .as("s_nz"), count(lit(1)).as("cnt"))
+          .select(col("node"),
+            (col("s_nz") +
+              (lit(HllM.toLong) - col("cnt")) * lit(1L << 30)).as("s"),
+            (lit(HllM.toLong) - col("cnt")).as("v"))
+          .withColumn("raw", expr(s"$HllNum div (1000 * s)"))
+          .select(hllEst(col("raw"), col("v")).as("est"))
+          .agg(count(lit(1)).as("n_nodes"), sum("est").as("est_pairs"))
+          .select(lit(h.toLong).as("h"), col("n_nodes"), col("est_pairs"),
+            expr("(CAST(1000 AS BIGINT) * est_pairs) div n_nodes")
+              .as("avg_ball_milli"))
+      }.reduce(_ unionByName _).orderBy("h")
+    }),
 
     // DEGREE ASSORTATIVITY (q226): Newman's degree-correlation
     // coefficient over the kNN similarity graph — do high-degree
@@ -621,6 +682,55 @@ object GraphQueries {
          |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
          |  label AS community
          |FROM lp ORDER BY node""".stripMargin,
+
+    // q229: the engine's rounds unrolled as MATERIALIZED CTEs (the
+    // doubly-referenced state is the oracleHitsCtes lesson), identical
+    // hash/register/estimate renderings (the q177 twins).
+    "q229_hyperanf" -> {
+      import MiningQueries.{HllLi, HllM, HllNum}
+      def step(i: Int): String =
+        s"""r$i AS MATERIALIZED (SELECT node, reg,
+           |    CAST(max(rho) AS BIGINT) AS rho FROM (
+           |  SELECT node, reg, rho FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT adjh.a AS node, p.reg, p.rho
+           |  FROM adjh JOIN r${i - 1} p ON p.node = adjh.b) u$i
+           |  GROUP BY 1, 2)""".stripMargin
+      val estCase =
+        s"""CASE WHEN raw <= 160 AND v > 0
+           |    THEN ([${HllLi.mkString(",")}])[CAST(v AS INT)] // 1000
+           |    ELSE raw END""".stripMargin
+      def estBlock(i: Int): String =
+        s"""SELECT CAST($i AS BIGINT) AS h,
+           |  CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(sum(est) AS BIGINT) AS est_pairs,
+           |  (CAST(1000 AS BIGINT) * CAST(sum(est) AS BIGINT))
+           |    // CAST(count(*) AS BIGINT) AS avg_ball_milli
+           |FROM (SELECT $estCase AS est FROM (
+           |  SELECT $HllNum // (1000 * s) AS raw, v FROM (
+           |    SELECT node,
+           |      CAST(sum(CAST(1 AS BIGINT) <<
+           |        (30 - least(CAST(rho AS INT), 30))) AS BIGINT) +
+           |        ($HllM - CAST(count(*) AS BIGINT)) *
+           |          (CAST(1 AS BIGINT) << 30) AS s,
+           |      $HllM - CAST(count(*) AS BIGINT) AS v
+           |    FROM r$i GROUP BY node) g$i) e$i) x$i""".stripMargin
+      s"""WITH $knnEdgesSql,
+         |adjh AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |anodes AS (SELECT DISTINCT a AS node FROM adjh),
+         |h0 AS (SELECT node,
+         |  CAST('0x' || substr(md5('anf:' || CAST(node AS VARCHAR)), 1, 12)
+         |    AS BIGINT) AS h FROM anodes),
+         |r0 AS MATERIALIZED (SELECT node, h % $HllM AS reg,
+         |  CAST(CASE WHEN h // $HllM = 0 THEN 43
+         |    ELSE 43 - length(bin(h // $HllM)) END AS BIGINT) AS rho
+         |  FROM h0),
+         |${(1 to AnfRounds).map(step).mkString(",\n")}
+         |SELECT * FROM (
+         |${(0 to AnfRounds).map(estBlock).mkString("\nUNION ALL\n")}
+         |) uu ORDER BY h""".stripMargin
+    },
 
     // q226: identical moment arithmetic over the q140 kNN edge CTEs;
     // by orientation symmetry sy = sx and syy = sxx, so the

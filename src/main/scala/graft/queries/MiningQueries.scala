@@ -26,7 +26,7 @@ object MiningQueries {
 
   /** 48-bit integer from the md5 hex prefix — the house content hash
     * (same rendering as q152's cut points). */
-  private def h48(c: Column): Column =
+  private[queries] def h48(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast("long")
 
   // ---- q174: multi-pattern blocklist (Aho–Corasick) ----
@@ -58,18 +58,18 @@ object MiningQueries {
     * register table is human-inspectable in the differential dump while
     * still exercising every code path (raw branch, linear-counting
     * branch, union merge, inclusion–exclusion). */
-  private val HllM = 64
+  private[queries] val HllM = 64
 
   /** Linear-counting lookup, V ∈ [1, m]: round(m·ln(m/V)·1000). ONE
     * source of truth — the oracle SQL embeds these same integers, so
     * no ln() evaluates at query time on either engine. */
-  private val HllLi: IndexedSeq[Long] =
+  private[queries] val HllLi: IndexedSeq[Long] =
     (1 to HllM).map(v => Math.round(HllM * math.log(HllM.toDouble / v) * 1000))
 
   /** α₆₄·m²·2³⁰ with α as the 709/1000 rational (0.7213/(1+1.079/m)
     * rounded to 3 decimals — a CONSTANT of this sketch, not a tuned
     * value): 709·4096·2³⁰ / 1000 stays in int64. */
-  private val HllNum: Long = 709L * HllM * HllM * (1L << 30)
+  private[queries] val HllNum: Long = 709L * HllM * HllM * (1L << 30)
 
   /** Register-set estimate over a grouped frame with exactly m rows per
     * group carrying column `rho` (0 = empty register). The register sum
@@ -83,7 +83,7 @@ object MiningQueries {
 
   /** Small-range correction: linear counting (from the embedded integer
     * table) when raw ≤ 2.5·m (=160) and any register is empty. */
-  private def hllEst(raw: Column, v: Column): Column =
+  private[queries] def hllEst(raw: Column, v: Column): Column =
     when(raw <= lit(160L) && v > 0,
       expr(s"element_at(array(${HllLi.mkString(",")}), CAST(v AS INT)) div 1000"))
       .otherwise(raw)

@@ -212,6 +212,33 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("q228: variational distance matches an independent recount and is bounded") {
+    val rows = graft.queries.GovernanceQueries
+      .queries("q228_t_closeness")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val base = spark.read.parquet(s"$dir/customer.parquet")
+      .selectExpr("CAST(c_nationkey AS BIGINT) AS nation",
+        "(CAST(round(c_acctbal * 100, 0) AS BIGINT) + 100000)" +
+          " div 100000 AS bal_band",
+        "c_mktsegment AS seg")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val bigN = base.length.toLong
+    val global = base.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byCell = base.groupBy(_._1)
+    rows.foreach { r =>
+      val cell = byCell((r.getLong(0), r.getLong(1)))
+      val n = cell.length.toLong
+      val counts = cell.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val dist = global.map { case (seg, g) =>
+        math.abs(counts.getOrElse(seg, 0L) * bigN - g * n)
+      }.sum
+      assert(r.getLong(2) == n && r.getLong(3) == dist,
+        s"cell (${r.getLong(0)}, ${r.getLong(1)})")
+      assert(r.getLong(4) == 1000000L * dist / (2 * n * bigN))
+      assert(r.getLong(4) <= 1000000L, "variational distance is <= 1")
+    }
+  }
+
   test("q221: KS stays inside the cross-multiplied bound; one row per source") {
     val rows = graft.queries.GovernanceQueries
       .queries("q221_ks_distance")(spark, dir).collect()

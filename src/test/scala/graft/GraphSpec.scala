@@ -541,6 +541,25 @@ class GraphSpec extends SparkSpec {
       "largest-first prefix")
   }
 
+  test("q229: the neighborhood function starts exact and grows monotonically") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.GraphQueries
+      .queries("q229_hyperanf")(spark, dir).collect().sortBy(_.getLong(0))
+    assert(rows.length == 5, "h = 0..4")
+    val n = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) == n), "node universe is constant")
+    // h = 0: every ball is exactly {self}; the linear-counting branch
+    // with v = m - 1 renders floor(64·ln(64/63)) = 1 per node
+    assert(rows.head.getLong(2) == n, "N(0) must be exact")
+    // registers only max-grow across rounds ⇒ per-node estimates are
+    // nondecreasing ⇒ so is their sum (a sketch-level guarantee, not
+    // a statistical one)
+    val ests = rows.map(_.getLong(2))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a <= b })
+    rows.foreach(r =>
+      assert(r.getLong(3) == 1000L * r.getLong(2) / r.getLong(1)))
+  }
+
   test("q226: assortativity is a bounded correlation with consistent moments") {
     val dir = "/root/testdata/sf0.001"
     val r = graft.queries.GraphQueries
