@@ -80,6 +80,9 @@ object CorpusQueries {
     s"""SELECT doc_id, unnest(${Dedup.shinglesSql(TextAnalysis.tokensSql("text"), n = 5)}) AS gram
        |FROM documents""".stripMargin
 
+  /** q230: gram sizes swept by the contamination curve. */
+  private val CurveNs = Seq(3, 5, 8, 13)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Stratified sample: a fixed quota (10) per language stratum, chosen
@@ -129,6 +132,38 @@ object CorpusQueries {
     // benchmark gram set is tiny relative to the corpus, so it
     // BROADCASTS and the corpus-side gram stream never shuffles; output
     // is per-doc counts via map-side-combinable aggregation.
+    // CONTAMINATION SENSITIVITY CURVE (q230): the q78 benchmark-
+    // overlap check swept across gram sizes n ∈ {3, 5, 8, 13} — the
+    // tuning curve for decontamination policy (3-grams over-flag
+    // common phrases, 13-grams miss paraphrase-adjacent leaks; the
+    // knee of THIS curve is where a deployment sets n). Per n: the
+    // contaminated-doc count, total shared-gram hits, and the
+    // contaminated share in exact ppm. Scale shape: each n is the q78
+    // shape — grams shuffle as hashes of the bench DISTINCT set
+    // broadcast against the corpus explode (the bench side is the
+    // bounded one), one rollup, 4 output rows.
+    "q230_contamination_curve" -> ((s, dir) => {
+      CurveNs.map { n =>
+        val g = docs(s, dir).select(col("doc_id"),
+          explode(Dedup.shingles(TextAnalysis.tokens(col("text")), n = n))
+            .as("gram"))
+        val bench = g.where(col("doc_id") % 13 === 0)
+          .select("gram").distinct()
+        val hits = g.where(col("doc_id") % 13 =!= 0)
+          .join(broadcast(bench), Seq("gram"))
+          .groupBy("doc_id").agg(count(lit(1)).as("h"))
+        val tot = docs(s, dir).where(col("doc_id") % 13 =!= 0)
+          .agg(count(lit(1)).as("n_corpus"))
+        hits.agg(count(lit(1)).as("n_contaminated"), sum("h").as("n_hits"))
+          .na.fill(0L, Seq("n_hits"))
+          .crossJoin(broadcast(tot))
+          .select(lit(n.toLong).as("gram_n"), col("n_corpus"),
+            col("n_contaminated"), col("n_hits"),
+            expr("(CAST(1000000 AS BIGINT) * n_contaminated) div n_corpus")
+              .as("contaminated_ppm"))
+      }.reduce(_ unionByName _).orderBy("gram_n")
+    }),
+
     "q78_decontaminate" -> ((s, dir) => {
       val g = docGrams(s, dir)
       val bench = g.where(col("doc_id") % 13 === 0)
@@ -1682,6 +1717,34 @@ object CorpusQueries {
          |  CAST(sum(tokens) AS BIGINT) AS total_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM binned GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+    },
+
+    // q230: per gram size the q78 shape; blocks UNION ALL. An n with
+    // zero contaminated docs yields a 0-count row via the coalesce
+    // (the engine's agg over an empty frame does the same).
+    "q230_contamination_curve" -> {
+      val blocks = CurveNs.map { n =>
+        val grams = Dedup.shinglesSql(TextAnalysis.tokensSql("text"), n = n)
+        s"""SELECT * FROM (
+           |  WITH g$n AS (SELECT doc_id, unnest($grams) AS gram
+           |    FROM documents),
+           |  bench$n AS (SELECT DISTINCT gram FROM g$n WHERE doc_id % 13 = 0),
+           |  hits$n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS h
+           |    FROM g$n JOIN bench$n USING (gram)
+           |    WHERE doc_id % 13 <> 0 GROUP BY doc_id),
+           |  tot$n AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus
+           |    FROM documents WHERE doc_id % 13 <> 0),
+           |  agg$n AS (SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+           |    CAST(coalesce(sum(h), 0) AS BIGINT) AS n_hits FROM hits$n)
+           |  SELECT CAST($n AS BIGINT) AS gram_n, t.n_corpus,
+           |    a.n_contaminated, a.n_hits,
+           |    (CAST(1000000 AS BIGINT) * a.n_contaminated) // t.n_corpus
+           |      AS contaminated_ppm
+           |  FROM agg$n a CROSS JOIN tot$n t) b$n""".stripMargin
+      }
+      s"""SELECT * FROM (
+         |${blocks.mkString("\nUNION ALL\n")}
+         |) u ORDER BY gram_n""".stripMargin
     },
 
     "q78_decontaminate" ->

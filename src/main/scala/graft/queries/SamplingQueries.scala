@@ -15,6 +15,38 @@ import graft.sources.Tables
   */
 object SamplingQueries {
 
+  /** q232 shared body — `idiv` is the engine's integer-division token
+    * (`div` in Spark SQL, `//` in DuckDB); every division operand is
+    * non-negative so the two agree exactly; the signed shift is pure
+    * subtraction of the two floor-ppm shares. `table` must expose
+    * (doc_id, source, fp, ntok). */
+  private def mixtureShiftSql(table: String, idiv: String): String =
+    s"""WITH b AS (SELECT doc_id, source, fp, ntok FROM $table),
+       |keep AS (SELECT fp, min(doc_id) AS doc_id FROM b GROUP BY fp),
+       |kept AS (SELECT b.source, b.ntok FROM b
+       |  JOIN keep ON keep.doc_id = b.doc_id AND keep.fp = b.fp),
+       |pre AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS toks_before
+       |  FROM b GROUP BY 1),
+       |post AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS toks_after
+       |  FROM kept GROUP BY 1),
+       |tp AS (SELECT CAST(sum(toks_before) AS BIGINT) AS tot_before
+       |  FROM pre),
+       |ta AS (SELECT CAST(sum(toks_after) AS BIGINT) AS tot_after
+       |  FROM post)
+       |SELECT pre.source, pre.toks_before,
+       |  coalesce(post.toks_after, 0) AS toks_after,
+       |  (CAST(1000000 AS BIGINT) * pre.toks_before) $idiv tp.tot_before
+       |    AS share_before_ppm,
+       |  (CAST(1000000 AS BIGINT) * coalesce(post.toks_after, 0))
+       |    $idiv ta.tot_after AS share_after_ppm,
+       |  (CAST(1000000 AS BIGINT) * coalesce(post.toks_after, 0))
+       |      $idiv ta.tot_after -
+       |    (CAST(1000000 AS BIGINT) * pre.toks_before) $idiv tp.tot_before
+       |    AS shift_ppm
+       |FROM pre LEFT JOIN post ON post.source = pre.source
+       |CROSS JOIN tp CROSS JOIN ta
+       |ORDER BY pre.source""".stripMargin
+
   /** Portable md5 bucket in [0, buckets): same value in Spark and DuckDB. */
   private def hashBucket(c: Column, salt: String, buckets: Int): Column =
     pmod(conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 6), 16, 10)
@@ -104,6 +136,26 @@ object SamplingQueries {
         .where(col("cum_before") < col("budget"))
         .select("source", "doc_id", "n_tokens", "cum_before", "budget")
         .orderBy("source", "cum_before", "doc_id")
+    }),
+
+    // DEDUP MIXTURE SHIFT (q232): exact dedup does not remove tokens
+    // uniformly — a source full of syndicated copies shrinks more than
+    // a source of originals, so the post-dedup mixture is NOT the one
+    // the weights were tuned on. Per source: token mass before and
+    // after global exact dedup (keeper = min doc_id per text hash —
+    // cross-source duplicates credit the keeper's source, exactly how
+    // a real dedup pass reassigns mass), both shares in exact ppm, and
+    // the signed shift. Scale shape: one md5 hash-groupBy (the q50
+    // shuffle), one keeper semi-join, two map-combinable rollups, two
+    // broadcast scalars; |sources| output rows. See [[mixtureShiftSql]]
+    // — the engine evaluates the same body over a temp view.
+    "q232_dedup_mixture_shift" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+          size(graft.functions.TextAnalysis.tokens(col("text")))
+            .cast("long").as("ntok"))
+        .createOrReplaceTempView("q232_docs")
+      s.sql(mixtureShiftSql("q232_docs", "div"))
     }),
 
     // MIXTURE FEASIBILITY (q224): the converse of q132 — q132 spends
@@ -243,6 +295,16 @@ object SamplingQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // q232: the shared body over the raw table with DuckDB's
+    // integer-division token and list-based token count.
+    "q232_dedup_mixture_shift" -> {
+      val body = mixtureShiftSql("q232_base", "//")
+      s"""WITH q232_base AS (SELECT doc_id, source, md5(text) AS fp,
+         |  CAST(len(${graft.functions.TextAnalysis.tokensSql("text")})
+         |    AS BIGINT) AS ntok FROM documents),
+         |${body.stripPrefix("WITH ")}""".stripMargin
+    },
+
     // q224: identical rollup, identical IEEE sqrt+floor weight, the
     // same overflow-safe decomposition (non-negative operands).
     "q224_mixture_feasibility" ->

@@ -140,6 +140,33 @@ object TextQueries {
           predLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
         .orderBy("doc_id")),
 
+    // LANGUAGE-ID CONFUSION MATRIX (q231): q40's stopword classifier
+    // scored against the labeled lang column — the (label, prediction)
+    // matrix with per-label recall in exact ppm, plus each cell's
+    // share of its label row. The eval a heuristic gate needs before
+    // it routes documents (q165 trusts pred_lang; this is the audit
+    // of that trust, and the per-label recall shows WHICH languages
+    // the stopword lists under-serve). Scale shape: one per-row
+    // projection (the q40 scan), one map-combinable (label, pred)
+    // rollup — |langs|² cells — and a broadcast of the |langs|-row
+    // label totals.
+    "q231_lang_confusion" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("lang"),
+          predLang(stopwordHits(col("toks"), "en"),
+            stopwordHits(col("toks"), "de"),
+            stopwordHits(col("toks"), "fr"),
+            stopwordHits(col("toks"), "es")).as("pred"))
+      val cells = scored.groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      val totals = scored.groupBy("lang").agg(count(lit(1)).as("n_label"))
+      cells.join(broadcast(totals), "lang")
+        .select(col("lang"), col("pred"), col("n"), col("n_label"),
+          expr("(CAST(1000000 AS BIGINT) * n) div n_label").as("cell_ppm"),
+          (col("lang") === col("pred")).as("correct"))
+        .orderBy("lang", "pred")
+    }),
+
     "q41_quality_score" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("toks", tokens(col("text")))
@@ -959,6 +986,22 @@ object TextQueries {
            |ORDER BY t.lang, t.rank""".stripMargin,
 
       "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
+
+      // q231: q40's scoring CTE with the same argmax tie order, rolled
+      // into the (label, prediction) matrix.
+      "q231_lang_confusion" ->
+        s"""WITH t AS (SELECT lang, $toksE AS toks FROM documents),
+           |sc AS (SELECT lang, ${graft.functions.TextAnalysis.predLangSql(en, de, fr, es)}
+           |    AS pred FROM t),
+           |cells AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+           |  FROM sc GROUP BY 1, 2),
+           |tt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_label
+           |  FROM sc GROUP BY 1)
+           |SELECT c.lang, c.pred, c.n, tt.n_label,
+           |  (CAST(1000000 AS BIGINT) * c.n) // tt.n_label AS cell_ppm,
+           |  c.lang = c.pred AS correct
+           |FROM cells c JOIN tt USING (lang)
+           |ORDER BY c.lang, c.pred""".stripMargin,
 
       // q135: the oracle is the NAIVE single global dense_rank window —
       // hash-equality proves the two-level range/offset decomposition

@@ -110,6 +110,57 @@ class AuditQueriesSpec extends SparkSpec {
       "the union is covered by the per-band counts")
   }
 
+  test("q230: contamination is nonincreasing in gram size and q78-consistent at n=5") {
+    val rows = graft.queries.CorpusQueries
+      .queries("q230_contamination_curve")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L, 5L, 8L, 13L))
+    // a shared 13-gram implies shared 8/5/3-grams, so doc counts are
+    // monotone nonincreasing in n
+    val cs = rows.map(_.getLong(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    // the n = 5 point must agree with q78's per-doc output
+    val q78 = graft.queries.CorpusQueries
+      .queries("q78_decontaminate")(spark, dir).collect()
+    val n5 = rows.find(_.getLong(0) == 5L).get
+    assert(n5.getLong(2) == q78.length)
+    assert(n5.getLong(3) == q78.map(_.getLong(1)).sum)
+  }
+
+  test("q231: confusion matrix mass equals the corpus; recall shares bounded") {
+    val rows = graft.queries.TextQueries
+      .queries("q231_lang_confusion")(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(2)).sum == rs.head.getLong(3), lang)
+      rs.foreach { r =>
+        assert(r.getLong(4) == 1000000L * r.getLong(2) / r.getLong(3))
+        assert(r.getBoolean(5) == (r.getString(0) == r.getString(1)))
+      }
+    }
+  }
+
+  test("q232: dedup never grows a source's tokens and totals reconcile") {
+    val rows = graft.queries.SamplingQueries
+      .queries("q232_dedup_mixture_shift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val before = rows.map(_.getLong(1)).sum
+    val after = rows.map(_.getLong(2)).sum
+    assert(after <= before)
+    // global token mass: before = all docs, after = distinct-text keepers
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "md5(text) AS fp",
+        "CAST(size(filter(split(lower(trim(text)), '\\\\s+'), t -> t <> '')) AS BIGINT) AS ntok")
+    assert(before == docs.selectExpr("sum(ntok)").head.getLong(0))
+    // shares sum to ~1e6 from below (integer floors)
+    val sb = rows.map(_.getLong(3)).sum
+    val sa = rows.map(_.getLong(4)).sum
+    assert(sb <= 1000000L && sb > 1000000L - rows.length)
+    assert(sa <= 1000000L && sa > 1000000L - rows.length)
+    rows.foreach(r => assert(r.getLong(5) == r.getLong(4) - r.getLong(3)))
+  }
+
   test("q219: buckets partition the corpus; cumulative uniques are consistent") {
     val rows = DedupQueries.queries("q219_yield_curve")(spark, dir)
       .collect().sortBy(_.getLong(0))
