@@ -71,7 +71,50 @@ object OpsQueries {
     ("orders.o_custkey", "orders", "o_custkey"))
   private val SkewTopK = 10
 
+  /** q233: the fact joins forecast — (label, tableA, keyA, tableB,
+    * keyB). */
+  private val JoinPairs: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem*orders.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem*part.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders*customer.custkey", "orders", "o_custkey", "customer", "c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // JOIN-SIZE FORECAST (q233): the exact output cardinality of the
+    // schema's three fact joins computed WITHOUT running them —
+    // |A ⋈ B| = Σ_k f_A(k)·f_B(k) over the key histograms — plus the
+    // max single-key contribution (the skew share that decides
+    // salting) and the amplification vs the bigger input. This is the
+    // optimizer's join-size statistic surfaced as a query: at 100 TB
+    // you price a join from two key rollups (dimension-sized) before
+    // committing the shuffle, and the q222 profile tells you HOW the
+    // hot keys distribute. Exact integers throughout; the f_A·f_B
+    // products stay in int64 while per-key frequencies stay under
+    // ~3·10⁹ per side. Scale shape: two map-combinable rollups + one
+    // key-equi join on the key DOMAIN per audited pair, 3 output rows.
+    "q233_join_size_stats" -> ((s, dir) => {
+      JoinPairs.map { case (label, ta, ka, tb, kb) =>
+        val fa = Tables.load(s, dir, ta)
+          .groupBy(col(ka).cast("long").as("key"))
+          .agg(count(lit(1)).as("fa"))
+        val fb = Tables.load(s, dir, tb)
+          .groupBy(col(kb).cast("long").as("key"))
+          .agg(count(lit(1)).as("fb"))
+        val na = Tables.load(s, dir, ta).agg(count(lit(1)).as("n_a"))
+        val nb = Tables.load(s, dir, tb).agg(count(lit(1)).as("n_b"))
+        fa.join(fb, "key")
+          .agg(count(lit(1)).as("n_shared_keys"),
+            sum(col("fa") * col("fb")).as("join_rows"),
+            max(col("fa") * col("fb")).as("max_key_rows"))
+          .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+          .select(lit(label).as("join_label"), col("n_a"), col("n_b"),
+            col("n_shared_keys"), col("join_rows"), col("max_key_rows"),
+            expr("(CAST(1000000 AS BIGINT) * max_key_rows) div join_rows")
+              .as("max_key_share_ppm"),
+            expr("(CAST(1000 AS BIGINT) * join_rows)" +
+              " div greatest(n_a, n_b)").as("amplification_milli"))
+      }.reduce(_ unionByName _).orderBy("join_label")
+    }),
 
     // LAG-1 AUTOCORRELATION (q223): per event type, Pearson's r
     // between consecutive days of the dense daily count grid — the
@@ -633,6 +676,33 @@ object OpsQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    // q233: identical histogram-product arithmetic per audited join.
+    "q233_join_size_stats" -> {
+      val blocks = JoinPairs.map { case (label, ta, ka, tb, kb) =>
+        s"""SELECT * FROM (
+           |  WITH fa AS (SELECT CAST($ka AS BIGINT) AS key,
+           |      CAST(count(*) AS BIGINT) AS fa FROM $ta GROUP BY 1),
+           |  fb AS (SELECT CAST($kb AS BIGINT) AS key,
+           |      CAST(count(*) AS BIGINT) AS fb FROM $tb GROUP BY 1),
+           |  na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM $ta),
+           |  nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM $tb),
+           |  j AS (SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+           |      CAST(sum(fa.fa * fb.fb) AS BIGINT) AS join_rows,
+           |      CAST(max(fa.fa * fb.fb) AS BIGINT) AS max_key_rows
+           |    FROM fa JOIN fb USING (key))
+           |  SELECT '$label' AS join_label, na.n_a, nb.n_b,
+           |    j.n_shared_keys, j.join_rows, j.max_key_rows,
+           |    (CAST(1000000 AS BIGINT) * j.max_key_rows) // j.join_rows
+           |      AS max_key_share_ppm,
+           |    (CAST(1000 AS BIGINT) * j.join_rows) // greatest(na.n_a, nb.n_b)
+           |      AS amplification_milli
+           |  FROM j CROSS JOIN na CROSS JOIN nb) jb""".stripMargin
+      }
+      s"""SELECT * FROM (
+         |${blocks.mkString("\nUNION ALL\n")}
+         |) u ORDER BY join_label""".stripMargin
+    },
 
     // q223: identical dense grid, lead-pairing as a self-join on
     // d+1, the same moment arithmetic and double rendering.

@@ -20,6 +20,10 @@ object TextQueries {
     * language. Vocab-bounded (the q45 discipline), never corpus-sized. */
   private val ZipfRanks = 50
 
+  /** q234: signature terms per source and the hapax-noise floor. */
+  private val SigTermsK = 5
+  private val MinTermCount = 5
+
   /** q101's oracle: [[graft.operators.Bpe.Steps]] unrolled training
     * rounds. Round i reads seq`i`, counts pairs (c`i`), picks the
     * winner (m`i`), and — except after the last round — rebuilds
@@ -139,6 +143,47 @@ object TextQueries {
         .withColumn("pred_lang",
           predLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
         .orderBy("doc_id")),
+
+    // SOURCE SIGNATURE TERMS (q234): each source's most
+    // over-represented tokens vs the rest of the corpus — the
+    // "what IS this feed" fingerprint a data card ships next to the
+    // q172 rollup, and the fastest template-flood tell (a source whose
+    // top signature term is 100× its base rate is a boilerplate
+    // factory). Distinctiveness is the exact cross-multiplied rate
+    // ratio (f_s·n_other)/((f_other+1)·n_s) in ppm — add-one on the
+    // complement count so source-exclusive terms stay finite and
+    // ordered (documented smoothing, identical in both engines);
+    // f ≥ MinTermCount kills hapax noise. Scale shape: one explode +
+    // map-combinable (source, token) rollup; every later frame is
+    // VOCAB-bounded (the q45 discipline), the ranking window
+    // partitions by source, output ≤ SigTermsK·|sources| rows. The
+    // ×1e6 product stays in int64 while f·n_other < 9·10¹².
+    "q234_source_terms" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .createOrReplaceTempView("q234_tok")
+      s.sql(s"""
+        |WITH per AS (SELECT source, token, count(*) AS f
+        |  FROM q234_tok GROUP BY 1, 2),
+        |vocab AS (SELECT token, CAST(sum(f) AS BIGINT) AS ftot
+        |  FROM per GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+        |  FROM q234_tok GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM q234_tok),
+        |sc AS (SELECT p.source, p.token, CAST(p.f AS BIGINT) AS f,
+        |    v.ftot - p.f AS f_other, ns.n_s,
+        |    tot.n_tot - ns.n_s AS n_other,
+        |    (CAST(1000000 AS BIGINT) * p.f * (tot.n_tot - ns.n_s))
+        |      div ((v.ftot - p.f + 1) * ns.n_s) AS ratio_ppm
+        |  FROM per p JOIN vocab v USING (token) JOIN ns USING (source)
+        |  CROSS JOIN tot
+        |  WHERE p.f >= $MinTermCount),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY ratio_ppm DESC, token) AS rank FROM sc)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, token, f, f_other,
+        |  n_s, n_other, ratio_ppm
+        |FROM rk WHERE rank <= $SigTermsK ORDER BY source, rank""".stripMargin)
+    }),
 
     // LANGUAGE-ID CONFUSION MATRIX (q231): q40's stopword classifier
     // scored against the labeled lang column — the (label, prediction)
@@ -986,6 +1031,32 @@ object TextQueries {
            |ORDER BY t.lang, t.rank""".stripMargin,
 
       "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
+
+      // q234: identical rate-ratio arithmetic over the unnested token
+      // stream (same smoothing, same vocab-bounded rank window).
+      "q234_source_terms" ->
+        s"""WITH tok AS (SELECT source, unnest($toksE) AS token
+           |  FROM documents),
+           |per AS (SELECT source, token, count(*) AS f
+           |  FROM tok GROUP BY 1, 2),
+           |vocab AS (SELECT token, CAST(sum(f) AS BIGINT) AS ftot
+           |  FROM per GROUP BY 1),
+           |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+           |  FROM tok GROUP BY 1),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM tok),
+           |sc AS (SELECT p.source, p.token, CAST(p.f AS BIGINT) AS f,
+           |    v.ftot - p.f AS f_other, ns.n_s,
+           |    tot.n_tot - ns.n_s AS n_other,
+           |    (CAST(1000000 AS BIGINT) * p.f * (tot.n_tot - ns.n_s))
+           |      // ((v.ftot - p.f + 1) * ns.n_s) AS ratio_ppm
+           |  FROM per p JOIN vocab v USING (token) JOIN ns USING (source)
+           |  CROSS JOIN tot
+           |  WHERE p.f >= $MinTermCount),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+           |    ORDER BY ratio_ppm DESC, token) AS rank FROM sc)
+           |SELECT source, CAST(rank AS BIGINT) AS rank, token, f, f_other,
+           |  n_s, n_other, ratio_ppm
+           |FROM rk WHERE rank <= $SigTermsK ORDER BY source, rank""".stripMargin,
 
       // q231: q40's scoring CTE with the same argmax tie order, rolled
       // into the (label, prediction) matrix.

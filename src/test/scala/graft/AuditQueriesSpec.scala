@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.expr
 import graft.queries.{DedupQueries, SimilarityQueries, TextQueries}
 
 /** Pins for the corpus-audit queries (q214 Zipf curve, q218 prefix
@@ -159,6 +160,51 @@ class AuditQueriesSpec extends SparkSpec {
     assert(sb <= 1000000L && sb > 1000000L - rows.length)
     assert(sa <= 1000000L && sa > 1000000L - rows.length)
     rows.foreach(r => assert(r.getLong(5) == r.getLong(4) - r.getLong(3)))
+  }
+
+  test("q233: the forecast cardinality equals the actually-run join") {
+    val rows = graft.queries.OpsQueries
+      .queries("q233_join_size_stats")(spark, dir).collect()
+    assert(rows.length == 3)
+    val real = Map(
+      "lineitem*orders.orderkey" ->
+        spark.read.parquet(s"$dir/lineitem.parquet").as("l")
+          .join(spark.read.parquet(s"$dir/orders.parquet").as("o"),
+            expr("l.l_orderkey = o.o_orderkey")).count(),
+      "lineitem*part.partkey" ->
+        spark.read.parquet(s"$dir/lineitem.parquet").as("l")
+          .join(spark.read.parquet(s"$dir/part.parquet").as("p"),
+            expr("l.l_partkey = p.p_partkey")).count(),
+      "orders*customer.custkey" ->
+        spark.read.parquet(s"$dir/orders.parquet").as("o")
+          .join(spark.read.parquet(s"$dir/customer.parquet").as("c"),
+            expr("o.o_custkey = c.c_custkey")).count())
+    rows.foreach { r =>
+      assert(r.getLong(4) == real(r.getString(0)),
+        s"${r.getString(0)}: forecast != executed join")
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getLong(6) == 1000000L * r.getLong(5) / r.getLong(4))
+    }
+  }
+
+  test("q234: signature terms are genuinely over-represented and capped per source") {
+    val rows = graft.queries.TextQueries
+      .queries("q234_source_terms")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 5, src)
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ==
+        (1L to sorted.length).toSeq, s"$src: ranks not dense")
+      val ratios = sorted.map(_.getLong(7))
+      assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
+      rs.foreach { r =>
+        assert(r.getLong(3) >= 5, "hapax floor")
+        // over-represented: the smoothed rate ratio exceeds 1
+        assert(r.getLong(7) > 1000000L,
+          s"$src/${r.getString(2)}: a signature term must beat its base rate")
+      }
+    }
   }
 
   test("q219: buckets partition the corpus; cumulative uniques are consistent") {
