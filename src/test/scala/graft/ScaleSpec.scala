@@ -419,4 +419,39 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE b_orders")
     spark.sql("DROP TABLE b_items")
   }
+
+  test("q229: HyperANF state stays within 64 registers per node on a clique") {
+    // the whole point of ANF-by-sketch is CONSTANT per-node state: on
+    // the worst case (a clique — every node sees every other within
+    // one hop) the sparse (node, reg, rho) state must stay ≤ HllM rows
+    // per node after every round, however many nodes the ball holds.
+    import org.apache.spark.sql.expressions.Window
+    val n = 300
+    val edges = (0 until n).flatMap(i => (i + 1 until n).map(j => (i.toLong, j.toLong)))
+      .toDF("u", "v")
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b"))).persist()
+    val r0 = adj.select(col("a").as("node")).distinct()
+      .withColumn("h", conv(substring(md5(concat(lit("anf:"),
+        col("node").cast("string"))), 1, 12), 16, 10).cast("long"))
+      .select(col("node"), (col("h") % 64).as("reg"),
+        when(expr("h div 64") === 0, lit(43L))
+          .otherwise(lit(43L) - length(bin(expr("h div 64"))))
+          .cast("long").as("rho"))
+    val r1 = r0.unionByName(
+        adj.join(r0.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("reg"), col("rho")))
+      .groupBy("node", "reg").agg(max("rho").as("rho"))
+    val maxRegs = r1.groupBy("node").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head.getLong(0)
+    assert(maxRegs <= 64, s"per-node state exceeded 64 registers: $maxRegs")
+    // and the round is idempotent at the fixpoint: a second merge over
+    // the same saturated state changes nothing (register-max algebra)
+    val r2 = r1.unionByName(
+        adj.join(r1.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("reg"), col("rho")))
+      .groupBy("node", "reg").agg(max("rho").as("rho"))
+    assert(r2.count() == r1.count())
+    adj.unpersist()
+  }
 }
