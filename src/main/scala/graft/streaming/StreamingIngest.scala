@@ -545,6 +545,77 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming χ² distribution-drift monitor — q217's two-sample
+    * statistic maintained against a FIXED reference histogram across
+    * micro-batches (q217 compares a stream's two time halves after the
+    * fact; this is the standing production gauge: reference = the
+    * value distribution the current model was fit on, live =
+    * everything seen since). Per trigger the batch's (key, bin)
+    * counts aggregate DISTRIBUTED (a map-side-combinable groupBy over
+    * the bounded key×bin grid — the raw values never reach the
+    * driver), then fold into the driver-held live grid; a read
+    * renders per key the exact q217 arithmetic — int64
+    * t = c_ref·n_live − c_live·n_ref per bin, per-bin contribution
+    * floor(1000·t²/((c_ref+c_live)·n_ref·n_live) + 0.5) in the SAME
+    * fixed IEEE association order, summed exactly — so the streamed
+    * statistic is bit-identical to evaluating q217's formula on
+    * (reference, live-so-far) in batch (StreamingSpec pins it
+    * against the declared query's output). */
+  final class DriftTracker(reference: Seq[((String, Long), Long)]) {
+    private val ref = reference.toMap.withDefaultValue(0L)
+    private val live =
+      scala.collection.mutable.Map.empty[(String, Long), Long]
+        .withDefaultValue(0L)
+
+    private[streaming] def update(batch: Seq[((String, Long), Long)]): Unit =
+      synchronized { batch.foreach { case (k, n) => live(k) = live(k) + n } }
+
+    def liveCount: Long = synchronized(live.values.sum)
+
+    /** Per-key χ² in milli units over the union bin spine; a key with
+      * an empty side reports -1 (the two-sample statistic needs both
+      * samples — "no drift signal yet", not "no drift"). */
+    def chi2Milli: Map[String, Long] = synchronized {
+      val cells = ref.keySet ++ live.keySet
+      cells.map(_._1).map { key =>
+        val bins = cells.collect { case (k, b) if k == key => b }.toSeq.sorted
+        val n1 = bins.map(b => ref((key, b))).sum
+        val n2 = bins.map(b => live((key, b))).sum
+        val chi =
+          if (n1 == 0 || n2 == 0) -1L
+          else bins.map { b =>
+            val (c1, c2) = (ref((key, b)), live((key, b)))
+            val t = (c1 * n2 - c2 * n1).toDouble
+            math.floor(1000.0 * ((t * t) / (c1 + c2).toDouble /
+              n1.toDouble / n2.toDouble) + 0.5).toLong
+          }.sum
+        key -> chi
+      }.toMap
+    }
+  }
+
+  /** Folds `stream`'s (keyCol, cents div binCents) counts into
+    * `tracker` across triggers — the q217 $10-bin contract by
+    * default. */
+  def trackValueDrift(stream: DataFrame, keyCol: String, valueCol: String,
+                      checkpoint: String, tracker: DriftTracker,
+                      binCents: Long = 1000L): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val counts = batch
+          .select(col(keyCol).cast("string").as("k"),
+            expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)" +
+              s" div $binCents").as("bin"))
+          .groupBy("k", "bin").agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toSeq
+        tracker.update(counts)
+      }
+      .start()
+
   /** Folds `stream(valueCol)` (any numeric; quantized as
     * floor(value·100) — q102's cents contract) into `tracker` across
     * triggers. */

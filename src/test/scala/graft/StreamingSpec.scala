@@ -172,6 +172,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drift tracker: streamed chi2 is bit-identical to the declared q217") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "value", "unix_millis(ts) AS t")
+    val mm = ev.agg(min("t"), max("t")).head
+    val (t0, t1) = (mm.getLong(0), mm.getLong(1))
+    // the q217 split: reference = the early half, live = the late half
+    val reference = ev.where(col("t") * 2 < lit(t0 + t1))
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT) div 1000").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toSeq
+    val tracker = new StreamingIngest.DriftTracker(reference)
+    val rows = ev.where(col("t") * 2 >= lit(t0 + t1))
+      .select("event_type", "value").as[(String, Double)].collect().toSeq
+    val input = MemoryStream[(String, Double)]
+    val ckpt = Files.createTempDirectory("drift_ckpt").toString
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+      input.addData(chunk: _*)
+      val q = StreamingIngest.trackValueDrift(
+        input.toDF().toDF("event_type", "value"),
+        "event_type", "value", ckpt, tracker)
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    assert(tracker.liveCount == rows.length)
+    val want = graft.queries.OpsQueries
+      .queries("q217_chisq_drift")(spark, dir).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.head.getLong(7)).toMap
+    val got = tracker.chi2Milli
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, chi) =>
+      assert(got(k) == chi, s"$k: streamed ${got(k)} vs batch $chi")
+    }
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
