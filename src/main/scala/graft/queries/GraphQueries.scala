@@ -27,6 +27,48 @@ object GraphQueries {
   /** q229: HyperANF rounds (N(h) reported for h = 0..AnfRounds). */
   private val AnfRounds = 4
 
+  /** The q229 curve, shared with q235's derivations — see the q229
+    * entry's scaladoc for the algorithm and scale shape. */
+  private def hyperAnf(s: SparkSession, dir: String): DataFrame = {
+    import MiningQueries.{h48, hllEst, HllM, HllNum}
+    val e = knnEdges(s, dir)
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      .repartition(col("a")).persist()
+    val nodes = adj.select(col("a").as("node")).distinct()
+    val r0 = nodes
+      .withColumn("h", h48(concat(lit("anf:"), col("node").cast("string"))))
+      .select(col("node"), (col("h") % HllM).as("reg"),
+        when(expr(s"h div $HllM") === 0, lit(43L))
+          .otherwise(lit(43L) - length(bin(expr(s"h div $HllM"))))
+          .cast("long").as("rho"))
+      .localCheckpoint()
+    val states = (1 to AnfRounds).scanLeft(r0) { (prev, _) =>
+      val msgs = adj
+        .join(prev.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("reg"), col("rho"))
+      prev.unionByName(msgs)
+        .groupBy("node", "reg").agg(max("rho").as("rho"))
+        .localCheckpoint()
+    }
+    states.zipWithIndex.map { case (st, h) =>
+      st.groupBy("node")
+        .agg(sum(expr(
+          "shiftleft(CAST(1 AS BIGINT), 30 - least(CAST(rho AS INT), 30))"))
+          .as("s_nz"), count(lit(1)).as("cnt"))
+        .select(col("node"),
+          (col("s_nz") +
+            (lit(HllM.toLong) - col("cnt")) * lit(1L << 30)).as("s"),
+          (lit(HllM.toLong) - col("cnt")).as("v"))
+        .withColumn("raw", expr(s"$HllNum div (1000 * s)"))
+        .select(hllEst(col("raw"), col("v")).as("est"))
+        .agg(count(lit(1)).as("n_nodes"), sum("est").as("est_pairs"))
+        .select(lit(h.toLong).as("h"), col("n_nodes"), col("est_pairs"),
+          expr("(CAST(1000 AS BIGINT) * est_pairs) div n_nodes")
+            .as("avg_ball_milli"))
+    }.reduce(_ unionByName _).orderBy("h")
+  }
+
   /** q169: negative-sampling geometry — candidates drawn per source
     * and negatives kept after edge rejection. */
   private val NegCand = 8
@@ -183,44 +225,34 @@ object GraphQueries {
     // vs exact pair BFS), a map-combinable max-merge, localCheckpoint
     // to keep the doubly-referenced state's plan O(1); estimates are
     // one rollup per round over the node-bounded state.
-    "q229_hyperanf" -> ((s, dir) => {
-      import MiningQueries.{h48, hllEst, HllM, HllNum}
-      val e = knnEdges(s, dir)
-      val adj = e.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
-        .repartition(col("a")).persist()
-      val nodes = adj.select(col("a").as("node")).distinct()
-      val r0 = nodes
-        .withColumn("h", h48(concat(lit("anf:"), col("node").cast("string"))))
-        .select(col("node"), (col("h") % HllM).as("reg"),
-          when(expr(s"h div $HllM") === 0, lit(43L))
-            .otherwise(lit(43L) - length(bin(expr(s"h div $HllM"))))
-            .cast("long").as("rho"))
-        .localCheckpoint()
-      val states = (1 to AnfRounds).scanLeft(r0) { (prev, _) =>
-        val msgs = adj
-          .join(prev.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("reg"), col("rho"))
-        prev.unionByName(msgs)
-          .groupBy("node", "reg").agg(max("rho").as("rho"))
-          .localCheckpoint()
-      }
-      states.zipWithIndex.map { case (st, h) =>
-        st.groupBy("node")
-          .agg(sum(expr(
-            "shiftleft(CAST(1 AS BIGINT), 30 - least(CAST(rho AS INT), 30))"))
-            .as("s_nz"), count(lit(1)).as("cnt"))
-          .select(col("node"),
-            (col("s_nz") +
-              (lit(HllM.toLong) - col("cnt")) * lit(1L << 30)).as("s"),
-            (lit(HllM.toLong) - col("cnt")).as("v"))
-          .withColumn("raw", expr(s"$HllNum div (1000 * s)"))
-          .select(hllEst(col("raw"), col("v")).as("est"))
-          .agg(count(lit(1)).as("n_nodes"), sum("est").as("est_pairs"))
-          .select(lit(h.toLong).as("h"), col("n_nodes"), col("est_pairs"),
-            expr("(CAST(1000 AS BIGINT) * est_pairs) div n_nodes")
-              .as("avg_ball_milli"))
-      }.reduce(_ unionByName _).orderBy("h")
+    "q229_hyperanf" -> ((s, dir) => hyperAnf(s, dir)),
+
+    // EFFECTIVE DIAMETER & EXPANSION PROFILE (q235): the headline
+    // numbers read off q229's neighborhood function — per hop the
+    // growth ratio N(h)/N(h−1) (the expansion rate whose decay locates
+    // the graph's mixing horizon), the share of the h_max ball already
+    // reached, and the standard 90 %-effective-diameter flag (the
+    // smallest h with 10·N(h) ≥ 9·N(h_max) — Boldi et al.'s reporting
+    // convention). Pure derivation over the AnfRounds+1-row curve —
+    // windows on a constant-size frame; all ratios exact integer ppm.
+    "q235_effective_diameter" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byH = Window.orderBy("h")
+      val nf = hyperAnf(s, dir)
+        .withColumn("prev", lag("est_pairs", 1).over(byH))
+        .withColumn("n_max", max("est_pairs").over(Window.partitionBy()))
+        .withColumn("eff", lit(10L) * col("est_pairs") >= lit(9L) * col("n_max"))
+      val firstEff = nf.where(col("eff"))
+        .agg(min("h").as("eff_h"))
+      nf.crossJoin(broadcast(firstEff))
+        .select(col("h"), col("est_pairs"),
+          when(col("prev").isNotNull && col("prev") > 0,
+            expr("(CAST(1000000 AS BIGINT) * est_pairs) div prev"))
+            .otherwise(lit(null).cast("long")).as("growth_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * est_pairs) div n_max")
+            .as("reached_ppm"),
+          (col("h") === col("eff_h")).as("is_effective_diameter"))
+        .orderBy("h")
     }),
 
     // DEGREE ASSORTATIVITY (q226): Newman's degree-correlation
@@ -618,6 +650,54 @@ object GraphQueries {
         .orderBy("u", "v")
     }))
 
+  /** The q229 oracle (also embedded by q235): rounds unrolled as
+    * MATERIALIZED CTEs with the q177 register renderings. */
+  private lazy val anfOracleSql: String = {
+      import MiningQueries.{HllLi, HllM, HllNum}
+      def step(i: Int): String =
+        s"""r$i AS MATERIALIZED (SELECT node, reg,
+           |    CAST(max(rho) AS BIGINT) AS rho FROM (
+           |  SELECT node, reg, rho FROM r${i - 1}
+           |  UNION ALL
+           |  SELECT adjh.a AS node, p.reg, p.rho
+           |  FROM adjh JOIN r${i - 1} p ON p.node = adjh.b) u$i
+           |  GROUP BY 1, 2)""".stripMargin
+      val estCase =
+        s"""CASE WHEN raw <= 160 AND v > 0
+           |    THEN ([${HllLi.mkString(",")}])[CAST(v AS INT)] // 1000
+           |    ELSE raw END""".stripMargin
+      def estBlock(i: Int): String =
+        s"""SELECT CAST($i AS BIGINT) AS h,
+           |  CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(sum(est) AS BIGINT) AS est_pairs,
+           |  (CAST(1000 AS BIGINT) * CAST(sum(est) AS BIGINT))
+           |    // CAST(count(*) AS BIGINT) AS avg_ball_milli
+           |FROM (SELECT $estCase AS est FROM (
+           |  SELECT $HllNum // (1000 * s) AS raw, v FROM (
+           |    SELECT node,
+           |      CAST(sum(CAST(1 AS BIGINT) <<
+           |        (30 - least(CAST(rho AS INT), 30))) AS BIGINT) +
+           |        ($HllM - CAST(count(*) AS BIGINT)) *
+           |          (CAST(1 AS BIGINT) << 30) AS s,
+           |      $HllM - CAST(count(*) AS BIGINT) AS v
+           |    FROM r$i GROUP BY node) g$i) e$i) x$i""".stripMargin
+      s"""WITH $knnEdgesSql,
+         |adjh AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |anodes AS (SELECT DISTINCT a AS node FROM adjh),
+         |h0 AS (SELECT node,
+         |  CAST('0x' || substr(md5('anf:' || CAST(node AS VARCHAR)), 1, 12)
+         |    AS BIGINT) AS h FROM anodes),
+         |r0 AS MATERIALIZED (SELECT node, h % $HllM AS reg,
+         |  CAST(CASE WHEN h // $HllM = 0 THEN 43
+         |    ELSE 43 - length(bin(h // $HllM)) END AS BIGINT) AS rho
+         |  FROM h0),
+         |${(1 to AnfRounds).map(step).mkString(",\n")}
+         |SELECT * FROM (
+         |${(0 to AnfRounds).map(estBlock).mkString("\nUNION ALL\n")}
+         |) uu ORDER BY h""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q112_pagerank" ->
       s"""WITH e AS MATERIALIZED ($purchaseEdgesSql),
@@ -686,51 +766,29 @@ object GraphQueries {
     // q229: the engine's rounds unrolled as MATERIALIZED CTEs (the
     // doubly-referenced state is the oracleHitsCtes lesson), identical
     // hash/register/estimate renderings (the q177 twins).
-    "q229_hyperanf" -> {
-      import MiningQueries.{HllLi, HllM, HllNum}
-      def step(i: Int): String =
-        s"""r$i AS MATERIALIZED (SELECT node, reg,
-           |    CAST(max(rho) AS BIGINT) AS rho FROM (
-           |  SELECT node, reg, rho FROM r${i - 1}
-           |  UNION ALL
-           |  SELECT adjh.a AS node, p.reg, p.rho
-           |  FROM adjh JOIN r${i - 1} p ON p.node = adjh.b) u$i
-           |  GROUP BY 1, 2)""".stripMargin
-      val estCase =
-        s"""CASE WHEN raw <= 160 AND v > 0
-           |    THEN ([${HllLi.mkString(",")}])[CAST(v AS INT)] // 1000
-           |    ELSE raw END""".stripMargin
-      def estBlock(i: Int): String =
-        s"""SELECT CAST($i AS BIGINT) AS h,
-           |  CAST(count(*) AS BIGINT) AS n_nodes,
-           |  CAST(sum(est) AS BIGINT) AS est_pairs,
-           |  (CAST(1000 AS BIGINT) * CAST(sum(est) AS BIGINT))
-           |    // CAST(count(*) AS BIGINT) AS avg_ball_milli
-           |FROM (SELECT $estCase AS est FROM (
-           |  SELECT $HllNum // (1000 * s) AS raw, v FROM (
-           |    SELECT node,
-           |      CAST(sum(CAST(1 AS BIGINT) <<
-           |        (30 - least(CAST(rho AS INT), 30))) AS BIGINT) +
-           |        ($HllM - CAST(count(*) AS BIGINT)) *
-           |          (CAST(1 AS BIGINT) << 30) AS s,
-           |      $HllM - CAST(count(*) AS BIGINT) AS v
-           |    FROM r$i GROUP BY node) g$i) e$i) x$i""".stripMargin
-      s"""WITH $knnEdgesSql,
-         |adjh AS MATERIALIZED (SELECT u AS a, v AS b FROM e
-         |  UNION ALL SELECT v, u FROM e),
-         |anodes AS (SELECT DISTINCT a AS node FROM adjh),
-         |h0 AS (SELECT node,
-         |  CAST('0x' || substr(md5('anf:' || CAST(node AS VARCHAR)), 1, 12)
-         |    AS BIGINT) AS h FROM anodes),
-         |r0 AS MATERIALIZED (SELECT node, h % $HllM AS reg,
-         |  CAST(CASE WHEN h // $HllM = 0 THEN 43
-         |    ELSE 43 - length(bin(h // $HllM)) END AS BIGINT) AS rho
-         |  FROM h0),
-         |${(1 to AnfRounds).map(step).mkString(",\n")}
-         |SELECT * FROM (
-         |${(0 to AnfRounds).map(estBlock).mkString("\nUNION ALL\n")}
-         |) uu ORDER BY h""".stripMargin
-    },
+    "q229_hyperanf" -> anfOracleSql,
+
+    // q235: the q229 query as a subquery, with the diameter/expansion
+    // derivations as 5-row windows.
+    "q235_effective_diameter" ->
+      s"""WITH nf AS (
+         |$anfOracleSql
+         |),
+         |d AS (SELECT h, est_pairs,
+         |    lag(est_pairs) OVER (ORDER BY h) AS prev,
+         |    max(est_pairs) OVER () AS n_max
+         |  FROM nf),
+         |f AS (SELECT min(h) AS eff_h FROM d
+         |  WHERE 10 * est_pairs >= 9 * n_max)
+         |SELECT d.h, d.est_pairs,
+         |  CASE WHEN d.prev IS NOT NULL AND d.prev > 0
+         |    THEN (CAST(1000000 AS BIGINT) * d.est_pairs) // d.prev
+         |    ELSE NULL END AS growth_ppm,
+         |  (CAST(1000000 AS BIGINT) * d.est_pairs) // d.n_max
+         |    AS reached_ppm,
+         |  d.h = f.eff_h AS is_effective_diameter
+         |FROM d CROSS JOIN f ORDER BY d.h""".stripMargin,
+
 
     // q226: identical moment arithmetic over the q140 kNN edge CTEs;
     // by orientation symmetry sy = sx and syy = sxx, so the

@@ -560,6 +560,23 @@ class GraphSpec extends SparkSpec {
       assert(r.getLong(3) == 1000L * r.getLong(2) / r.getLong(1)))
   }
 
+  test("q235: exactly one effective-diameter hop, at the first 90% crossing") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.queries.GraphQueries
+      .queries("q235_effective_diameter")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    val nMax = rows.map(_.getLong(1)).max
+    val firstHit = rows.find(r => 10 * r.getLong(1) >= 9 * nMax).get.getLong(0)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(0) == firstHit))
+      assert(r.getLong(3) <= 1000000L)
+      if (r.getLong(0) == 0) assert(r.isNullAt(2))
+      else assert(r.getLong(2) >= 1000000L, "the curve never shrinks")
+    }
+    assert(rows.last.getLong(3) == 1000000L, "h_max reaches itself")
+  }
+
   test("q226: assortativity is a bounded correlation with consistent moments") {
     val dir = "/root/testdata/sf0.001"
     val r = graft.queries.GraphQueries
