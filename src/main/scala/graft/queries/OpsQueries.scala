@@ -116,6 +116,38 @@ object OpsQueries {
       }.reduce(_ unionByName _).orderBy("join_label")
     }),
 
+    // OVERDISPERSION INDEX (q236): per event type, the Fano factor of
+    // the dense daily count grid — sample variance over mean,
+    // rendered exactly as vmr_ppm = 1e6·(n·Q − S²) div (S·(n−1)) with
+    // (n, S, Q) the exact integer count/sum/sum-of-squares. VMR ≈ 1 is
+    // Poisson arrivals (q185's z-test assumptions hold); VMR ≫ 1 is
+    // burst-clustered traffic (alerts need q190's CUSUM or wider
+    // bands); VMR < 1 is upstream rate-limiting. Completes the
+    // traffic-diagnosis trio with q223 (persistence) and q192
+    // (seasonality). Scale shape: the q185 dense-grid discipline —
+    // one map-combinable rollup, one |types|-row aggregate, zero
+    // windows.
+    "q236_overdispersion" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_millis(ts) div 86400000").as("d"))
+      val b = e.agg(min("d").as("d0"), max("d").as("d1"))
+      val obs = e.groupBy("event_type", "d").agg(count(lit(1)).as("x"))
+      e.select("event_type").distinct()
+        .crossJoin(broadcast(b))
+        .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        .join(obs, Seq("event_type", "d"), "left")
+        .na.fill(0L, Seq("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x") * col("x")).as("q"))
+        .select(col("event_type"), col("n"), col("s"), col("q"),
+          expr("(CAST(1000000 AS BIGINT) * (n * q - s * s))" +
+            " div (s * (n - 1))").as("vmr_ppm"),
+          expr("(n * q - s * s) > (s * (n - 1))").as("overdispersed"))
+        .orderBy("event_type")
+    }),
+
     // LAG-1 AUTOCORRELATION (q223): per event type, Pearson's r
     // between consecutive days of the dense daily count grid — the
     // persistence diagnostic that picks the anomaly detector (q192's
@@ -703,6 +735,26 @@ object OpsQueries {
          |${blocks.mkString("\nUNION ALL\n")}
          |) u ORDER BY join_label""".stripMargin
     },
+
+    // q236: identical grid and moment arithmetic (n·Q − S² ≥ 0 and
+    // S ≥ 1 on the fixture, so // = div).
+    "q236_overdispersion" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) // 86400000 AS d0,
+        |  max(epoch_ms(ts)) // 86400000 AS d1 FROM events),
+        |obs AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, g.d, coalesce(obs.x, 0) AS x
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(range(b.d0, b.d1 + 1)) AS d FROM b) g
+        |  LEFT JOIN obs ON obs.event_type = t.event_type AND obs.d = g.d),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM grid GROUP BY 1)
+        |SELECT event_type, n, s, q,
+        |  (CAST(1000000 AS BIGINT) * (n * q - s * s)) // (s * (n - 1))
+        |    AS vmr_ppm,
+        |  (n * q - s * s) > (s * (n - 1)) AS overdispersed
+        |FROM m ORDER BY event_type""".stripMargin,
 
     // q223: identical dense grid, lead-pairing as a self-join on
     // d+1, the same moment arithmetic and double rendering.

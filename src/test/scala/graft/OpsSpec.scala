@@ -221,6 +221,26 @@ class OpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
   }
 
+  test("q236: Fano moments match a driver recount; flag agrees with the ratio") {
+    val rows = OpsQueries.queries("q236_overdispersion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "unix_millis(CAST(ts AS TIMESTAMP))" +
+        " div 86400000 AS d")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (d0, d1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val counts = byType(t).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val xs = (d0 to d1).map(d => counts.getOrElse(d, 0L))
+      val (n, s, q) = (xs.length.toLong, xs.sum, xs.map(x => x * x).sum)
+      assert(r.getLong(1) == n && r.getLong(2) == s && r.getLong(3) == q, t)
+      assert(r.getLong(4) == 1000000L * (n * q - s * s) / (s * (n - 1)))
+      assert(r.getBoolean(5) == (n * q - s * s > s * (n - 1)))
+    }
+  }
+
   test("q217: per-type chi2 equals the sum of its bin contributions; halves partition") {
     val rows = OpsQueries.queries("q217_chisq_drift")(spark, dir).collect()
     assert(rows.nonEmpty)
