@@ -384,7 +384,7 @@ object TextQueries {
     // application a stateless narrow map.
     "q101_bpe_train" -> ((s, dir) => {
       import s.implicits._
-      graft.operators.Bpe.learn(docs(s, dir))
+      graft.operators.Bpe.learnMemoized(dir, docs(s, dir))
         .map(m => (m.step, m.tokLeft, m.tokRight, m.cnt))
         .toDF("step", "tok_left", "tok_right", "cnt")
         .orderBy("step")
@@ -425,7 +425,7 @@ object TextQueries {
     // join, no shuffle; the model rides as plan literals. Scale +
     // lossless-ness in graft.operators.Bpe.encode's scaladoc.
     "q110_bpe_encode" -> ((s, dir) =>
-      graft.operators.Bpe.encode(docs(s, dir))),
+      graft.operators.Bpe.encode(docs(s, dir), memoKey = Some(dir))),
 
     // BM25-shaped top-k retrieval — the ranked-lookup contract behind
     // "find the training docs most relevant to this probe" (targeted
@@ -840,7 +840,7 @@ object TextQueries {
     // fixed-point (bpe·10^6 div ws). Output is |languages| rows — the
     // whole query is corpus-linear with constant-size shuffles.
     "q145_bpe_fertility" -> ((s, dir) => {
-      val enc = graft.operators.Bpe.encode(docs(s, dir))
+      val enc = graft.operators.Bpe.encode(docs(s, dir), memoKey = Some(dir))
         .select(col("doc_id"), col("n_raw"), col("n_bpe"))
       enc.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
         .groupBy("lang")

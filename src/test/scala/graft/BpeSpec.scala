@@ -92,6 +92,57 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("applyMerges caps the kernel stack and a 64-merge encode stays codegen'd") {
+    val rng = new scala.util.Random(64)
+    val alphabet = (0 until 8).map(i => s"t$i")
+    val texts = (0 until 40).map(_ =>
+      Seq.fill(6 + rng.nextInt(20))(alphabet(rng.nextInt(alphabet.size)))
+        .mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // 64 merge pairs (the full 8×8 alphabet product) — the round-9
+    // sf1 sweep showed a stack this size blows janino's 64 KB method
+    // ceiling when unrolled into one span
+    val merges = for (l <- alphabet; r <- alphabet) yield (l, r)
+    assert(merges.size == 64)
+    val raw = df.select(col("doc_id"),
+      graft.functions.TextAnalysis.tokens(col("text")).as("toks"))
+    val out = Bpe.applyMerges(raw, merges)
+    // structural cap: everything before the last checkpoint is
+    // materialized away, so the live plan carries at most
+    // CheckpointEvery stacked kernels
+    val plan = out.queryExecution.executedPlan.toString
+    val kernels = "graft_merge_pair".r.findAllIn(plan).size
+    assert(kernels <= Bpe.CheckpointEvery,
+      s"$kernels stacked kernels in one span (cap ${Bpe.CheckpointEvery})")
+    // compile proof: with codegen fallback disabled, a span that
+    // janino rejects would THROW instead of silently interpreting
+    val fallbackKey = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(fallbackKey)
+    try {
+      spark.conf.set(fallbackKey, "false")
+      val got = out.select(col("doc_id"), col("toks")).orderBy("doc_id")
+        .as[(Long, Seq[String])].collect()
+      // value check against the independent driver-side fold
+      val expect = texts.map(refTokens).map(t =>
+        merges.foldLeft(t) { case (acc, (l, r)) => refMerge(acc, l, r) })
+      got.foreach { case (id, toks) => assert(toks == expect(id.toInt)) }
+    } finally spark.conf.set(fallbackKey, prev)
+  }
+
+  test("learnMemoized returns the identical table without retraining") {
+    val texts = Seq("a a b a b", "b a b b a", "a b a b a b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fresh = Bpe.learn(df, "text", steps = 3)
+    val m1 = Bpe.learnMemoized("bpespec-memo", df, steps = 3)
+    // second call must hit the memo — hand it a frame that would
+    // train to a DIFFERENT table if the loop actually ran
+    val decoy = Seq((0L, "z z z z")).toDF("doc_id", "text")
+    val m2 = Bpe.learnMemoized("bpespec-memo", decoy, steps = 3)
+    assert(m1 == fresh && m2 == m1)
+  }
+
   test("learn is invariant to input partitioning") {
     val rng = new scala.util.Random(7)
     val alphabet = Vector("x", "y", "z")
