@@ -562,41 +562,95 @@ object StreamingIngest {
     * (reference, live-so-far) in batch (StreamingSpec pins it
     * against the declared query's output). */
   final class DriftTracker(reference: Seq[((String, Long), Long)]) {
-    private val ref = reference.toMap.withDefaultValue(0L)
+    // a zero-count reference cell carries no sample and would put
+    // c_ref = c_live = 0 on the bin spine (0/0 in the χ² term) —
+    // rejected at construction so every retained cell is a real
+    // observation
+    private val ref =
+      reference.filter(_._2 > 0L).toMap.withDefaultValue(0L)
+
+    /** The monitored key universe — the keys the REFERENCE sample
+      * covers. This is the tracker's state contract: live state is
+      * bounded by |reference grid| no matter what key cardinality the
+      * stream carries ([[trackValueDrift]] filters to this set
+      * DISTRIBUTED and folds everything else into one
+      * [[novelCount]] gauge), so a caller keying by user_id cannot
+      * grow driver state past the reference it supplied. */
+    val refKeys: Set[String] = ref.keySet.map(_._1)
+
     private val live =
       scala.collection.mutable.Map.empty[(String, Long), Long]
         .withDefaultValue(0L)
+    private var novel = 0L
+    private var lastBatch = -1L
 
-    private[streaming] def update(batch: Seq[((String, Long), Long)]): Unit =
-      synchronized { batch.foreach { case (k, n) => live(k) = live(k) + n } }
+    /** Folds one micro-batch, IDEMPOTENT under at-least-once replay:
+      * a batch id at or below the last applied one is skipped (the
+      * VersionedStore committed-batch discipline — update applied but
+      * commit lost, query restarts, same batch re-delivered → the
+      * grid must not double-count). Streaming batch ids are strictly
+      * increasing per checkpoint, so a simple high-water mark is the
+      * exact guard. */
+    private[graft] def update(batchId: Long,
+                              batch: Seq[((String, Long), Long)],
+                              novelRows: Long = 0L): Unit =
+      synchronized {
+        if (batchId > lastBatch) {
+          batch.foreach { case (k, n) =>
+            if (refKeys(k._1)) live(k) = live(k) + n
+          }
+          novel += novelRows
+          lastBatch = batchId
+        }
+      }
 
     def liveCount: Long = synchronized(live.values.sum)
 
+    /** Rows observed under keys OUTSIDE the reference universe — the
+      * "a key the model never saw is emitting values" gauge (kept as
+      * one counter, not per-key state). */
+    def novelCount: Long = synchronized(novel)
+
+    /** Live cells held on the driver — spec hook for the state bound
+      * (≤ refKeys × value-bin grid regardless of stream keys). */
+    def trackedCells: Int = synchronized(live.size)
+
     /** Per-key χ² in milli units over the union bin spine; a key with
       * an empty side reports -1 (the two-sample statistic needs both
-      * samples — "no drift signal yet", not "no drift"). */
+      * samples — "no drift signal yet", not "no drift"). One pass:
+      * cells grouped by key up front (not an O(|keys|·|cells|)
+      * rescan per key), and an empty bin on both sides contributes
+      * exactly 0 rather than 0/0. */
     def chi2Milli: Map[String, Long] = synchronized {
-      val cells = ref.keySet ++ live.keySet
-      cells.map(_._1).map { key =>
-        val bins = cells.collect { case (k, b) if k == key => b }.toSeq.sorted
+      (ref.keySet ++ live.keySet).groupBy(_._1).map { case (key, ks) =>
+        val bins = ks.map(_._2).toSeq.sorted
         val n1 = bins.map(b => ref((key, b))).sum
         val n2 = bins.map(b => live((key, b))).sum
         val chi =
           if (n1 == 0 || n2 == 0) -1L
           else bins.map { b =>
             val (c1, c2) = (ref((key, b)), live((key, b)))
-            val t = (c1 * n2 - c2 * n1).toDouble
-            math.floor(1000.0 * ((t * t) / (c1 + c2).toDouble /
-              n1.toDouble / n2.toDouble) + 0.5).toLong
+            if (c1 + c2 == 0) 0L
+            else {
+              val t = (c1 * n2 - c2 * n1).toDouble
+              math.floor(1000.0 * ((t * t) / (c1 + c2).toDouble /
+                n1.toDouble / n2.toDouble) + 0.5).toLong
+            }
           }.sum
         key -> chi
-      }.toMap
+      }
     }
   }
 
   /** Folds `stream`'s (keyCol, cents div binCents) counts into
     * `tracker` across triggers — the q217 $10-bin contract by
-    * default. */
+    * default. Driver state stays bounded by the tracker's REFERENCE
+    * grid at any stream key cardinality: the per-batch aggregation
+    * masks keys outside `tracker.refKeys` to one overflow group
+    * before anything is collected (so the collect is ≤ |ref keys| ×
+    * |value bins| + |value bins| rows), and those rows surface as the
+    * single `novelCount` gauge instead of per-key state. Replayed
+    * batch ids are skipped by the tracker (idempotent folding). */
   def trackValueDrift(stream: DataFrame, keyCol: String, valueCol: String,
                       checkpoint: String, tracker: DriftTracker,
                       binCents: Long = 1000L): StreamingQuery =
@@ -604,15 +658,23 @@ object StreamingIngest {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val counts = batch
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keys = tracker.refKeys.toSeq
+        val inRef =
+          if (keys.isEmpty) lit(false)
+          else col("k").isin(keys: _*)
+        val rows = batch
           .select(col(keyCol).cast("string").as("k"),
             expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)" +
               s" div $binCents").as("bin"))
-          .groupBy("k", "bin").agg(count(lit(1)).as("n"))
+          .groupBy(when(inRef, col("k")).otherwise(lit(null)).as("k"),
+            col("bin"))
+          .agg(count(lit(1)).as("n"))
           .collect()
-          .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toSeq
-        tracker.update(counts)
+        val (kept, dropped) = rows.partition(!_.isNullAt(0))
+        tracker.update(batchId,
+          kept.map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toSeq,
+          dropped.map(_.getLong(2)).sum)
       }
       .start()
 

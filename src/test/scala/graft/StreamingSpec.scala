@@ -209,6 +209,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drift tracker: driver state is bounded by the reference grid " +
+      "and replayed batches fold once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // reference covers TWO keys; a zero-count reference cell must be
+    // rejected at construction (it would put 0/0 on the bin spine)
+    val reference = Seq(
+      (("a", 0L), 10L), (("a", 1L), 5L), (("b", 0L), 7L), (("b", 2L), 0L))
+    val tracker = new StreamingIngest.DriftTracker(reference)
+    assert(tracker.refKeys == Set("a", "b"))
+    // a 500-distinct-key stream (the user_id-shaped caller the old
+    // signature allowed to grow driver state unboundedly)
+    val rows = (0 until 500).map(i => (s"u$i", (i % 30) / 10.0)) ++
+      Seq(("a", 0.5), ("a", 12.0), ("b", 3.0))
+    val input = MemoryStream[(String, Double)]
+    input.addData(rows: _*)
+    val ckpt = Files.createTempDirectory("drift_bound_ckpt").toString
+    val q = StreamingIngest.trackValueDrift(
+      input.toDF().toDF("k", "value"), "k", "value", ckpt, tracker)
+    try { q.processAllAvailable() } finally q.stop()
+    // live state holds ONLY reference-universe cells; everything else
+    // is one scalar gauge
+    assert(tracker.trackedCells <= 3)
+    assert(tracker.liveCount == 3)
+    assert(tracker.novelCount == 500)
+    assert(tracker.chi2Milli.keySet == Set("a", "b"))
+    // at-least-once replay: the same batch id re-delivered (update
+    // applied, commit lost, restart) must NOT double-count
+    val before = (tracker.liveCount, tracker.novelCount)
+    tracker.update(0L, Seq((("a", 0L), 99L)), novelRows = 99L)
+    assert((tracker.liveCount, tracker.novelCount) == before)
+    // a genuinely NEW batch still folds
+    tracker.update(1L, Seq((("a", 0L), 2L)), novelRows = 1L)
+    assert(tracker.liveCount == before._1 + 2)
+    assert(tracker.novelCount == before._2 + 1)
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -495,6 +532,67 @@ class StreamingSpec extends SparkSpec {
     val dirs = new java.io.File(root).listFiles.filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.length == 2 && dirs.last == new java.io.File(
       VersionedStore.current(root).get._1).getName)
+  }
+
+  test("VersionedStore: crash windows (mid-staging, post-flip pre-checkpoint) lose and double nothing") {
+    import graft.streaming.VersionedStore
+    import spark.implicits._
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "vstore-crash").toString + "/store"
+    // the model sink: a NON-idempotent re-aggregating merge (store =
+    // cumulative per-key counts) — the exact shape the committed()
+    // gate exists for
+    def applyBatch(id: Long, data: Seq[(Long, Long)],
+                   crashInWrite: Boolean): Unit = {
+      if (!VersionedStore.committed(root, id)) {
+        VersionedStore.commit(root, id) { dir =>
+          val prev = VersionedStore.read(spark, root)
+            .map(_.as[(Long, Long)].collect().toSeq).getOrElse(Nil)
+          val merged = (prev ++ data).groupBy(_._1).view
+            .mapValues(_.map(_._2).sum).toSeq
+          if (crashInWrite) {
+            // stage a PARTIAL store, then die before finishing — the
+            // window between staging start and the pointer flip
+            merged.take(1).toDF("k", "n").write.mode("overwrite").parquet(dir)
+            throw new RuntimeException("simulated crash mid-staging")
+          }
+          merged.toDF("k", "n").write.mode("overwrite").parquet(dir)
+        }
+      }
+    }
+    // 8 batches; every batch adds 1 to keys 0..id. Crash script per
+    // batch: 0 = clean, 1 = die mid-staging then retry, 2 = commit
+    // succeeds but the checkpoint write is lost → same id replayed.
+    val script = Seq(1, 2, 0, 1, 2, 2, 1, 0)
+    val truth = scala.collection.mutable.Map.empty[Long, Long]
+    script.zipWithIndex.foreach { case (mode, i) =>
+      val id = i.toLong
+      val data = (0L to id).map((_, 1L))
+      data.foreach { case (k, n) => truth(k) = truth.getOrElse(k, 0L) + n }
+      mode match {
+        case 1 =>
+          val before = VersionedStore.read(spark, root).map(_.count())
+          intercept[RuntimeException](applyBatch(id, data, crashInWrite = true))
+          // the partial staging dir must be invisible: readers still
+          // resolve the previous complete store
+          assert(VersionedStore.read(spark, root).map(_.count()) == before,
+            s"batch $id: partial staging surfaced to readers")
+          applyBatch(id, data, crashInWrite = false) // retry
+        case 2 =>
+          applyBatch(id, data, crashInWrite = false)
+          // checkpoint commit lost → the streaming engine re-delivers
+          // the SAME batch; the committed() gate must skip the merge
+          applyBatch(id, data, crashInWrite = false)
+        case _ =>
+          applyBatch(id, data, crashInWrite = false)
+      }
+      // invariant after every batch: the live store is complete and
+      // exactly equals the crash-free cumulative truth
+      val got = VersionedStore.read(spark, root).get
+        .as[(Long, Long)].collect().toMap
+      assert(got == truth.toMap,
+        s"batch $id (mode $mode): store $got != truth $truth")
+    }
   }
 
   test("mergePrefixBatch: a replayed batchId is skipped — counts never double") {
