@@ -174,9 +174,12 @@ object PageRank {
     * no sinks) D = 0 and this reproduces [[run]] exactly — pinned in
     * GraphSpec.
     *
-    * Scale shape = [[run]] plus one 1-row aggregate per iteration:
-    * the dangling sum is a tree-reduced scalar broadcast back (the
-    * q77 scalar-join idiom), NOT a data shuffle — the per-iteration
+    * Scale shape = [[run]] with the dangling mass carried as an
+    * OBSERVED METRIC: each round's eager localCheckpoint computes
+    * Σ_{outdeg=0} rank as an `observe` side-channel (no extra job, no
+    * broadcast-exchange subtree), and the driver folds it into the
+    * NEXT round's rank expression as a plan literal — `dm div n` is
+    * then row-local arithmetic on the n column. The per-iteration
     * exchange still carries only (dst, partial contribution) rows.
     * The node universe is src ∪ dst (distinct), built once and
     * persisted with the adjacency (cache contract above). Returns
@@ -287,7 +290,10 @@ object PageRank {
 
   /** [[runDirected]]'s twin: expects `e` (src, dst); ends in `pr` =
     * (node, outdeg, rank). Each round unrolls a 1-row dangling-mass
-    * CTE cross-joined back, mirroring the engine's scalar broadcast. */
+    * CTE cross-joined back — the relational rendering of the scalar
+    * the engine carries as an observed metric folded in as a plan
+    * literal (same value, same arithmetic, so the rounds agree
+    * bit-for-bit). */
   def oracleDirectedCtes(iters: Int): String = {
     def step(i: Int): String =
       s"""d$i AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm

@@ -49,48 +49,60 @@ object EvalQueries {
     * average rank of a value v is rows_before(v) + (cnt(v)+1)/2, which
     * is pure value-level histogram arithmetic — the cumulative windows
     * run over the per-source DISTINCT-VALUE spine (length-domain
-    * bounded, the q212 discipline), and doubled ranks (rx2 = 2·avg
-    * rank) keep everything integer (ρ is affine-invariant, so ρ of the
-    * doubled ranks IS Spearman's ρ). Moments are exact int64 sums off
-    * the (x, y) joint histogram; only the final ρ divides, in doubles
-    * with a FIXED association order (every IEEE op correctly rounded →
-    * bit-identical across engines), rendered floor(x·1e6 + 0.5).
-    * Portable SQL — the engine runs it over a temp view, the oracle
-    * over the documents table; only the y-expression differs. */
+    * bounded, the q212 discipline), and CENTERED doubled ranks
+    * (rxc = 2·avg rank − (n+1), an integer since the doubled rank is)
+    * keep everything integer (ρ is affine-invariant, so ρ of the
+    * centered doubled ranks IS Spearman's ρ). Centering makes the
+    * per-source rank sums identically zero, so the raw second moments
+    * ARE the central ones: ρ = Σc·rxc·ryc / √(Σc·rxc²·Σc·ryc²) with
+    * no n·sxy − sx·sy combination step — and the int64 overflow point
+    * moves from the old ~4n⁴ (wrapping near 40 k rows/source) to the
+    * moment bound n³ ≈ 2⁶³ at **n ≈ 2 M rows per source**, the
+    * documented exactness bound (fixture sources are ≤ thousands; a
+    * 100 TB run beyond 2 M rows/source would shift both engines off
+    * int64 identically only by re-scaling, so the bound is stated, not
+    * silently wrapped — the house fixed-point convention). Moments are
+    * exact int64 sums off the (x, y) joint histogram; only the final ρ
+    * divides, in doubles with a FIXED association order (every IEEE op
+    * correctly rounded → bit-identical across engines), rendered
+    * floor(x·1e6 + 0.5). Portable SQL — the engine runs it over a temp
+    * view, the oracle over the documents table; only the y-expression
+    * differs. */
   private def spearmanSql(table: String, yExpr: String): String =
     s"""WITH base AS (SELECT source, x, y FROM (
        |    SELECT source, CAST(n_chars AS BIGINT) AS x, $yExpr AS y
        |    FROM $table) b),
        |hx AS (SELECT source, x,
        |    2 * (CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY x)
-       |      AS BIGINT) - count(*)) + count(*) + 1 AS rx2
+       |      AS BIGINT) - count(*)) + count(*) + 1
+       |    - (CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) + 1)
+       |      AS rxc
        |  FROM base GROUP BY source, x),
        |hy AS (SELECT source, y,
        |    2 * (CAST(sum(count(*)) OVER (PARTITION BY source ORDER BY y)
-       |      AS BIGINT) - count(*)) + count(*) + 1 AS ry2
+       |      AS BIGINT) - count(*)) + count(*) + 1
+       |    - (CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) + 1)
+       |      AS ryc
        |  FROM base GROUP BY source, y),
        |joint AS (SELECT source, x, y, count(*) AS c
        |  FROM base GROUP BY source, x, y),
        |m AS (SELECT j.source,
        |    CAST(sum(j.c) AS BIGINT) AS n,
-       |    CAST(sum(j.c * hx.rx2) AS BIGINT) AS sx,
-       |    CAST(sum(j.c * hy.ry2) AS BIGINT) AS sy,
-       |    CAST(sum(j.c * hx.rx2 * hy.ry2) AS BIGINT) AS sxy,
-       |    CAST(sum(j.c * hx.rx2 * hx.rx2) AS BIGINT) AS sxx,
-       |    CAST(sum(j.c * hy.ry2 * hy.ry2) AS BIGINT) AS syy
+       |    CAST(sum(j.c * hx.rxc * hy.ryc) AS BIGINT) AS sxy,
+       |    CAST(sum(j.c * hx.rxc * hx.rxc) AS BIGINT) AS sxx,
+       |    CAST(sum(j.c * hy.ryc * hy.ryc) AS BIGINT) AS syy
        |  FROM joint j
        |  JOIN hx ON hx.source = j.source AND hx.x = j.x
        |  JOIN hy ON hy.source = j.source AND hy.y = j.y
        |  GROUP BY j.source)
        |SELECT source, n,
-       |  n * sxy - sx * sy AS rho_num,
-       |  n * sxx - sx * sx AS d1,
-       |  n * syy - sy * sy AS d2,
-       |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+       |  sxy AS rho_num,
+       |  sxx AS d1,
+       |  syy AS d2,
+       |  CASE WHEN sxx > 0 AND syy > 0 THEN
        |    CAST(floor(CAST(1000000 AS DOUBLE) *
-       |      CAST(n * sxy - sx * sy AS DOUBLE) /
-       |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-       |        CAST(n * syy - sy * sy AS DOUBLE)) +
+       |      CAST(sxy AS DOUBLE) /
+       |      sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)) +
        |      CAST(0.5 AS DOUBLE)) AS BIGINT)
        |  ELSE 0 END AS rho_ppm
        |FROM m ORDER BY source""".stripMargin
