@@ -15,6 +15,8 @@ independent tables, unioned):
 Usage: python3 scripts/recall_check.py <sf_dir> <verify_out_dir>
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
 """
+import glob
+import os
 import sys
 
 import duckdb
@@ -23,6 +25,66 @@ import numpy as np
 
 def band_recall(got: set, truth: set) -> float:
     return len(got & truth) / len(truth) if truth else float("nan")
+
+
+def have(out_dir: str, q: str) -> bool:
+    if glob.glob(os.path.join(out_dir, q, "*.parquet")):
+        return True
+    print(f"{q}: no dump under {out_dir} — skipped")
+    return False
+
+
+def media_recall(con, sf_dir: str, out_dir: str) -> None:
+    """q213: media perceptual near-dup vs the EXACT all-pairs Hamming
+    ground truth over the payload dHashes (same crop/pixel/diff-bit
+    construction as the engine — MultimodalQueries.scala q213 — so the
+    16-bit banding is the only lossy stage and measured recall
+    isolates it; the exact popcount verify means precision must be
+    perfect: a node can never report more near-dups than it has)."""
+    if not have(out_dir, "q213_media_near_dup"):
+        return
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE octet_length(encode(text)) > 0 ORDER BY doc_id").fetchall()
+
+    def dhash_words(text: str):
+        b = text.encode("utf-8")
+        crop = min(len(b), 128)
+        px = [b[(i * crop) // 65] for i in range(65)]
+        w0 = sum(1 << i for i in range(32) if px[i] > px[i + 1])
+        w1 = sum(1 << i for i in range(32) if px[32 + i] > px[33 + i])
+        return w0, w1
+
+    ids = np.array([d[0] for d in docs])
+    w = np.array([dhash_words(t) for _, t in docs], dtype=np.uint64)
+    sketch = np.ascontiguousarray(w).view(np.uint8).reshape(len(ids), 16)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+    deg_true = np.zeros(len(ids), dtype=np.int64)
+    deg_d3 = np.zeros(len(ids), dtype=np.int64)  # banding-guaranteed zone
+    for lo in range(0, len(ids), 512):
+        hi = min(lo + 512, len(ids))
+        ham = lut[sketch[lo:hi, None, :] ^ sketch[None, :, :]].sum(
+            axis=2, dtype=np.int64)
+        for k in range(hi - lo):
+            ham[k, lo + k] = 99  # mask self
+        deg_true[lo:hi] = (ham <= 6).sum(axis=1)
+        deg_d3[lo:hi] = (ham <= 3).sum(axis=1)
+    rows = con.sql(
+        f"SELECT media_id, keep_media_id, n_near_dups FROM "
+        f"'{out_dir}/q213_media_near_dup/*.parquet' ORDER BY media_id"
+    ).fetchall()
+    found = {int(m): int(n) for m, _, n in rows}
+    deg_found = np.array([found.get(int(i), 0) for i in ids], dtype=np.int64)
+    dup_nodes = deg_true > 0
+    print(f"q213_media_near_dup: {int(deg_true.sum()) // 2} true pairs @ham<=6 "
+          f"({int(deg_d3.sum()) // 2} at ham<=3, the 4-band pigeonhole zone) "
+          f"over {len(ids)} media; "
+          f"edge recall = {deg_found.sum() / max(deg_true.sum(), 1):.3f}, "
+          f"decision recall = "
+          f"{(deg_found[dup_nodes] > 0).mean() if dup_nodes.any() else float('nan'):.3f} "
+          f"({int(dup_nodes.sum())} true-dup media), "
+          f"false-pos nodes (found > true, must be 0) = "
+          f"{int((deg_found > deg_true).sum())}")
 
 
 def main(sf_dir: str, out_dir: str) -> None:
@@ -47,6 +109,8 @@ def main(sf_dir: str, out_dir: str) -> None:
           f"all-pairs space {len(cos)}")
 
     for q in ("q54_embedding_dup", "q88_embedding_dup_multitable"):
+        if not have(out_dir, q):
+            continue
         got = set(map(tuple, con.sql(
             f"SELECT vec_a, vec_b FROM '{out_dir}/{q}/*.parquet'").fetchall()))
         print(f"{q}: {len(got)} pairs, recall@0.4 = {band_recall(got, truth):.3f} "
@@ -65,6 +129,8 @@ def main(sf_dir: str, out_dir: str) -> None:
           for i, b in enumerate(ids[batch_mask]) if (bh[i] >= 0.4).any()}
     for q in ("q90_incremental_embedding_dedup",
               "q92_incremental_embedding_dedup_multitable"):
+        if not have(out_dir, q):
+            continue
         rows = con.sql(f"SELECT vec_id, dup_of, n_matches FROM "
                        f"'{out_dir}/{q}/*.parquet'").fetchall()
         flagged = {int(b) for b, d, _ in rows if d is not None}
@@ -73,6 +139,8 @@ def main(sf_dir: str, out_dir: str) -> None:
         print(f"{q}: {len(flagged)} flagged of "
               f"{len(bt)} true-dup batch rows, decision recall = "
               f"{band_recall(flagged, set(bt)):.3f}, false-pos = {len(fp)}")
+
+    media_recall(con, sf_dir, out_dir)
 
 
 if __name__ == "__main__":
