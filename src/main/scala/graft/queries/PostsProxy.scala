@@ -96,11 +96,23 @@ object PostsProxy {
     cached.keys.foreach { case k @ (s, _) =>
       if (s.sparkContext.isStopped) cached.remove(k)
     }
-    cached.getOrElseUpdate((spark, sfDir), {
+    val frame = cached.getOrElseUpdate((spark, sfDir), {
       Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
       spark.sql(sql(SparkSql))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+    // spark.catalog.clearCache() (Bench's per-run isolation) does not
+    // just evict blocks — it DEREGISTERS the plan from the cache
+    // manager, so the memoized frame stops substituting an
+    // InMemoryRelation and every consumer re-inlines the synthesis
+    // projection into its own codegen span: exactly the 64 KB janino
+    // blowout reason (1) above exists to prevent (observed in the r9
+    // bench sweeps as sort_addToSorter stacks on q05's dedup sort).
+    // Re-registering on access is idempotent; the rebuild cost lands
+    // on the first consumer, as the Bench scaladoc documents.
+    if (frame.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    frame
   }
 
   /** DuckDB CTE prefix for oracle queries needing the proxy. */
