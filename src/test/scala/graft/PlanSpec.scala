@@ -491,4 +491,19 @@ class PlanSpec extends SparkSpec {
     // item supports — but no join may carry two corpus-sized sides)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("posts proxy re-registers its persist after catalog.clearCache") {
+    // clearCache() DEREGISTERS plans from the cache manager, not just
+    // evicts blocks; without the storageLevel==NONE re-persist in
+    // PostsProxy.df, every consumer re-inlines the 12-branch title
+    // synthesis into its own codegen span and q05's dedup sort blows
+    // janino's 64 KB method limit (the r9 bench-sweep stacks). The
+    // consumer plan must keep an InMemoryRelation boundary even right
+    // after a clearCache.
+    graft.queries.PostsProxy.df(spark, dir).count()
+    spark.catalog.clearCache()
+    val p = plan("q05_transform")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"q05 lost the proxy cache boundary after clearCache:\n${p.take(2000)}")
+  }
 }
