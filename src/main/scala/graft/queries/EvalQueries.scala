@@ -134,6 +134,45 @@ object EvalQueries {
         KMeans.sqDist(col("qv"), col("cv")).as("d2"))
   }
 
+  /** The per-vector (label, pred, margin_ppm) frame shared by q195
+    * and q237: nearest/second-nearest centroid distances through
+    * TopKPerKeyExec (k = 2) + a pivot aggregate, margin_ppm =
+    * 10⁶·(d₂−d₁) div d₂. Degenerate margins defined EXPLICITLY
+    * (round-8 advisor): a lone label (no second centroid) is
+    * unopposed → full margin; d_second = 0 forces d_best = 0 (a tie
+    * at the query point) → zero margin — and the guard keeps the
+    * ANSI-mode div from ever seeing a zero divisor. */
+  private[graft] def margins(s: SparkSession, dir: String): DataFrame =
+    TopK.perKey(distances(s, dir), Seq("vec_id"),
+        Seq("d2" -> true, "cl" -> true), k = 2)
+      .groupBy("vec_id", "label")
+      .agg(min(when(col("rank") === 1, col("cl"))).as("pred"),
+        min(when(col("rank") === 1, col("d2"))).as("d_best"),
+        min(when(col("rank") === 2, col("d2"))).as("d_second"))
+      .select(col("label"), col("pred"),
+        when(col("d_second").isNull, lit(1000000L))
+          .when(col("d_second") === 0L, lit(0L))
+          .otherwise(expr("(CAST(1000000 AS BIGINT) * (d_second - d_best))" +
+            " div d_second")).as("margin_ppm"))
+
+  /** The q195/q237 margin CTEs rendered for DuckDB (ends in `m` =
+    * (label, pred, margin_ppm)) — the relational twin of [[margins]],
+    * shared so the two oracles can't drift apart. */
+  private def marginCtes: String =
+    s"""$distCtes,
+       |best AS (SELECT vec_id, label,
+       |  CAST(min(CASE WHEN rn = 1 THEN cl END) AS BIGINT) AS pred,
+       |  CAST(min(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS d_best,
+       |  CAST(min(CASE WHEN rn = 2 THEN d2 END) AS BIGINT) AS d_second
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d2, cl) AS rn FROM dist)
+       |  GROUP BY 1, 2),
+       |m AS (SELECT label, pred,
+       |  CAST(CASE WHEN d_second IS NULL THEN 1000000
+       |            WHEN d_second = 0 THEN 0
+       |            ELSE (1000000 * (d_second - d_best)) // d_second
+       |       END AS BIGINT) AS margin_ppm FROM best)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SPEARMAN RANK CORRELATION (q215): per source, the tie-corrected
@@ -270,22 +309,7 @@ object EvalQueries {
     // literal |Thresholds|-way explode over the |vectors|-row margin
     // table into a map-combinable rollup.
     "q195_risk_coverage" -> ((s, dir) => {
-      val top2 = TopK.perKey(distances(s, dir), Seq("vec_id"),
-          Seq("d2" -> true, "cl" -> true), k = 2)
-      val m = top2.groupBy("vec_id", "label")
-        .agg(min(when(col("rank") === 1, col("cl"))).as("pred"),
-          min(when(col("rank") === 1, col("d2"))).as("d_best"),
-          min(when(col("rank") === 2, col("d2"))).as("d_second"))
-        .select(col("label"), col("pred"),
-          // degenerate margins defined EXPLICITLY (round-8 advisor):
-          // a lone label (no second centroid) is unopposed → full
-          // margin; d_second = 0 forces d_best = 0 (a tie at the
-          // query point) → zero margin — and the guard keeps the
-          // ANSI-mode div from ever seeing a zero divisor.
-          when(col("d_second").isNull, lit(1000000L))
-            .when(col("d_second") === 0L, lit(0L))
-            .otherwise(expr("(CAST(1000000 AS BIGINT) * (d_second - d_best))" +
-              " div d_second")).as("margin_ppm"))
+      val m = margins(s, dir)
       val tot = m.agg(count(lit(1)).as("total"))
       m.crossJoin(broadcast(tot))
         .select(col("label"), col("pred"), col("margin_ppm"), col("total"),
@@ -303,6 +327,42 @@ object EvalQueries {
             .otherwise(expr("(CAST(1000000 AS BIGINT) * n_ok)" +
               " div n_accepted")).as("accuracy_ppm"))
         .orderBy("threshold_ppm")
+    }),
+
+    // RELIABILITY DIAGRAM + EXPECTED CALIBRATION ERROR (q237): is the
+    // q195 margin an honest confidence? Bucket every prediction by
+    // margin decile and compare each bucket's empirical accuracy with
+    // its mean claimed confidence (Guo et al. 2017's reliability
+    // diagram); the headline scalar is ECE = Σ_b (n_b/N)·|acc_b −
+    // conf_b| — the number that decides whether q195's acceptance
+    // thresholds can be read as error rates, which is exactly how a
+    // triage deployment wants to read them. Exactness: the per-bin
+    // gap is folded BEFORE any division — |10⁶·n_correct_b −
+    // Σconf_b| is n_b·|acc−conf| in exact int64 — so ECE_ppm =
+    // (Σ_b gap_b) div N needs ONE integer division and no rounding
+    // drift can accumulate across bins (all operands non-negative →
+    // Spark div ≡ DuckDB //; gaps bounded by 10⁶·N ≈ 5·10¹⁰ at sf1).
+    // Scale shape: rides the same TopKPerKeyExec margin fold as q195,
+    // then ONE map-combinable 10-bucket rollup; the N/gap scalars
+    // ride back over the ≤10-row bin frame as a broadcast (the q195
+    // total idiom) — nothing in the plan scales past |vectors|.
+    "q237_reliability" -> ((s, dir) => {
+      val b = margins(s, dir)
+        .select(when(col("label") === col("pred"), 1L).otherwise(0L).as("ok"),
+          col("margin_ppm"),
+          least(expr("margin_ppm div 100000"), lit(9L)).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"),
+          sum("margin_ppm").as("sum_conf"))
+      val tot = b.agg(
+        sum(abs(lit(1000000L) * col("n_correct") - col("sum_conf"))).as("gap"),
+        sum(col("n")).as("nn"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"), col("n_correct"),
+          expr("(CAST(1000000 AS BIGINT) * n_correct) div n").as("acc_ppm"),
+          expr("sum_conf div n").as("conf_ppm"),
+          expr("gap div nn").as("ece_ppm"))
+        .orderBy("bin")
     }),
 
     // ANN BUCKET PURITY (q196... numbered q197 below; see binding
@@ -632,21 +692,10 @@ object EvalQueries {
          |    AS BIGINT) AS share_ppm
          |FROM conf ORDER BY label, pred""".stripMargin,
 
-    // q195: same margin rational and the same literal sweep grid.
+    // q195: same margin rational (shared marginCtes) and the same
+    // literal sweep grid.
     "q195_risk_coverage" ->
-      s"""WITH $distCtes,
-         |best AS (SELECT vec_id, label,
-         |  min(CASE WHEN rn = 1 THEN cl END) AS pred,
-         |  CAST(min(CASE WHEN rn = 1 THEN d2 END) AS BIGINT) AS d_best,
-         |  CAST(min(CASE WHEN rn = 2 THEN d2 END) AS BIGINT) AS d_second
-         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY d2, cl) AS rn FROM dist)
-         |  GROUP BY 1, 2),
-         |m AS (SELECT label, pred,
-         |  CAST(CASE WHEN d_second IS NULL THEN 1000000
-         |            WHEN d_second = 0 THEN 0
-         |            ELSE (1000000 * (d_second - d_best)) // d_second
-         |       END AS BIGINT) AS margin_ppm FROM best),
+      s"""WITH $marginCtes,
          |thr AS (SELECT unnest([${Thresholds.mkString(", ")}]) AS t),
          |nn AS (SELECT CAST(count(*) AS BIGINT) AS total FROM m)
          |SELECT CAST(thr.t AS BIGINT) AS threshold_ppm,
@@ -660,6 +709,24 @@ object EvalQueries {
          |    AS BIGINT) AS accuracy_ppm
          |FROM m CROSS JOIN thr CROSS JOIN nn
          |GROUP BY thr.t, nn.total ORDER BY threshold_ppm""".stripMargin,
+
+    // q237: same shared margin CTEs; per-bin gap folded before the
+    // one ECE division, identical decile clamp.
+    "q237_reliability" ->
+      s"""WITH $marginCtes,
+         |bins AS (SELECT least(margin_ppm // 100000, 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (pred = label) AS BIGINT) AS n_correct,
+         |  CAST(sum(margin_ppm) AS BIGINT) AS sum_conf
+         |  FROM m GROUP BY 1),
+         |tot AS (SELECT
+         |  CAST(sum(abs(1000000 * n_correct - sum_conf)) AS BIGINT) AS gap,
+         |  CAST(sum(n) AS BIGINT) AS nn FROM bins)
+         |SELECT bin, n, n_correct,
+         |  (1000000 * n_correct) // n AS acc_ppm,
+         |  sum_conf // n AS conf_ppm,
+         |  tot.gap // tot.nn AS ece_ppm
+         |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin,
 
     // q196: same dense grid, slope as an undivided rational + sign.
     "q196_trend_slope" ->

@@ -156,6 +156,33 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q237: per-bin gaps fold to the exact driver-side ECE") {
+    val rows = EvalQueries.queries("q237_reliability")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // independent driver-side fold over the SAME margin frame (the
+    // margin itself is differentially certified through q195)
+    val m = EvalQueries.margins(spark, dir).collect()
+      .map(r => (r.getLong(0) == r.getLong(1), r.getLong(2)))
+    val byBin = m.groupBy { case (_, conf) => math.min(conf / 100000L, 9L) }
+    val want = byBin.toSeq.sortBy(_._1).map { case (bin, xs) =>
+      val n = xs.length.toLong
+      val corr = xs.count(_._1).toLong
+      val sumConf = xs.map(_._2).sum
+      (bin, n, corr, 1000000L * corr / n, sumConf / n)
+    }
+    val gap = byBin.values.map { xs =>
+      math.abs(1000000L * xs.count(_._1) - xs.map(_._2).sum)
+    }.sum
+    val ece = gap / m.length
+    assert(rows.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq == want)
+    assert(rows.forall(_._6 == ece), s"ece ${rows.head._6} vs $ece")
+    assert(rows.map(_._2).sum == m.length.toLong) // every prediction binned
+    rows.foreach { r =>
+      assert(r._4 >= 0 && r._4 <= 1000000 && r._5 >= 0 && r._5 <= 1000000)
+    }
+  }
+
   test("q220: ceil-k formula holds and coverage concentrates at 1 - alpha") {
     val rows = EvalQueries.queries("q220_conformal")(spark, dir).collect()
     assert(rows.nonEmpty)
