@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, KMeans, Similarity}
 import graft.sources.Tables
 
 /** Similarity-search extension queries (q55–q56) over `embeddings`:
@@ -38,6 +38,18 @@ object SimilarityQueries {
 
   /** q159: Johnson–Lindenstrauss target dimensionality. */
   private val JlDim = 16
+
+  /** q238: MMR candidate-pool size, picks, and the λ = 0.7 trade-off
+    * split into integer weights (score = 3·min-dist-to-selected −
+    * 7·dist-to-query, all int64 — with distances standing in for
+    * negated similarities, the Carbonell–Goldstein objective keeps
+    * its argmax). Pool and k are the model parameters a retrieval
+    * deployment fixes; the pool bound is what keeps the greedy loop
+    * and its k² pairwise table driver-safe at ANY corpus size. */
+  private val MmrPool = 16
+  private val MmrK = 8
+  private val MmrRelW = 7L
+  private val MmrDivW = 3L
 
   /** q160: binary-sketch retrieval geometry — probe set (vec_id <
     * HamNumQ) and Hamming top-k depth. */
@@ -357,6 +369,65 @@ object SimilarityQueries {
           expr(s"(CAST(1000000 AS BIGINT) * count(hit)) div $RecallK")
             .as("recall_ppm"))
         .orderBy("query_id")
+    }),
+
+    // MMR DIVERSIFIED RE-RANK (q238): Maximal Marginal Relevance
+    // (Carbonell & Goldstein 1998) over the probe's brute-force
+    // candidate pool — the standard "don't hand the model 8 copies of
+    // the same document" re-rank every retrieval-augmented curation
+    // loop runs between ANN search and consumption. Greedy argmax of
+    // 3·min_{s∈S} d(c,s) − 7·d(q,c) (λ = 0.7 with distances as
+    // negated similarities; first pick = plain nearest), ties to the
+    // smaller vec_id — a total order, so the greedy trajectory is
+    // engine-independent and the DuckDB twin replays it exactly as a
+    // recursive CTE (one row per step, argmax via lexicographic
+    // struct max). Exact int64 end to end on quantized vectors.
+    // Scale shape: the ONLY corpus-scale stage is the candidate pool
+    // (one distributed TakeOrdered over the codegen'd sqdist scan —
+    // the q55 discipline); the greedy runs driver-side over the
+    // MmrPool-bounded pool (k² = 256 pairwise distances — the pool IS
+    // the model, the q220 driver-held-literal precedent), and the
+    // selection rides back into the plan as literal maps, so the
+    // output frame is distributed and re-derives rel_d through the
+    // same kernel the oracle folds.
+    "q238_mmr_rerank" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val probe: Seq[Long] = e.where(col("vec_id") === 0L)
+        .select("qv").head.getSeq[Long](0)
+      val cand = e.where(col("vec_id") =!= 0L)
+        .select(col("vec_id"), col("qv"),
+          KMeans.sqDist(col("qv"), typedLit(probe)).as("rel_d"))
+        .orderBy(col("rel_d"), col("vec_id")).limit(MmrPool)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      def sqd(a: Array[Long], b: Array[Long]): Long = {
+        var i = 0; var acc = 0L
+        while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+        acc
+      }
+      val byId = cand.map(c => c._1 -> c._2).toMap
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val chosen = scala.collection.mutable.Set.empty[Long]
+      for (_ <- 1 to MmrK) {
+        val best = cand.iterator.filter(c => !chosen(c._1)).map { c =>
+          val div =
+            if (picked.isEmpty) 0L
+            else MmrDivW * picked.iterator.map(p => sqd(c._2, byId(p._1))).min
+          (c._1, div - MmrRelW * c._3)
+        }.minBy { case (id, sc) => (-sc, id) }
+        picked += best
+        chosen += best._1
+      }
+      val rankMap = picked.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+      val scoreMap = picked.toMap
+      e.where(col("vec_id").isin(picked.map(_._1).toSeq: _*))
+        .select(element_at(typedLit(rankMap), col("vec_id")).as("rank"),
+          col("vec_id"),
+          KMeans.sqDist(col("qv"), typedLit(probe)).as("rel_d"),
+          element_at(typedLit(scoreMap), col("vec_id")).as("score"))
+        .orderBy("rank")
     }))
 
   val oracleSql: Map[String, String] = {
@@ -578,6 +649,53 @@ object SimilarityQueries {
            |  CAST((1000000 * count(h.vec_id)) // $RecallK AS BIGINT) AS recall_ppm
            |FROM exk e LEFT JOIN hmk h USING (query_id, vec_id)
            |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+      },
+
+      // q238: the greedy trajectory replayed relationally — a
+      // recursive CTE holding ONE row per step (picked/score lists);
+      // per-step argmax via lexicographic struct max over (score,
+      // -vec_id), the same total order the engine's driver loop uses.
+      "q238_mmr_rerank" -> {
+        val qz = graft.operators.KMeans.quantizeSql("embedding")
+        val dq = graft.operators.KMeans.sqDistSql("e.qv", "p.pqv", Dim)
+        val dab = graft.operators.KMeans.sqDistSql("a.qv", "b.qv", Dim)
+        s"""WITH RECURSIVE
+           |e AS (SELECT vec_id, $qz AS qv FROM embeddings),
+           |p AS (SELECT qv AS pqv FROM e WHERE vec_id = 0),
+           |sq AS (SELECT e.vec_id, $dq AS rel_d, e.qv
+           |  FROM e CROSS JOIN p WHERE e.vec_id <> 0),
+           |cand AS (SELECT * FROM sq ORDER BY rel_d, vec_id LIMIT $MmrPool),
+           |sims AS (SELECT a.vec_id AS a, b.vec_id AS b, $dab AS d
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+           |sel AS (
+           |  SELECT 0 AS step, CAST([] AS BIGINT[]) AS picked,
+           |    CAST([] AS BIGINT[]) AS scores
+           |  UNION ALL
+           |  SELECT step + 1, list_append(picked, -(m).nv),
+           |    list_append(scores, (m).score)
+           |  FROM (
+           |    SELECT step, picked, scores,
+           |      max(struct_pack(score := score, nv := -vec_id)) AS m
+           |    FROM (
+           |      SELECT s.step, s.picked, s.scores, c.vec_id,
+           |        CAST(CASE WHEN len(s.picked) = 0 THEN 0
+           |             ELSE $MmrDivW * min(sm.d) END
+           |          - $MmrRelW * c.rel_d AS BIGINT) AS score
+           |      FROM sel s
+           |      JOIN cand c ON NOT list_contains(s.picked, c.vec_id)
+           |      LEFT JOIN sims sm ON sm.a = c.vec_id
+           |        AND list_contains(s.picked, sm.b)
+           |      GROUP BY s.step, s.picked, s.scores, c.vec_id, c.rel_d
+           |    ) t GROUP BY step, picked, scores
+           |  ) g
+           |  WHERE step < $MmrK
+           |),
+           |last AS (SELECT picked, scores FROM sel WHERE step = $MmrK),
+           |outp AS (SELECT CAST(generate_subscripts(picked, 1) AS BIGINT)
+           |    AS rank,
+           |  unnest(picked) AS vec_id, unnest(scores) AS score FROM last)
+           |SELECT o.rank, o.vec_id, c.rel_d, o.score
+           |FROM outp o JOIN cand c USING (vec_id) ORDER BY o.rank""".stripMargin
       })
   }
 }

@@ -13,6 +13,43 @@ class ClusteringSpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "embedding")
 
+  test("q238 MMR rerank matches a driver-side exhaustive greedy recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q238_mmr_rerank")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent path: collect ALL quantized vectors (test-only; the
+    // query itself only collects the 16-candidate pool), then run the
+    // full pool build + greedy in plain Scala
+    val all = graft.sources.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sqd(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val probe = all(0L)
+    val pool = all.iterator.filter(_._1 != 0L)
+      .map { case (id, qv) => (id, qv, sqd(qv, probe)) }.toSeq
+      .sortBy { case (id, _, d) => (d, id) }.take(16)
+    var picked = Vector.empty[(Long, Long)]
+    for (_ <- 1 to 8) {
+      val best = pool.filter(c => !picked.exists(_._1 == c._1)).map { c =>
+        val div =
+          if (picked.isEmpty) 0L
+          else 3L * picked.map(p => sqd(c._2, all(p._1))).min
+        (c._1, div - 7L * c._3)
+      }.minBy { case (id, sc) => (-sc, id) }
+      picked :+= best
+    }
+    val want = picked.zipWithIndex.map { case ((id, sc), i) =>
+      ((i + 1).toLong, id, sqd(all(id), probe), sc)
+    }
+    assert(got.toSeq == want)
+    // structural invariants: rank 1 is the plain nearest neighbor;
+    // picks are distinct and never the probe itself
+    assert(got.head._2 == pool.head._1)
+    assert(got.map(_._2).distinct.length == 8 && !got.exists(_._2 == 0L))
+  }
+
   test("q117 decontamination matches a driver-side exhaustive recompute") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q117_embedding_decontamination")(spark, dir)
