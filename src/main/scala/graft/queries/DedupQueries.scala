@@ -203,6 +203,52 @@ object DedupQueries {
         |FROM per_band CROSS JOIN uniq ORDER BY band""".stripMargin)
     }),
 
+    // CROSS-SOURCE CONTAMINATION MATRIX (q239): which sources host
+    // near-duplicate content of which — the provenance question
+    // (who scrapes whom / where does boilerplate breed) a curation
+    // pipeline answers before deciding per-source mixture weights.
+    // Rides q51's verified title-pair machinery, then counts
+    // DOC-level near-dup pairs per unordered (source_a, source_b)
+    // cell from (title, source) MULTIPLICITIES — a title's doc set
+    // spans sources (the same title string recurs under many bases),
+    // so attribution works on the (title, src, n) grain: cross-title
+    // cells add n_a·n_b (doc sets of distinct titles are disjoint by
+    // construction); a self title pair adds C(n,2) on the diagonal
+    // and n_a·n_b once per unordered source combo. That is q51's
+    // quadratic pair-list OUTPUT collapsed to a |sources|² matrix
+    // computed corpus-LINEARLY — the member-expansion join never
+    // runs (the per-title source fan-out is ≤ |sources|); the
+    // multiplicity products do the counting (the linear
+    // production-twin discipline, applied to attribution).
+    // AuditQueriesSpec pins the matrix against q51's expanded pair
+    // list regrouped by source pair. Exact int64 throughout; div on
+    // non-negative operands only.
+    "q239_contamination_matrix" -> ((s, dir) => {
+      titlePairs(s, dir).createOrReplaceTempView("cm_pairs")
+      PostsProxy.df(s, dir).where(col("title") =!= "")
+        .groupBy("title", "subreddit")
+        .agg(count(lit(1)).as("n"))
+        .select(col("title"), col("subreddit").as("src"), col("n"))
+        .createOrReplaceTempView("cm_titles")
+      s.sql("""
+        |WITH px AS (
+        |  SELECT least(ta.src, tb.src) AS src_a,
+        |    greatest(ta.src, tb.src) AS src_b,
+        |    CASE WHEN p.title_a = p.title_b AND ta.src = tb.src
+        |         THEN (ta.n * (ta.n - 1)) div 2
+        |         ELSE ta.n * tb.n END AS n_doc_pairs,
+        |    CASE WHEN p.title_a = p.title_b THEN 0 ELSE 1 END AS cross_title
+        |  FROM cm_pairs p
+        |  JOIN cm_titles ta ON ta.title = p.title_a
+        |  JOIN cm_titles tb ON tb.title = p.title_b
+        |  WHERE p.title_a <> p.title_b OR ta.src <= tb.src)
+        |SELECT src_a, src_b,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(cross_title) AS BIGINT) AS n_cross_groups,
+        |  CAST(sum(n_doc_pairs) AS BIGINT) AS n_doc_pairs
+        |FROM px GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin)
+    }),
+
     // Exact dedup: hash-groupBy — ONE shuffle on the 128-bit text hash,
     // never on the full text payload. Keeper = min(doc_id).
     "q50_dedup_exact" -> ((s, dir) =>
@@ -701,6 +747,41 @@ object DedupQueries {
           |FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""".stripMargin,
 
       "q51_minhash_lsh" -> q51OracleSql,
+
+      // q239: the q51 candidate chain (shared CTEs), doc pairs
+      // counted from (title, source) multiplicities — diagonal self
+      // pairs C(n,2), everything else n_a·n_b once per unordered
+      // source combo.
+      "q239_contamination_matrix" ->
+        s"""$mhCandidateCtes,
+           |cand AS (
+           |  SELECT DISTINCT a.title AS title_a, b.title AS title_b
+           |  FROM capped a JOIN capped b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.rep <= b.rep),
+           |tj AS (
+           |  SELECT title_a, title_b,
+           |    ${Dedup.jaccardSql("sa.sh", "sb.sh")} AS jaccard
+           |  FROM cand JOIN sh sa ON sa.title = title_a
+           |            JOIN sh sb ON sb.title = title_b),
+           |sel AS (SELECT * FROM tj WHERE jaccard >= 0.5),
+           |ts AS (SELECT title, subreddit AS src,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM posts_proxy WHERE title <> '' GROUP BY title, subreddit),
+           |px AS (SELECT least(ta.src, tb.src) AS src_a,
+           |    greatest(ta.src, tb.src) AS src_b,
+           |    CASE WHEN s.title_a = s.title_b AND ta.src = tb.src
+           |         THEN (ta.n * (ta.n - 1)) // 2
+           |         ELSE ta.n * tb.n END AS n_doc_pairs,
+           |    CASE WHEN s.title_a = s.title_b THEN 0 ELSE 1 END
+           |      AS cross_title
+           |  FROM sel s JOIN ts ta ON ta.title = s.title_a
+           |             JOIN ts tb ON tb.title = s.title_b
+           |  WHERE s.title_a <> s.title_b OR ta.src <= tb.src)
+           |SELECT src_a, src_b,
+           |  CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(sum(cross_title) AS BIGINT) AS n_cross_groups,
+           |  CAST(sum(n_doc_pairs) AS BIGINT) AS n_doc_pairs
+           |FROM px GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
 
       // q225: the q51 candidate chain (shared CTEs) with the band kept
       // through the pair join; same strict-< pair order, same Jaccard

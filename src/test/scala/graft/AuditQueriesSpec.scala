@@ -224,4 +224,29 @@ class AuditQueriesSpec extends SparkSpec {
       assert(r.getLong(5) == 1000000L * r.getLong(2) / r.getLong(1))
     }
   }
+
+  test("q239: multiplicity-counted matrix equals q51's expanded pair list regrouped") {
+    // q239 counts doc-level near-dup pairs WITHOUT the member
+    // expansion (title-multiplicity products); q51 materializes the
+    // expanded pair list. Every doc pair maps to exactly one
+    // unordered title pair, so regrouping q51's output by the
+    // source-pair key must reproduce q239's n_doc_pairs cell by cell.
+    val matrix = graft.queries.DedupQueries
+      .queries("q239_contamination_matrix")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    def src(docId: Long): String = "r" + (docId % 400 % 5)
+    val want = graft.queries.DedupQueries
+      .queries("q51_minhash_lsh")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => {
+        val (a, b) = (src(r.getLong(0)), src(r.getLong(1)))
+        (if (a <= b) (a, b) else (b, a), 1L)
+      })
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // a cell whose only mass is singleton self-titles carries
+    // n_doc_pairs = 0 and legitimately has no q51 counterpart
+    assert(matrix.filter(_._2 > 0L) == want,
+      s"matrix $matrix vs q51 regroup $want")
+  }
 }
