@@ -245,4 +245,117 @@ class PropertySpec extends SparkSpec {
       assert(cos(vecs(a), vecs(b)) >= 0.5 - 1e-12, s"($a,$b) below threshold")
     }
   }
+
+  test("applyMerges: checkpoint-capped fold equals the uncapped kernel chain " +
+      "on generated corpora and merge lists") {
+    import graft.operators.Bpe
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "ab", "cd")
+    val docGen = Gen.chooseNum(1, 24)
+      .flatMap(n => Gen.listOfN(n, tokGen).map(_.toSeq))
+    for (round <- 0 until 3) {
+      val docs = (0 until 30).map(i =>
+        (i.toLong, docGen.pureApply(Gen.Parameters.default, Seed(900L + round * 100 + i))))
+        .toDF("doc_id", "toks")
+      // 40 merges (> 2 × CheckpointEvery → two checkpoint boundaries),
+      // drawn from the token alphabet product so many actually fire
+      val pairs = samples(Gen.zip(tokGen, tokGen), 40)
+      val capped = Bpe.applyMerges(docs, pairs)
+        .orderBy("doc_id").as[(Long, Seq[String])].collect()
+      // uncapped chain: one stacked kernel per merge, no checkpoints
+      val uncapped = pairs.foldLeft(docs) { case (df, (l, r)) =>
+          df.withColumn("toks",
+            call_function("graft_merge_pair", col("toks"), lit(l), lit(r)))
+        }.orderBy("doc_id").as[(Long, Seq[String])].collect()
+      assert(capped.toSeq == uncapped.toSeq, s"round $round")
+    }
+  }
+
+  test("DriftTracker: arbitrary batch splits fold to the same chi2 as one batch") {
+    import graft.streaming.StreamingIngest.DriftTracker
+    val cellGen = Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 7L),
+      Gen.chooseNum(1L, 50L))
+    for (round <- 0 until 3) {
+      val ref = samples(cellGen, 12)
+        .map { case (k, b, n) => ((k, b), n) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val live = samples(cellGen, 20)
+        .map { case (k, b, n) => ((k, b), n % 11) } // include zero counts
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val one = new DriftTracker(ref)
+      one.update(0L, live)
+      // same live grid delivered as 4 batches with distinct ids
+      val split = new DriftTracker(ref)
+      live.zipWithIndex.groupBy(_._2 % 4).toSeq.sortBy(_._1).foreach {
+        case (bid, cells) => split.update(bid.toLong, cells.map(_._1))
+      }
+      assert(split.chi2Milli == one.chi2Milli, s"round $round")
+      assert(split.liveCount == one.liveCount)
+      // brute recompute of the statistic per key
+      val refM = ref.filter(_._2 > 0).toMap.withDefaultValue(0L)
+      val livM = live.filter { case ((k, _), n) =>
+        n > 0 && refM.keySet.exists(_._1 == k) }.toMap.withDefaultValue(0L)
+      val keys = refM.keySet.map(_._1) ++ livM.keySet.map(_._1)
+      val want = keys.map { key =>
+        val bins = (refM.keySet ++ livM.keySet).filter(_._1 == key)
+          .map(_._2).toSeq.sorted
+        val n1 = bins.map(b => refM((key, b))).sum
+        val n2 = bins.map(b => livM((key, b))).sum
+        key -> (if (n1 == 0 || n2 == 0) -1L
+        else bins.map { b =>
+          val (c1, c2) = (refM((key, b)), livM((key, b)))
+          if (c1 + c2 == 0) 0L
+          else {
+            val t = (c1 * n2 - c2 * n1).toDouble
+            math.floor(1000.0 * ((t * t) / (c1 + c2).toDouble /
+              n1.toDouble / n2.toDouble) + 0.5).toLong
+          }
+        }.sum)
+      }.toMap
+      assert(one.chi2Milli == want, s"round $round brute mismatch")
+    }
+  }
+
+  test("VersionedStore: random crash schedules lose and double nothing") {
+    import graft.streaming.VersionedStore
+    val rng = new scala.util.Random(77)
+    for (round <- 0 until 2) {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), s"vstore-prop$round").toString + "/s"
+      val truth = scala.collection.mutable.Map.empty[Long, Long]
+      def applyBatch(id: Long, data: Seq[(Long, Long)], crash: Boolean): Unit =
+        if (!VersionedStore.committed(root, id)) {
+          VersionedStore.commit(root, id) { dir =>
+            val prev = VersionedStore.read(spark, root)
+              .map(_.as[(Long, Long)].collect().toSeq).getOrElse(Nil)
+            val merged = (prev ++ data).groupBy(_._1).view
+              .mapValues(_.map(_._2).sum).toSeq
+            if (crash) {
+              merged.take(1).toDF("k", "n").write.mode("overwrite").parquet(dir)
+              throw new RuntimeException("crash")
+            }
+            merged.toDF("k", "n").write.mode("overwrite").parquet(dir)
+          }
+        }
+      for (i <- 0 until 10) {
+        val id = i.toLong
+        val data = (0L to rng.nextInt(4).toLong).map((_, 1L))
+        data.foreach { case (k, n) => truth(k) = truth.getOrElse(k, 0L) + n }
+        rng.nextInt(3) match {
+          case 1 => // die mid-staging (possibly repeatedly), then succeed
+            (0 until 1 + rng.nextInt(2)).foreach { _ =>
+              intercept[RuntimeException](applyBatch(id, data, crash = true))
+            }
+            applyBatch(id, data, crash = false)
+          case 2 => // commit lands, checkpoint lost → replay delivered
+            applyBatch(id, data, crash = false)
+            applyBatch(id, data, crash = false)
+          case _ =>
+            applyBatch(id, data, crash = false)
+        }
+        val got = VersionedStore.read(spark, root).get
+          .as[(Long, Long)].collect().toMap
+        assert(got == truth.toMap, s"round $round batch $id: $got != $truth")
+      }
+    }
+  }
 }
