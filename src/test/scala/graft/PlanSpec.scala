@@ -492,6 +492,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q237/q238/q239: calibration/rerank/attribution plans keep the 100 TB shapes") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // q237 rides the TopKPerKey margin fold and carries no
+    // unpartitioned window (the rank-machinery discipline)
+    val p237 = SparkEntry.queries("q237_reliability")(spark, dir)
+      .queryExecution
+    assert(p237.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "q237: unpartitioned window")
+    assert(p237.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("TopKPerKey"), "q237 must ride the TopKPerKey margin fold")
+    // q238's OUTPUT plan is literal-map projection over one scan —
+    // the greedy already ran against the bounded pool; no join of any
+    // kind may remain
+    val p238 = plan("q238_mmr_rerank")
+    assert(!p238.contains("Join") && !p238.contains("CartesianProduct"),
+      s"q238 output plan must be join-free:\n${p238.take(1500)}")
+    // q239's attribution is equi-joins on the title key only
+    assert(!plan("q239_contamination_matrix").contains("CartesianProduct"))
+  }
+
   test("posts proxy re-registers its persist after catalog.clearCache") {
     // clearCache() DEREGISTERS plans from the cache manager, not just
     // evicts blocks; without the storageLevel==NONE re-persist in
