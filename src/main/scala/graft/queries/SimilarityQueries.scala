@@ -393,8 +393,10 @@ object SimilarityQueries {
     "q238_mmr_rerank" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
-      val probe: Seq[Long] = e.where(col("vec_id") === 0L)
-        .select("qv").head.getSeq[Long](0)
+      val probeRow = e.where(col("vec_id") === 0L).select("qv").head(1)
+      require(probeRow.nonEmpty,
+        "q238 probe vec_id = 0 missing from the embeddings fixture")
+      val probe: Seq[Long] = probeRow(0).getSeq[Long](0)
       val cand = e.where(col("vec_id") =!= 0L)
         .select(col("vec_id"), col("qv"),
           KMeans.sqDist(col("qv"), typedLit(probe)).as("rel_d"))
@@ -409,6 +411,11 @@ object SimilarityQueries {
       val byId = cand.map(c => c._1 -> c._2).toMap
       val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val chosen = scala.collection.mutable.Set.empty[Long]
+      // a pool smaller than MmrK (degenerate corpus) yields that many
+      // picks — the oracle's recursion would need the same guard, so
+      // the fixture contract (pool ≥ MmrK) is asserted instead
+      require(cand.length >= MmrK,
+        s"q238 pool ${cand.length} < $MmrK — corpus too small for the fixture contract")
       for (_ <- 1 to MmrK) {
         val best = cand.iterator.filter(c => !chosen(c._1)).map { c =>
           val div =
