@@ -17,6 +17,8 @@ if [[ "${1:-}" == "sf1" ]]; then
   echo "== feasible oracles (q70/q87 via cc_check) =="
   python3 scripts/check.py "$SF" "$OUT" q70_dup_clusters,q87_dedup_representatives | tail -3
   python3 scripts/cc_check.py "$SF" "$OUT" | tail -4
+  echo "== recall floors @ sf1 =="
+  python3 scripts/recall_check.py "$SF" "$OUT" --assert | tail -8
   echo "== bench @ sf1 =="
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_OUT=target/bench_sf1.json \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
@@ -32,6 +34,15 @@ sbt -batch compile test 2>&1 | grep -E "^\[error\]|Tests:|All tests passed|TESTS
 echo "== verify @ $SF =="
 sbt -batch "runMain graft.Verify $SF $OUT" 2>/dev/null | grep "\[verify\]" || true
 python3 scripts/check.py "$SF" "$OUT" | tail -3
+
+# Recall floors (round-11 gate): the ANN/dedup recall numbers are
+# invisible to the hash gate (every LSH query is self-consistent with
+# its own oracle), so a banding/cap/plane regression only trips HERE.
+# Measured at sf0.1 — the fixture the committed floors were set on.
+echo "== recall floors @ sf0.1 =="
+ROUT="$(mktemp -d)/recall"
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $ROUT q54_embedding_dup,q88_embedding_dup_multitable,q90_incremental_embedding_dedup,q92_incremental_embedding_dedup_multitable,q213_media_near_dup" 2>/dev/null | grep "\[verify\]" || true
+python3 scripts/recall_check.py /root/testdata/sf0.1 "$ROUT" --assert | tail -8
 
 echo "== bench @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'

@@ -12,8 +12,15 @@ independent tables, unioned):
   - false positives vs ground truth (must be 0: the exact-cosine
     verify makes LSH lossy on recall, never on precision).
 
-Usage: python3 scripts/recall_check.py <sf_dir> <verify_out_dir>
+Usage: python3 scripts/recall_check.py <sf_dir> <verify_out_dir> [--assert]
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+--assert (round-11 gate): every measured recall is checked against the
+committed floor for the fixture (FLOORS below) and every false-positive
+count against 0; any violation exits nonzero. This is the regression
+tripwire the hash gate cannot be: each LSH query is self-consistent
+with its own oracle, so a banding/cap/plane change that silently
+degrades recall still hashes green — only this script notices.
 """
 import glob
 import os
@@ -21,6 +28,31 @@ import sys
 
 import duckdb
 import numpy as np
+
+# Committed recall floors per fixture (BASELINE.md "LSH recall
+# measurement" + sf1 sections). The pipeline is deterministic
+# (content-addressed planes, exact-integer arithmetic), so measured
+# recall is reproducible bit-for-bit on a fixed fixture; floors sit a
+# hair below the committed measurements (sf0.1: q54 0.154, q88 0.423,
+# q90 0.152, q92 0.439, q213 edge/decision 1.000; sf1: q54 0.157,
+# q88 0.401, q90 0.152, q92 0.387) to absorb benign fixture
+# regeneration drift, not algorithmic regressions.
+FLOORS = {
+    "sf0.1": {
+        "q54.recall": 0.15, "q88.recall": 0.42,
+        "q90.recall": 0.15, "q92.recall": 0.43,
+        "q213.edge_recall": 0.999, "q213.decision_recall": 0.999,
+    },
+    "sf1": {
+        "q54.recall": 0.15, "q88.recall": 0.39,
+        "q90.recall": 0.14, "q92.recall": 0.38,
+    },
+}
+
+# measured values, filled by the checks below; ".fp" entries must be 0
+# at ANY fixture (precision is exact by construction — the verify stage
+# recomputes the true distance)
+metrics = {}
 
 
 def band_recall(got: set, truth: set) -> float:
@@ -76,18 +108,46 @@ def media_recall(con, sf_dir: str, out_dir: str) -> None:
     found = {int(m): int(n) for m, _, n in rows}
     deg_found = np.array([found.get(int(i), 0) for i in ids], dtype=np.int64)
     dup_nodes = deg_true > 0
+    edge = deg_found.sum() / max(deg_true.sum(), 1)
+    decision = (deg_found[dup_nodes] > 0).mean() if dup_nodes.any() else float("nan")
+    fp = int((deg_found > deg_true).sum())
+    metrics["q213.edge_recall"] = edge
+    metrics["q213.decision_recall"] = decision
+    metrics["q213.fp"] = fp
     print(f"q213_media_near_dup: {int(deg_true.sum()) // 2} true pairs @ham<=6 "
           f"({int(deg_d3.sum()) // 2} at ham<=3, the 4-band pigeonhole zone) "
           f"over {len(ids)} media; "
-          f"edge recall = {deg_found.sum() / max(deg_true.sum(), 1):.3f}, "
-          f"decision recall = "
-          f"{(deg_found[dup_nodes] > 0).mean() if dup_nodes.any() else float('nan'):.3f} "
+          f"edge recall = {edge:.3f}, "
+          f"decision recall = {decision:.3f} "
           f"({int(dup_nodes.sum())} true-dup media), "
-          f"false-pos nodes (found > true, must be 0) = "
-          f"{int((deg_found > deg_true).sum())}")
+          f"false-pos nodes (found > true, must be 0) = {fp}")
 
 
-def main(sf_dir: str, out_dir: str) -> None:
+def check_floors(sf_dir: str) -> int:
+    """Returns the number of violations (0 = gate passes)."""
+    floors = FLOORS.get(os.path.basename(os.path.normpath(sf_dir)), {})
+    bad = 0
+    for name, floor in sorted(floors.items()):
+        if name not in metrics:
+            print(f"FLOOR VIOLATION: {name} was not measured "
+                  f"(query dump missing?) — floor {floor}")
+            bad += 1
+        elif not metrics[name] >= floor:   # NaN also fails
+            print(f"FLOOR VIOLATION: {name} = {metrics[name]:.3f} "
+                  f"< floor {floor}")
+            bad += 1
+    for name, v in sorted(metrics.items()):
+        if name.endswith(".fp") and v != 0:
+            print(f"PRECISION VIOLATION: {name} = {v} (must be 0)")
+            bad += 1
+    if not floors:
+        print(f"(no recall floors committed for "
+              f"{os.path.basename(os.path.normpath(sf_dir))}; "
+              f"asserted false-positives == 0 only)")
+    return bad
+
+
+def main(sf_dir: str, out_dir: str, do_assert: bool = False) -> None:
     con = duckdb.connect()
     rows = con.sql(f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
                    "ORDER BY vec_id").fetchall()
@@ -108,11 +168,14 @@ def main(sf_dir: str, out_dir: str) -> None:
           f"({len(strong)} at cos>=0.9, {len(weak)} in the 0.4-0.9 tail); "
           f"all-pairs space {len(cos)}")
 
-    for q in ("q54_embedding_dup", "q88_embedding_dup_multitable"):
+    for q, tag in (("q54_embedding_dup", "q54"),
+                   ("q88_embedding_dup_multitable", "q88")):
         if not have(out_dir, q):
             continue
         got = set(map(tuple, con.sql(
             f"SELECT vec_a, vec_b FROM '{out_dir}/{q}/*.parquet'").fetchall()))
+        metrics[f"{tag}.recall"] = band_recall(got, truth)
+        metrics[f"{tag}.fp"] = len(got - truth)
         print(f"{q}: {len(got)} pairs, recall@0.4 = {band_recall(got, truth):.3f} "
               f"(strong>=0.9: {band_recall(got, strong):.3f}, "
               f"tail 0.4-0.9: {band_recall(got, weak):.3f}), "
@@ -127,8 +190,8 @@ def main(sf_dir: str, out_dir: str) -> None:
     bh = v[batch_mask] @ v[hist_mask].T
     bt = {int(b): set(ids[hist_mask][bh[i] >= 0.4].tolist())
           for i, b in enumerate(ids[batch_mask]) if (bh[i] >= 0.4).any()}
-    for q in ("q90_incremental_embedding_dedup",
-              "q92_incremental_embedding_dedup_multitable"):
+    for q, tag in (("q90_incremental_embedding_dedup", "q90"),
+                   ("q92_incremental_embedding_dedup_multitable", "q92")):
         if not have(out_dir, q):
             continue
         rows = con.sql(f"SELECT vec_id, dup_of, n_matches FROM "
@@ -136,12 +199,21 @@ def main(sf_dir: str, out_dir: str) -> None:
         flagged = {int(b) for b, d, _ in rows if d is not None}
         fp = [(b, d) for b, d, _ in rows
               if d is not None and d not in bt.get(b, set())]
+        metrics[f"{tag}.recall"] = band_recall(flagged, set(bt))
+        metrics[f"{tag}.fp"] = len(fp)
         print(f"{q}: {len(flagged)} flagged of "
               f"{len(bt)} true-dup batch rows, decision recall = "
               f"{band_recall(flagged, set(bt)):.3f}, false-pos = {len(fp)}")
 
     media_recall(con, sf_dir, out_dir)
 
+    if do_assert:
+        bad = check_floors(sf_dir)
+        if bad:
+            print(f"recall gate: {bad} violation(s)")
+            sys.exit(1)
+        print("recall gate: all committed floors hold, zero false positives")
+
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(sys.argv[1], sys.argv[2], "--assert" in sys.argv[3:])

@@ -23,6 +23,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // coalesce(1) is a HARNESS convenience only — the oracle compare
+      // reads one file per query; fixture-sized dumps fit one task. The
+      // production write path is Sink.writeShardPartitioned (parallel,
+      // partitioned); never copy this single-task write into a query.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

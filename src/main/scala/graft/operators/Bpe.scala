@@ -129,18 +129,41 @@ object Bpe {
   // evict it; entries of stopped sessions are dropped on access like
   // the centroid memo.
   private val mergeMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String, Int), Seq[MergeStep]]
+    .empty[(SparkSession, String, Long, String, Int), Seq[MergeStep]]
 
-  /** [[learn]] memoized per (session, `key`, textCol, steps) — `key`
-    * is the caller's fixture identity (the sf dir path in the query
-    * surface). */
+  /** Cheap fixture fingerprint for the memo key: file count + every
+    * backing file's (length, mtime), folded order-independently of
+    * listing order (paths sorted). A path string alone is NOT identity
+    * — data rewritten under the same dir in-session would silently
+    * reuse the stale merge table (round-10 advisor finding). Driver-
+    * side stat of the fixture's file list only; 0 for non-file-backed
+    * frames (those fall back to path-string identity alone). */
+  private def fixtureFingerprint(docs: DataFrame): Long =
+    try {
+      val files = docs.inputFiles.sorted
+      val conf = docs.sparkSession.sessionState.newHadoopConf()
+      files.foldLeft(files.length.toLong) { (acc, f) =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        acc * 1000003L + st.getLen * 31L + st.getModificationTime
+      }
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
+  /** [[learn]] memoized per (session, `key`, fixture fingerprint,
+    * textCol, steps) — `key` is the caller's fixture identity (the sf
+    * dir path in the query surface); the fingerprint invalidates the
+    * entry when files under that path change in-session. NOTE for
+    * bench readers: q101/q110/q145 share one training per sweep by
+    * design, so their committed timings measure the memoized path
+    * (train-once-publish-the-model), not per-query training — recorded
+    * in BASELINE.md's BPE section. */
   def learnMemoized(key: String, docs: DataFrame, textCol: String = "text",
                     steps: Int = Steps): Seq[MergeStep] = {
     val s = docs.sparkSession
-    mergeMemo.keys.foreach { case k @ (ks, _, _, _) =>
+    mergeMemo.keys.foreach { case k @ (ks, _, _, _, _) =>
       if (ks.sparkContext.isStopped) mergeMemo.remove(k)
     }
-    mergeMemo.getOrElseUpdate((s, key, textCol, steps),
+    mergeMemo.getOrElseUpdate((s, key, fixtureFingerprint(docs), textCol, steps),
       learn(docs, textCol, steps))
   }
 

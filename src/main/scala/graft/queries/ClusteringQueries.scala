@@ -48,6 +48,11 @@ object ClusteringQueries {
     * members). */
   private val NProbe = 2
 
+  /** q240: the nprobe values the query-time sweep measures (1 = the
+    * cheapest single-list probe, 4 = half the K = 8 coarse lists —
+    * past that the index stops paying for itself). */
+  private val NProbeSweep = Seq(1, 2, 4)
+
   /** q151: the hard negative is the NegRank-th nearest in-cluster
     * neighbor — close enough to be informative, far enough to not be
     * a near-duplicate (the distance-rank heuristic for mining hard
@@ -133,6 +138,54 @@ object ClusteringQueries {
           expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)"),
           typedLit(cents(m).map(_.toSeq).toSeq)).getField("c"))
     }
+
+  /** Driver-side probe selection + residual ADC lookup tables for the
+    * IVF-PQ model at a given `nprobe` (shared by q147 and the q240
+    * sweep): per probe query, the `nprobe` nearest coarse lists by
+    * exact int64 distance, and per (query, probed list) the M×Kc
+    * residual-subspace distance table — Q·nprobe·M·Kc int64s riding
+    * the plan as a literal (the q143 convention; this is the "LUT
+    * broadcast" every ADC scorer ships to executors). Returns the
+    * broadcast probes frame (query_id, coarse, probe_rank, pidx) and
+    * the ADC Column to apply after the `coarse` equi-join. */
+  private def ivfProbeFrame(s: SparkSession, dir: String,
+                            coarse: Array[Array[Long]],
+                            cents: Seq[Array[Array[Long]]],
+                            nprobe: Int)
+      : (DataFrame, org.apache.spark.sql.Column) = {
+    import s.implicits._
+    val qrows = Tables.load(s, dir, "embeddings")
+      .where(col("vec_id") < PqNumQ)
+      .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      .collect().sortBy(_.getLong(0))
+    require(qrows.nonEmpty, s"fixture has no vec_id < $PqNumQ")
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+    val probeList: Seq[(Long, Int, Int)] = qrows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val v = r.getSeq[Long](1).toArray
+      coarse.zipWithIndex.toSeq
+        .map { case (cv, cid) => (sq(v, cv), cid) }
+        .sorted.take(nprobe).zipWithIndex
+        .map { case ((_, cid), pr) => (qid, cid, pr) }
+    }
+    val lut: Seq[Seq[Seq[Long]]] = probeList.map { case (qid, cid, _) =>
+      val v = qrows.find(_.getLong(0) == qid).get.getSeq[Long](1).toArray
+      val rvq = v.zip(coarse(cid)).map { case (a, b) => a - b }
+      (0 until PqM).map { m =>
+        val sub = rvq.slice(m * PqDSub, (m + 1) * PqDSub)
+        cents(m).toSeq.map(cv => sq(sub, cv))
+      }
+    }
+    val probesDf = broadcast(probeList.zipWithIndex
+      .map { case ((qid, cid, pr), idx) => (qid, cid, pr, idx) }
+      .toDF("query_id", "coarse", "probe_rank", "pidx"))
+    val lutLit = typedLit(lut)
+    val adc = (0 until PqM).map(m =>
+      element_at(element_at(element_at(lutLit, col("pidx") + 1), m + 1),
+        col(s"c$m") + 1)).reduce(_ + _)
+    (probesDf, adc)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -319,41 +372,9 @@ object ClusteringQueries {
     // residual-subspace Lloyd chains + probes + LUT joins, so one
     // hash certifies the entire composed index.
     "q147_ivf_pq" -> ((s, dir) => {
-      import s.implicits._
-      val embT = Tables.load(s, dir, "embeddings")
       val (coarse, cents) = ivfPqModel(s, dir)
       val codes = pqResCodes(s, dir, coarse, cents).drop("rv")
-      // driver-side probe selection + residual LUTs (Q·NProbe·M·Kc
-      // int64s as a plan literal — the q143 convention)
-      val qrows = embT.where(col("vec_id") < PqNumQ)
-        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
-        .collect().sortBy(_.getLong(0))
-      require(qrows.nonEmpty, s"fixture has no vec_id < $PqNumQ")
-      def sq(a: Array[Long], b: Array[Long]): Long =
-        a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
-      val probeList: Seq[(Long, Int, Int)] = qrows.toSeq.flatMap { r =>
-        val qid = r.getLong(0)
-        val v = r.getSeq[Long](1).toArray
-        coarse.zipWithIndex.toSeq
-          .map { case (cv, cid) => (sq(v, cv), cid) }
-          .sorted.take(NProbe).zipWithIndex
-          .map { case ((_, cid), pr) => (qid, cid, pr) }
-      }
-      val lut: Seq[Seq[Seq[Long]]] = probeList.map { case (qid, cid, _) =>
-        val v = qrows.find(_.getLong(0) == qid).get.getSeq[Long](1).toArray
-        val rvq = v.zip(coarse(cid)).map { case (a, b) => a - b }
-        (0 until PqM).map { m =>
-          val sub = rvq.slice(m * PqDSub, (m + 1) * PqDSub)
-          cents(m).toSeq.map(cv => sq(sub, cv))
-        }
-      }
-      val probesDf = broadcast(probeList.zipWithIndex
-        .map { case ((qid, cid, pr), idx) => (qid, cid, pr, idx) }
-        .toDF("query_id", "coarse", "probe_rank", "pidx"))
-      val lutLit = typedLit(lut)
-      val adc = (0 until PqM).map(m =>
-        element_at(element_at(element_at(lutLit, col("pidx") + 1), m + 1),
-          col(s"c$m") + 1)).reduce(_ + _)
+      val (probesDf, adc) = ivfProbeFrame(s, dir, coarse, cents, NProbe)
       val scored = codes.join(probesDf, Seq("coarse"))
         .where(col("vec_id") =!= col("query_id"))
         .withColumn("adc_dist", adc)
@@ -363,6 +384,59 @@ object ClusteringQueries {
           col("coarse").cast("long").as("coarse"), col("adc_dist"),
           col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF NPROBE SWEEP (q240): the query-time tuning loop q147 left
+    // open — q147 fixes nprobe = 2 at build; every FAISS-style
+    // deployment instead SWEEPS nprobe and reads the recall-vs-cost
+    // curve before picking it (the q161 move, applied to the IVF-PQ
+    // index instead of the binary sketch). One row per
+    // nprobe ∈ [[NProbeSweep]]: candidate rows actually scored
+    // (the cost axis — |corpus|·nprobe/k by construction) and
+    // recall@PqTopK of the ADC ranking against the exact int64
+    // ground-truth top-k, as an exact ppm. Scale shape: per sweep
+    // point the candidate set is the SAME bounded probe equi-join as
+    // q147 (never a scan of unprobed lists) and the recall join
+    // carries ≤ Q·k rows; the exact ground truth is a Q-probe
+    // broadcast × corpus scan with an O(k) heap — the audit every ANN
+    // deployment budgets for (sampled probes at production scale,
+    // exactly as q161). All three sweep points share the memoized
+    // model and the same codes projection; at 100 TB the codes table
+    // is materialized once (partitioned by `coarse`) and each sweep
+    // point prunes to its probed lists physically.
+    "q240_ivf_nprobe_sweep" -> ((s, dir) => {
+      val (coarse, cents) = ivfPqModel(s, dir)
+      val codes = pqResCodes(s, dir, coarse, cents).drop("rv")
+      // exact ground truth: per probe, top-PqTopK by exact int64
+      // squared L2 over the full corpus (q161's exact chain)
+      val q = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
+      val pr = broadcast(q.where(col("vec_id") < PqNumQ)
+        .select(col("vec_id").as("query_id"), col("qv").as("pqv")))
+      val ex = q.crossJoin(pr).where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          KMeans.sqDist(col("qv"), col("pqv")).as("d"))
+      val exk = TopK.perKey(ex, Seq("query_id"),
+          Seq("d" -> true, "vec_id" -> true), k = PqTopK)
+        .select(col("query_id"), col("vec_id"))
+      val denom = PqNumQ * PqTopK
+      NProbeSweep.map { np =>
+        val (probesDf, adc) = ivfProbeFrame(s, dir, coarse, cents, np)
+        val scored = codes.join(probesDf, Seq("coarse"))
+          .where(col("vec_id") =!= col("query_id"))
+          .withColumn("adc_dist", adc)
+        val top = TopK.perKey(scored, Seq("query_id"),
+            Seq("adc_dist" -> true, "vec_id" -> true), k = PqTopK)
+          .select(col("query_id"), col("vec_id"))
+        val nCand = scored.agg(count(lit(1)).as("n_candidates"))
+        val nOver = top.join(exk, Seq("query_id", "vec_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+        nCand.crossJoin(nOver)
+          .select(lit(np.toLong).as("nprobe"), col("n_candidates"),
+            col("n_overlap"),
+            expr(s"(CAST(1000000 AS BIGINT) * n_overlap) div $denom")
+              .as("recall_ppm"))
+      }.reduce(_.union(_)).orderBy("nprobe")
     }),
 
     // Cluster-blocked semantic near-dup — the SemDeDup blocking
@@ -720,6 +794,89 @@ object ClusteringQueries {
          |SELECT query_id, vec_id, CAST(coarse AS BIGINT) AS coarse,
          |  adc_dist, rank
          |FROM rkd WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // q240: the q147 oracle scaffold (coarse Lloyd → residuals → four
+    // residual-subspace Lloyd chains → codes) with probes widened to
+    // the sweep's max nprobe, then per sweep point a probe-rank-
+    // filtered candidate/ADC/top-k chain joined against the exact
+    // int64 ground-truth top-k. One hash certifies the whole
+    // recall-vs-cost curve.
+    "q240_ivf_nprobe_sweep" -> {
+      val cI = s"c$Iters"
+      def dist(a: String, b: String) = KMeans.sqDistSql(a, b, Dim)
+      val maxP = NProbeSweep.max
+      val denom = PqNumQ * PqTopK
+      val resChains = (0 until PqM).map { m =>
+        val lo = m * PqDSub + 1
+        val hi = (m + 1) * PqDSub
+        pqChainSqlFrom(m, s"SELECT vec_id, rv[$lo:$hi] AS qv FROM res")
+      }.mkString(",\n")
+      val luts = (0 until PqM).map { m =>
+        val lo = m * PqDSub + 1
+        val hi = (m + 1) * PqDSub
+        s"""lut$m AS (SELECT rq.query_id, rq.probe_rank, cc.cid,
+           |    ${KMeans.sqDistSql(s"(rq.rv[$lo:$hi])", "cc.cv", PqDSub)} AS d
+           |  FROM rq CROSS JOIN p${m}_$cI cc)""".stripMargin
+      }.mkString(",\n")
+      val lutJoins = (0 until PqM).map(m =>
+        s"""JOIN lut$m l$m ON l$m.query_id = cand.query_id
+           |    AND l$m.probe_rank = cand.probe_rank AND l$m.cid = cand.code$m"""
+          .stripMargin).mkString("\n|  ")
+      val npBlocks = NProbeSweep.map { np =>
+        s"""np${np}_cand AS (SELECT p.query_id, cd.vec_id, p.probe_rank,
+           |    cd.code0, cd.code1, cd.code2, cd.code3
+           |  FROM codes cd JOIN probes p ON p.coarse = cd.coarse
+           |  WHERE p.probe_rank < $np AND cd.vec_id <> p.query_id),
+           |np${np}_adc AS (SELECT cand.query_id, cand.vec_id,
+           |    l0.d + l1.d + l2.d + l3.d AS adc_dist
+           |  FROM np${np}_cand cand
+           |  $lutJoins),
+           |np${np}_top AS (SELECT query_id, vec_id FROM (
+           |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc_dist, vec_id) AS rank FROM np${np}_adc)
+           |  WHERE rank <= $PqTopK),
+           |np${np}_row AS (SELECT CAST($np AS BIGINT) AS nprobe,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM np${np}_cand) AS n_candidates,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM np${np}_top t
+           |     JOIN exact e ON e.query_id = t.query_id AND e.vec_id = t.vec_id)
+           |    AS n_overlap)""".stripMargin
+      }.mkString(",\n")
+      val unionRows = NProbeSweep
+        .map(np => s"SELECT * FROM np${np}_row").mkString(" UNION ALL ")
+      s"""$kmeansOracleCtes,
+         |casg AS MATERIALIZED (SELECT vec_id, cid FROM sf WHERE rk = 1),
+         |res AS MATERIALIZED (SELECT q.vec_id, a.cid AS coarse,
+         |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
+         |  FROM q JOIN casg a USING (vec_id) JOIN $cI c ON c.cid = a.cid),
+         |$resChains,
+         |codes AS MATERIALIZED (SELECT r.vec_id, r.coarse,
+         |    c0c.code AS code0, c1c.code AS code1, c2c.code AS code2,
+         |    c3c.code AS code3
+         |  FROM res r JOIN p0_code c0c USING (vec_id)
+         |  JOIN p1_code c1c USING (vec_id) JOIN p2_code c2c USING (vec_id)
+         |  JOIN p3_code c3c USING (vec_id)),
+         |probes AS (SELECT query_id, cid AS coarse, pr - 1 AS probe_rank FROM (
+         |  SELECT q.vec_id AS query_id, c.cid, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY ${dist("q.qv", "c.cv")}, c.cid) AS pr
+         |  FROM q CROSS JOIN $cI c WHERE q.vec_id < $PqNumQ)
+         |  WHERE pr <= $maxP),
+         |rq AS (SELECT p.query_id, p.probe_rank, p.coarse,
+         |    list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i]) AS rv
+         |  FROM probes p JOIN q ON q.vec_id = p.query_id
+         |  JOIN $cI c ON c.cid = p.coarse),
+         |$luts,
+         |exact AS (SELECT query_id, vec_id FROM (
+         |  SELECT p.vec_id AS query_id, t.vec_id, row_number() OVER (
+         |      PARTITION BY p.vec_id ORDER BY ${dist("t.qv", "p.qv")}, t.vec_id) AS rk
+         |  FROM q t CROSS JOIN q p
+         |  WHERE p.vec_id < $PqNumQ AND t.vec_id <> p.vec_id)
+         |  WHERE rk <= $PqTopK),
+         |$npBlocks
+         |SELECT nprobe, n_candidates, n_overlap,
+         |  CAST((1000000 * n_overlap) // $denom AS BIGINT) AS recall_ppm
+         |FROM ($unionRows)
+         |ORDER BY nprobe""".stripMargin
     },
 
     "q98_kmeans" ->

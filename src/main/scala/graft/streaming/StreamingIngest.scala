@@ -582,34 +582,56 @@ object StreamingIngest {
       scala.collection.mutable.Map.empty[(String, Long), Long]
         .withDefaultValue(0L)
     private var novel = 0L
-    private var lastBatch = -1L
+    private var nullKeys = 0L
+    // High-water marks are PER STREAM (keyed by the caller's stream
+    // identity — trackValueDrift passes its checkpoint path): batch
+    // ids are strictly increasing only within one checkpoint, so a
+    // second query folding into the same tracker restarts at batch 0
+    // and a single global mark would silently drop all its batches as
+    // "replays" (round-10 advisor finding). One entry per stream —
+    // bounded by the number of queries ever attached, not by data.
+    private val lastBatch =
+      scala.collection.mutable.Map.empty[String, Long].withDefaultValue(-1L)
+    private var currentStream = ""
 
     /** Folds one micro-batch, IDEMPOTENT under at-least-once replay:
-      * a batch id at or below the last applied one is skipped (the
-      * VersionedStore committed-batch discipline — update applied but
-      * commit lost, query restarts, same batch re-delivered → the
+      * a batch id at or below the stream's last applied one is skipped
+      * (the VersionedStore committed-batch discipline — update applied
+      * but commit lost, query restarts, same batch re-delivered → the
       * grid must not double-count). Streaming batch ids are strictly
-      * increasing per checkpoint, so a simple high-water mark is the
-      * exact guard. */
+      * increasing per checkpoint, so a per-stream high-water mark is
+      * the exact guard; `streamId = None` continues the most recently
+      * seen stream (the direct-call / single-query shorthand). */
     private[graft] def update(batchId: Long,
                               batch: Seq[((String, Long), Long)],
-                              novelRows: Long = 0L): Unit =
+                              novelRows: Long = 0L,
+                              nullRows: Long = 0L,
+                              streamId: Option[String] = None): Unit =
       synchronized {
-        if (batchId > lastBatch) {
+        streamId.foreach(currentStream = _)
+        if (batchId > lastBatch(currentStream)) {
           batch.foreach { case (k, n) =>
             if (refKeys(k._1)) live(k) = live(k) + n
           }
           novel += novelRows
-          lastBatch = batchId
+          nullKeys += nullRows
+          lastBatch(currentStream) = batchId
         }
       }
 
     def liveCount: Long = synchronized(live.values.sum)
 
-    /** Rows observed under keys OUTSIDE the reference universe — the
-      * "a key the model never saw is emitting values" gauge (kept as
-      * one counter, not per-key state). */
+    /** Rows observed under NON-NULL keys outside the reference
+      * universe — the "a key the model never saw is emitting values"
+      * gauge (kept as one counter, not per-key state). */
     def novelCount: Long = synchronized(novel)
+
+    /** Rows whose key column was NULL — kept apart from [[novelCount]]
+      * so genuine null-key data (an upstream join dropping the key) is
+      * distinguishable from novel-key traffic (round-10 advisor
+      * finding: folding both into one gauge made the novel counter
+      * uninterpretable for callers with nullable keys). */
+    def nullKeyCount: Long = synchronized(nullKeys)
 
     /** Live cells held on the driver — spec hook for the state bound
       * (≤ refKeys × value-bin grid regardless of stream keys). */
@@ -646,11 +668,15 @@ object StreamingIngest {
     * `tracker` across triggers — the q217 $10-bin contract by
     * default. Driver state stays bounded by the tracker's REFERENCE
     * grid at any stream key cardinality: the per-batch aggregation
-    * masks keys outside `tracker.refKeys` to one overflow group
-    * before anything is collected (so the collect is ≤ |ref keys| ×
-    * |value bins| + |value bins| rows), and those rows surface as the
-    * single `novelCount` gauge instead of per-key state. Replayed
-    * batch ids are skipped by the tracker (idempotent folding). */
+    * masks keys outside `tracker.refKeys` to one of two overflow
+    * groups — NOVEL (a real key the reference never saw) or NULL (the
+    * key column itself was null, a different failure mode) — before
+    * anything is collected (so the collect is ≤ |ref keys| ×
+    * |value bins| + 2·|value bins| rows), and those rows surface as
+    * the `novelCount` / `nullKeyCount` gauges instead of per-key
+    * state. Replayed batch ids are skipped by the tracker (idempotent
+    * folding, high-water-marked per checkpoint so a second query on
+    * the same tracker starts its own batch-id sequence). */
   def trackValueDrift(stream: DataFrame, keyCol: String, valueCol: String,
                       checkpoint: String, tracker: DriftTracker,
                       binCents: Long = 1000L): StreamingQuery =
@@ -667,14 +693,21 @@ object StreamingIngest {
           .select(col(keyCol).cast("string").as("k"),
             expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)" +
               s" div $binCents").as("bin"))
-          .groupBy(when(inRef, col("k")).otherwise(lit(null)).as("k"),
+          // kind: 0 = reference key (kept per-cell), 1 = novel key,
+          // 2 = null key — novel and null collapse to kind-only rows
+          .groupBy(when(col("k").isNull, lit(2))
+              .when(inRef, lit(0)).otherwise(lit(1)).as("kind"),
+            when(inRef, col("k")).otherwise(lit(null)).as("k"),
             col("bin"))
           .agg(count(lit(1)).as("n"))
           .collect()
-        val (kept, dropped) = rows.partition(!_.isNullAt(0))
+        val kept = rows.filter(_.getInt(0) == 0)
+        def gauge(kind: Int): Long =
+          rows.filter(_.getInt(0) == kind).map(_.getLong(3)).sum
         tracker.update(batchId,
-          kept.map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toSeq,
-          dropped.map(_.getLong(2)).sum)
+          kept.map(r => ((r.getString(1), r.getLong(2)), r.getLong(3))).toSeq,
+          novelRows = gauge(1), nullRows = gauge(2),
+          streamId = Some(checkpoint))
       }
       .start()
 

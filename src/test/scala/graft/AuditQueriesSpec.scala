@@ -235,7 +235,14 @@ class AuditQueriesSpec extends SparkSpec {
       .queries("q239_contamination_matrix")(spark, dir)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
-    def src(docId: Long): String = "r" + (docId % 400 % 5)
+    // doc_id → source from the proxy frame itself (NOT a re-derivation
+    // of its synthesis formula): if the proxy's subreddit synthesis
+    // changes, this test follows it instead of misattributing q51
+    // pairs and blaming q239
+    val srcMap = graft.queries.PostsProxy.df(spark, dir)
+      .select("doc_id", "subreddit").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def src(docId: Long): String = srcMap(docId)
     val want = graft.queries.DedupQueries
       .queries("q51_minhash_lsh")(spark, dir)
       .select("doc_a", "doc_b").collect()

@@ -62,4 +62,57 @@ class BenchSpec extends AnyFunSuite {
     val it2 = Iterator(None, None)
     assert(Bench.minWithRetry(() => it2.next()) == -1.0)
   }
+
+  /** Round-11 contention defenses: CPU rides with the min-WALL run
+    * (never mixed across runs), the committed-record parse is exact on
+    * our own writer's format, and the re-time trigger engages only
+    * above RetimeFactor× a positive record. */
+  test("minWithRetryCpu pairs the reported cpu with the min-wall run") {
+    def feed(xs: (Double, Double)*): () => Option[(Double, Double)] = {
+      val it = xs.iterator
+      () => if (it.hasNext) Some(it.next()) else fail("sampled more than provided")
+    }
+    // min wall is the SECOND run; its cpu (9.0) must be reported, not 4.0
+    assert(Bench.minWithRetryCpu(feed((2.0, 4.0), (1.0, 9.0))) == ((1.0, 9.0)))
+    // >2x disagreement: third sample drawn; min-wall run's cpu kept
+    assert(Bench.minWithRetryCpu(feed((5.0, 1.0), (1.0, 2.0), (0.5, 3.0)))
+      == ((0.5, 3.0)))
+    val it = Iterator(None, None)
+    assert(Bench.minWithRetryCpu(() => it.next()) == ((-1.0, -1.0)))
+  }
+
+  test("committed-record parse: queries map and sf, empty on shape surprises") {
+    val rec = """{"queries":{"q01_a":0.44,"q02_b":12.00},"cpu":{"q01_a":3.10},""" +
+      """"n_failed":0,"metric":"total","value":12.44,"unit":"sec","sf":"sf0.1"}"""
+    assert(Bench.parseRecordQueries(rec) == Map("q01_a" -> 0.44, "q02_b" -> 12.0))
+    assert(Bench.parseRecordSf(rec).contains("sf0.1"))
+    // the cpu map must NOT leak into the wall record (parse stops at
+    // the queries object's closing brace)
+    assert(!Bench.parseRecordQueries(rec).exists(_._2 == 3.10))
+    assert(Bench.parseRecordQueries("not json") == Map.empty)
+    assert(Bench.parseRecordSf("{}").isEmpty)
+  }
+
+  test("re-time triggers only above RetimeFactor x a positive committed record") {
+    assert(Bench.needsRetime(5.0, Some(1.0)))          // 5x: suspect
+    assert(!Bench.needsRetime(1.9, Some(1.0)))         // under 2x: normal drift
+    assert(!Bench.needsRetime(2.0, Some(1.0)))         // exactly 2x: strict >
+    assert(!Bench.needsRetime(5.0, None))              // no record: no basis
+    assert(!Bench.needsRetime(5.0, Some(0.0)))         // degenerate record
+    assert(!Bench.needsRetime(-1.0, Some(1.0)))        // failed run: not a time
+    // the absolute-delta floor: a 0.26 s record reading 0.54 s is
+    // scheduler jitter, not a contention event (observed: the first
+    // r11 sweep flagged 7 sub-second-delta queries as "load")
+    assert(!Bench.needsRetime(0.54, Some(0.26)))       // 2.1x but tiny excess
+    assert(Bench.needsRetime(3.0, Some(0.26)))         // tiny record, real spike
+    assert(!Bench.needsRetime(0.9, Some(0.42)))        // 2.1x, delta 0.48 < floor
+  }
+
+  test("summary line carries the contention-adjudication scalars") {
+    val l = Bench.summaryLine(Seq("q1" -> 1.0), 1.0, 0, "sf0.1",
+      cpuSec = 7.5, nRetimed = 2, nLoadFlagged = 1)
+    for (f <- Seq("\"cpu_sec\":7.50", "\"n_retimed\":2", "\"n_load_flagged\":1"))
+      assert(l.contains(f), s"missing $f in $l")
+    assert(l.length < 600)
+  }
 }

@@ -325,6 +325,32 @@ class ClusteringSpec extends SparkSpec {
     assert(run().toSeq == rows.toSeq)
   }
 
+  test("q240 nprobe sweep: cost doubles down the curve, recall arithmetic exact") {
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.queries.ClusteringQueries
+      .queries("q240_ivf_nprobe_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val rows = run()
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L), "one row per sweep point")
+    // cost axis: candidates strictly grow with nprobe (each point's
+    // probed lists are a superset of the previous point's)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.sliding(2).forall { case Array(a, b) => b._2 > a._2 },
+      "more probed lists must mean strictly more candidates")
+    rows.foreach { case (np, _, nOver, ppm) =>
+      assert(nOver >= 0 && nOver <= 80, s"nprobe=$np overlap out of range")
+      assert(ppm == 1000000L * nOver / 80,
+        s"nprobe=$np recall_ppm must be the exact integer ratio")
+    }
+    // the sweep exists to show recall is BUYABLE: the widest probe
+    // must retrieve at least as much truth as the narrowest (ADC
+    // reranking makes intermediate points non-monotone in theory, but
+    // the endpoints ordering is the curve's reason to exist)
+    assert(rows.last._3 >= rows.head._3)
+    assert(run().toSeq == rows.toSeq) // deterministic end to end
+  }
+
   test("graft_matvec matches the per-row interpreted HOF folds and its null contract") {
     val rng = new scala.util.Random(37)
     val mat: Seq[Seq[Long]] = Seq.fill(5)(Seq.fill(16)(rng.nextLong() % 1024L))

@@ -246,6 +246,45 @@ class StreamingSpec extends SparkSpec {
     assert(tracker.novelCount == before._2 + 1)
   }
 
+  test("drift tracker: per-stream batch ids and a separate null-key gauge") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val reference = Seq((("a", 0L), 10L), (("b", 0L), 7L))
+    val tracker = new StreamingIngest.DriftTracker(reference)
+    // FIRST query: 2 ref rows + 1 novel-key row + 2 null-key rows.
+    // Null keys must land in their own gauge (an upstream join
+    // dropping the key is a different failure than novel-key traffic).
+    val in1 = MemoryStream[(Option[String], Double)]
+    in1.addData(Seq(
+      (Some("a"), 0.5), (Some("b"), 1.0), (Some("zz"), 2.0),
+      (None, 3.0), (None, 4.0)): _*)
+    val ck1 = Files.createTempDirectory("drift_s1").toString
+    val q1 = StreamingIngest.trackValueDrift(
+      in1.toDF().toDF("k", "value"), "k", "value", ck1, tracker)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(tracker.liveCount == 2)
+    assert(tracker.novelCount == 1)
+    assert(tracker.nullKeyCount == 2)
+    // SECOND query, FRESH checkpoint: its batch ids restart at 0. The
+    // round-10 single global high-water mark silently dropped every
+    // such batch as a "replay"; per-checkpoint marks must fold it.
+    val in2 = MemoryStream[(Option[String], Double)]
+    in2.addData(Seq((Some("a"), 0.5), (Some("a"), 0.7)): _*)
+    val ck2 = Files.createTempDirectory("drift_s2").toString
+    val q2 = StreamingIngest.trackValueDrift(
+      in2.toDF().toDF("k", "value"), "k", "value", ck2, tracker)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(tracker.liveCount == 4,
+      "a second query's batch 0 must fold, not be dropped as a replay")
+    // replay WITHIN a stream is still skipped: re-delivering the
+    // second stream's batch 0 directly must not double-count
+    tracker.update(0L, Seq((("a", 0L), 50L)), streamId = Some(ck2))
+    assert(tracker.liveCount == 4)
+    // and the first stream's mark is independent of the second's
+    tracker.update(0L, Seq((("b", 0L), 9L)), streamId = Some(ck1))
+    assert(tracker.liveCount == 4, "stream-1 batch 0 was already applied")
+  }
+
   test("sessionize closes a session when the gap is exceeded") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
