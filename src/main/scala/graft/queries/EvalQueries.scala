@@ -34,6 +34,13 @@ object EvalQueries {
   /** q201: score deciles. */
   private val LiftBuckets = 10
 
+  /** q243: temperature-scaling grid — the margin confidence is rescaled
+    * by mult_num/mult_den (= 1/T) before the q237 ECE fold; rationals
+    * keep the sweep exact (0.25×, 0.5×, 1×, 2×, 4×). The 1/1 point IS
+    * q237's ECE, which EvalSpec pins. */
+  private val TempGrid: Seq[(Long, Long)] =
+    Seq((1L, 4L), (1L, 2L), (1L, 1L), (2L, 1L), (4L, 1L))
+
   /** q220: coverage target 1−α = ConfNum/ConfDen; score-bin width for
     * the two-level order statistic (score domain ≤ 4·Scale²·dim, so
     * the histogram is a few hundred bins per label at any corpus
@@ -363,6 +370,136 @@ object EvalQueries {
           expr("sum_conf div n").as("conf_ppm"),
           expr("gap div nn").as("ece_ppm"))
         .orderBy("bin")
+    }),
+
+    // MARGIN ROC-AUC (q241): is the q195/q237 margin a good RANKER of
+    // correctness, independent of any threshold or binning? AUC is the
+    // probability a correct prediction out-margins an incorrect one —
+    // the threshold-free complement to q195's point sweep and q237's
+    // binned calibration (a score can be badly calibrated yet rank
+    // perfectly, and vice versa). Computed as the tie-corrected
+    // Mann–Whitney U over the margin VALUE HISTOGRAM (the q215
+    // windowless-rank discipline): group by margin value, cumulative
+    // negatives below each value via a window over the value spine
+    // (margin domain is [0, 10⁶] — value-bounded, never corpus-sized;
+    // the window sits on an aggregate, the q118/q122 structural
+    // contract), ties get half credit by counting 2U exactly:
+    // u2 = Σ_v pos(v)·(2·neg_below(v) + neg(v)). One integer division
+    // at the end: auc_ppm = 10⁶·u2 div (2·n_pos·n_neg) — exact while
+    // 10⁶·2·n_pos·n_neg < 2⁶³, i.e. to ~4 M scored vectors (the q215
+    // convention: the bound is stated, not silently wrapped; past it
+    // both engines would rescale the ppm identically).
+    "q241_margin_auc" -> ((s, dir) => {
+      val h = margins(s, dir)
+        .select(when(col("label") === col("pred"), 1L).otherwise(0L)
+          .as("ok"), col("margin_ppm"))
+        .groupBy("margin_ppm")
+        .agg(sum("ok").as("np"), sum(lit(1L) - col("ok")).as("nn"))
+      h.withColumn("nb",
+          sum("nn").over(Window.orderBy("margin_ppm")) - col("nn"))
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(col("np") * (lit(2L) * col("nb") + col("nn"))).as("u2"))
+        .select(col("n_pos"), col("n_neg"), col("u2"),
+          when(col("n_pos") === 0 || col("n_neg") === 0, -1L)
+            .otherwise(expr("(CAST(1000000 AS BIGINT) * u2)" +
+              " div (2 * n_pos * n_neg)")).as("auc_ppm"))
+    }),
+
+    // PER-LABEL PRECISION / RECALL / F1 + COHEN'S KAPPA (q242): the
+    // per-class report card q194's confusion matrix implies but never
+    // states — which labels the centroid classifier over-predicts
+    // (precision loss) vs misses (recall loss) — plus the two scalars
+    // every eval sheet leads with: macro-F1 (per-label F1 averaged over
+    // supported labels, robust to class imbalance) and Cohen's κ
+    // (accuracy corrected for the agreement a label-marginal random
+    // guesser gets for free). Exactness: F1 needs ONE division via the
+    // harmonic identity F1 = 2·tp/(predicted + support); κ's numerator
+    // N·Σtp − Σ(support·predicted) can be negative, so the ppm is
+    // emitted sign-aware (10⁶·|num| div den, negated back) — floor and
+    // truncate agree on non-negative operands, the one place Spark div
+    // and DuckDB // could drift (the q196 trap, sidestepped). Scale
+    // shape: everything derives from the |labels|²-cell confusion
+    // rollup (map-combinable); the label spine, the per-label joins,
+    // and the κ/macro fold all run over ≤|labels| rows, and the two
+    // scalars ride back over the tiny frame as a broadcast (the q237
+    // idiom). Exact to the same ~4 M-vector 10⁶·N² bound as q241.
+    "q242_label_prf" -> ((s, dir) => {
+      val cells = margins(s, dir)
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+      val labs = cells.select("label")
+        .union(cells.select(col("pred").as("label"))).distinct()
+      val per = labs
+        .join(cells.groupBy("label").agg(sum("n").as("support")),
+          Seq("label"), "left")
+        .join(cells.groupBy(col("pred").as("label"))
+          .agg(sum("n").as("predicted")), Seq("label"), "left")
+        .join(cells.where(col("label") === col("pred"))
+          .select(col("label"), col("n").as("tp")), Seq("label"), "left")
+        .na.fill(0L, Seq("support", "predicted", "tp"))
+        .select(col("label"), col("support"), col("predicted"), col("tp"),
+          when(col("predicted") === 0, -1L)
+            .otherwise(expr("(CAST(1000000 AS BIGINT) * tp) div predicted"))
+            .as("precision_ppm"),
+          when(col("support") === 0, -1L)
+            .otherwise(expr("(CAST(1000000 AS BIGINT) * tp) div support"))
+            .as("recall_ppm"),
+          when(col("predicted") + col("support") === 0, -1L)
+            .otherwise(expr("(CAST(2000000 AS BIGINT) * tp)" +
+              " div (predicted + support)")).as("f1_ppm"))
+      val g = per.agg(
+        expr("sum(CASE WHEN support > 0 THEN f1_ppm ELSE 0 END)" +
+          " div sum(CASE WHEN support > 0 THEN 1 ELSE 0 END)")
+          .as("macro_f1_ppm"),
+        sum("support").as("nn"), sum("tp").as("tpsum"),
+        sum(col("support") * col("predicted")).as("pe"))
+        .select(col("macro_f1_ppm"),
+          expr("""CASE WHEN nn * nn - pe = 0 THEN 0
+            WHEN nn * tpsum - pe >= 0
+            THEN (CAST(1000000 AS BIGINT) * (nn * tpsum - pe))
+              div (nn * nn - pe)
+            ELSE -((CAST(1000000 AS BIGINT) * (pe - nn * tpsum))
+              div (nn * nn - pe)) END""").as("kappa_ppm"))
+      per.crossJoin(broadcast(g)).orderBy("label")
+    }),
+
+    // TEMPERATURE SCALING (q243): the calibration TUNER q237's
+    // diagnostic implies — rescale the margin confidence by each
+    // rational multiplier in [[TempGrid]] (= 1/T: an overconfident
+    // margin wants mult < 1, an underconfident one mult > 1, Guo et
+    // al. 2017's single-parameter recipe on a ppm score), clamp to the
+    // [0, 10⁶] domain, and re-fold the exact q237 ECE at each grid
+    // point — the argmin row is the temperature a deployment would
+    // ship, and the (1, 1) row IS q237's ECE (spec-pinned). Exact
+    // integers throughout: conf = min(10⁶, margin·mn div md) keeps
+    // every operand non-negative (margin·mn ≤ 4·10⁶), per-bin gaps
+    // fold before the one ECE division. Scale shape: one literal
+    // |TempGrid|-way explode over the margin frame into a
+    // map-combinable (grid, bin) rollup — ≤ 50 groups at any corpus
+    // size — then a |TempGrid|-row fold; the best-ECE scalar rides
+    // back as a broadcast over the 5-row frame (the q195 total idiom).
+    "q243_temperature_scaling" -> ((s, dir) => {
+      val t = margins(s, dir)
+        .select(when(col("label") === col("pred"), 1L).otherwise(0L)
+          .as("ok"), col("margin_ppm"),
+          explode(typedLit(TempGrid)).as("g"))
+        .select(col("ok"), col("g._1").as("mult_num"),
+          col("g._2").as("mult_den"),
+          least(lit(1000000L), expr("(margin_ppm * g._1) div g._2"))
+            .as("conf"))
+        .groupBy(col("mult_num"), col("mult_den"),
+          least(expr("conf div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"),
+          sum("conf").as("sum_conf"))
+        .groupBy("mult_num", "mult_den")
+        .agg(sum("n").as("n"),
+          sum(abs(lit(1000000L) * col("n_correct") - col("sum_conf")))
+            .as("gap"))
+        .select(col("mult_num"), col("mult_den"), col("n"),
+          expr("gap div n").as("ece_ppm"))
+      val best = t.agg(min("ece_ppm").as("best_ece_ppm"))
+      t.crossJoin(broadcast(best))
+        .withColumn("is_best", col("ece_ppm") === col("best_ece_ppm"))
+        .orderBy("mult_num", "mult_den")
     }),
 
     // ANN BUCKET PURITY (q196... numbered q197 below; see binding
@@ -727,6 +864,99 @@ object EvalQueries {
          |  sum_conf // n AS conf_ppm,
          |  tot.gap // tot.nn AS ece_ppm
          |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    // q241: the same margin-value histogram, strictly-below cumulative
+    // negatives via the value-spine window, identical u2 fold and the
+    // one tie-corrected division.
+    "q241_margin_auc" ->
+      s"""WITH $marginCtes,
+         |okm AS (SELECT CASE WHEN pred = label THEN 1 ELSE 0 END AS ok,
+         |  margin_ppm FROM m),
+         |h AS (SELECT margin_ppm, CAST(sum(ok) AS BIGINT) AS np,
+         |  CAST(sum(1 - ok) AS BIGINT) AS nn FROM okm GROUP BY 1),
+         |c AS (SELECT np, nn,
+         |  CAST(sum(nn) OVER (ORDER BY margin_ppm) AS BIGINT) - nn AS nb
+         |  FROM h)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(np * (2 * nb + nn)) AS BIGINT) AS u2,
+         |  CAST(CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN -1
+         |    ELSE (1000000 * sum(np * (2 * nb + nn)))
+         |      // (2 * sum(np) * sum(nn)) END AS BIGINT) AS auc_ppm
+         |FROM c""".stripMargin,
+
+    // q242: same |labels|² cells, same label spine (union of true and
+    // predicted), harmonic-identity F1, sign-aware kappa division.
+    "q242_label_prf" ->
+      s"""WITH $marginCtes,
+         |cells AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM m GROUP BY 1, 2),
+         |labs AS (SELECT label FROM cells
+         |  UNION SELECT pred AS label FROM cells),
+         |sup AS (SELECT label, CAST(sum(n) AS BIGINT) AS support
+         |  FROM cells GROUP BY 1),
+         |prd AS (SELECT pred AS label, CAST(sum(n) AS BIGINT) AS predicted
+         |  FROM cells GROUP BY 1),
+         |tps AS (SELECT label, n AS tp FROM cells WHERE label = pred),
+         |per AS (SELECT l.label,
+         |  coalesce(sup.support, 0) AS support,
+         |  coalesce(prd.predicted, 0) AS predicted,
+         |  coalesce(tps.tp, 0) AS tp,
+         |  CAST(CASE WHEN coalesce(prd.predicted, 0) = 0 THEN -1
+         |    ELSE (1000000 * coalesce(tps.tp, 0)) // prd.predicted END
+         |    AS BIGINT) AS precision_ppm,
+         |  CAST(CASE WHEN coalesce(sup.support, 0) = 0 THEN -1
+         |    ELSE (1000000 * coalesce(tps.tp, 0)) // sup.support END
+         |    AS BIGINT) AS recall_ppm,
+         |  CAST(CASE WHEN coalesce(prd.predicted, 0)
+         |      + coalesce(sup.support, 0) = 0 THEN -1
+         |    ELSE (2000000 * coalesce(tps.tp, 0))
+         |      // (coalesce(prd.predicted, 0) + coalesce(sup.support, 0))
+         |    END AS BIGINT) AS f1_ppm
+         |  FROM labs l
+         |  LEFT JOIN sup ON sup.label = l.label
+         |  LEFT JOIN prd ON prd.label = l.label
+         |  LEFT JOIN tps ON tps.label = l.label),
+         |g AS (SELECT
+         |  CAST(sum(CASE WHEN support > 0 THEN f1_ppm ELSE 0 END)
+         |    // sum(CASE WHEN support > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS macro_f1_ppm,
+         |  CAST(sum(support) AS BIGINT) AS nn,
+         |  CAST(sum(tp) AS BIGINT) AS tpsum,
+         |  CAST(sum(support * predicted) AS BIGINT) AS pe FROM per)
+         |SELECT per.label, per.support, per.predicted, per.tp,
+         |  per.precision_ppm, per.recall_ppm, per.f1_ppm, g.macro_f1_ppm,
+         |  CAST(CASE WHEN g.nn * g.nn - g.pe = 0 THEN 0
+         |    WHEN g.nn * g.tpsum - g.pe >= 0
+         |    THEN (1000000 * (g.nn * g.tpsum - g.pe)) // (g.nn * g.nn - g.pe)
+         |    ELSE -((1000000 * (g.pe - g.nn * g.tpsum))
+         |      // (g.nn * g.nn - g.pe)) END AS BIGINT) AS kappa_ppm
+         |FROM per CROSS JOIN g ORDER BY per.label""".stripMargin,
+
+    // q243: same rational grid, clamp, bins, gap fold, and best-row
+    // broadcast scalar.
+    "q243_temperature_scaling" ->
+      s"""WITH $marginCtes,
+         |g AS (SELECT * FROM (VALUES ${TempGrid.map { case (a, b) =>
+             s"($a, $b)" }.mkString(", ")}) t(mn, md)),
+         |sc AS (SELECT g.mn, g.md,
+         |  CASE WHEN pred = label THEN 1 ELSE 0 END AS ok,
+         |  least(1000000, (margin_ppm * g.mn) // g.md) AS conf
+         |  FROM m CROSS JOIN g),
+         |bins AS (SELECT mn, md, least(conf // 100000, 9) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST(sum(conf) AS BIGINT) AS sum_conf
+         |  FROM sc GROUP BY 1, 2, 3),
+         |t AS (SELECT mn, md, CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(sum(abs(1000000 * n_correct - sum_conf)) AS BIGINT) AS gap
+         |  FROM bins GROUP BY 1, 2),
+         |b AS (SELECT CAST(min(gap // n) AS BIGINT) AS best_ece_ppm FROM t)
+         |SELECT CAST(mn AS BIGINT) AS mult_num, CAST(md AS BIGINT)
+         |    AS mult_den, n,
+         |  CAST(gap // n AS BIGINT) AS ece_ppm, b.best_ece_ppm,
+         |  (gap // n) = b.best_ece_ppm AS is_best
+         |FROM t CROSS JOIN b ORDER BY mult_num, mult_den""".stripMargin,
 
     // q196: same dense grid, slope as an undivided rational + sign.
     "q196_trend_slope" ->

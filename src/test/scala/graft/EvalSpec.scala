@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.queries.EvalQueries
 
-/** Pins for the eval family (q194–q198): confusion-matrix mass
+/** Pins for the eval family (q194–q243): confusion-matrix mass
   * conservation, risk–coverage monotonicity, the OLS denominator's
-  * closed form, purity's pigeonhole bound, and the temporal split's
-  * train/test exclusivity. */
+  * closed form, purity's pigeonhole bound, the temporal split's
+  * train/test exclusivity, brute-force recomputes of the AUC
+  * U-statistic and the PRF/kappa report, and q243's identity-
+  * temperature ≡ q237 ECE anchor. */
 class EvalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -180,6 +182,76 @@ class EvalSpec extends SparkSpec {
     assert(rows.map(_._2).sum == m.length.toLong) // every prediction binned
     rows.foreach { r =>
       assert(r._4 >= 0 && r._4 <= 1000000 && r._5 >= 0 && r._5 <= 1000000)
+    }
+  }
+
+  test("q241: histogram U-statistic reproduces the brute-force pairwise AUC") {
+    val row = EvalQueries.queries("q241_margin_auc")(spark, dir).collect()(0)
+    // independent O(n²) recompute over the SAME margin frame: count
+    // (pos, neg) pairs where the positive out-margins the negative,
+    // half credit on ties — the definition q241's histogram fold
+    // decomposes
+    val m = EvalQueries.margins(spark, dir).collect()
+      .map(r => (r.getLong(0) == r.getLong(1), r.getLong(2)))
+    val pos = m.filter(_._1).map(_._2)
+    val neg = m.filterNot(_._1).map(_._2)
+    val u2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(row.getLong(0) == pos.length.toLong)
+    assert(row.getLong(1) == neg.length.toLong)
+    assert(row.getLong(2) == u2, s"u2 ${row.getLong(2)} vs brute $u2")
+    assert(row.getLong(3) ==
+      1000000L * u2 / (2L * pos.length * neg.length))
+    assert(row.getLong(3) >= 0 && row.getLong(3) <= 1000000L)
+  }
+
+  test("q242: per-label PRF and kappa match a brute confusion recompute") {
+    val rows = EvalQueries.queries("q242_label_prf")(spark, dir).collect()
+    val m = EvalQueries.margins(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nAll = m.length.toLong
+    assert(rows.map(_.getLong(1)).sum == nAll, "support partitions N")
+    rows.foreach { r =>
+      val l = r.getLong(0)
+      val (sup, prd, tp) = (m.count(_._1 == l).toLong,
+        m.count(_._2 == l).toLong, m.count(x => x._1 == l && x._2 == l).toLong)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((sup, prd, tp)))
+      assert(tp <= math.min(sup, prd))
+      if (prd > 0) assert(r.getLong(4) == 1000000L * tp / prd)
+      if (sup > 0) assert(r.getLong(5) == 1000000L * tp / sup)
+      if (sup + prd > 0) assert(r.getLong(6) == 2000000L * tp / (prd + sup))
+    }
+    // kappa: chance-corrected accuracy from the same marginals
+    val labs = rows.map(_.getLong(0))
+    val tpSum = rows.map(_.getLong(3)).sum
+    val pe = labs.map(l => m.count(_._1 == l).toLong * m.count(_._2 == l)).sum
+    val num = nAll * tpSum - pe
+    val den = nAll * nAll - pe
+    val kappa = if (den == 0) 0L
+      else if (num >= 0) 1000000L * num / den else -(1000000L * -num / den)
+    assert(rows.forall(_.getLong(8) == kappa))
+    // macro-F1 averages per-label F1 over supported labels
+    val supported = rows.filter(_.getLong(1) > 0)
+    val macroF1 = supported.map(_.getLong(6)).sum / supported.length
+    assert(rows.forall(_.getLong(7) == macroF1))
+  }
+
+  test("q243: the identity temperature reproduces q237's ECE; best is the min") {
+    val rows = EvalQueries.queries("q243_temperature_scaling")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    val ece237 = EvalQueries.queries("q237_reliability")(spark, dir)
+      .collect()(0).getLong(5)
+    val id = rows.find(r => r.getLong(0) == 1L && r.getLong(1) == 1L).get
+    assert(id.getLong(3) == ece237,
+      s"identity-scale ECE ${id.getLong(3)} vs q237 $ece237")
+    val best = rows.map(_.getLong(3)).min
+    rows.foreach { r =>
+      assert(r.getLong(4) == best)
+      assert(r.getBoolean(5) == (r.getLong(3) == best))
+      // every grid point scores the full margin frame
+      assert(r.getLong(2) == rows.head.getLong(2))
     }
   }
 
