@@ -41,6 +41,11 @@ object EvalQueries {
   private val TempGrid: Seq[(Long, Long)] =
     Seq((1L, 4L), (1L, 2L), (1L, 1L), (2L, 1L), (4L, 1L))
 
+  /** q245: deterministic half-sample replicates — replicate i keeps the
+    * vectors whose md5(vec_id)'s i-th hex digit has its top bit set
+    * (each digit is an independent fair Bernoulli(½) of the id). */
+  private val Replicates = 16
+
   /** q220: coverage target 1−α = ConfNum/ConfDen; score-bin width for
     * the two-level order statistic (score domain ≤ 4·Scale²·dim, so
     * the histogram is a few hundred bins per label at any corpus
@@ -149,18 +154,21 @@ object EvalQueries {
     * unopposed → full margin; d_second = 0 forces d_best = 0 (a tie
     * at the query point) → zero margin — and the guard keeps the
     * ANSI-mode div from ever seeing a zero divisor. */
-  private[graft] def margins(s: SparkSession, dir: String): DataFrame =
+  private[graft] def marginsById(s: SparkSession, dir: String): DataFrame =
     TopK.perKey(distances(s, dir), Seq("vec_id"),
         Seq("d2" -> true, "cl" -> true), k = 2)
       .groupBy("vec_id", "label")
       .agg(min(when(col("rank") === 1, col("cl"))).as("pred"),
         min(when(col("rank") === 1, col("d2"))).as("d_best"),
         min(when(col("rank") === 2, col("d2"))).as("d_second"))
-      .select(col("label"), col("pred"),
+      .select(col("vec_id"), col("label"), col("pred"),
         when(col("d_second").isNull, lit(1000000L))
           .when(col("d_second") === 0L, lit(0L))
           .otherwise(expr("(CAST(1000000 AS BIGINT) * (d_second - d_best))" +
             " div d_second")).as("margin_ppm"))
+
+  private[graft] def margins(s: SparkSession, dir: String): DataFrame =
+    marginsById(s, dir).select("label", "pred", "margin_ppm")
 
   /** The q195/q237 margin CTEs rendered for DuckDB (ends in `m` =
     * (label, pred, margin_ppm)) — the relational twin of [[margins]],
@@ -174,7 +182,7 @@ object EvalQueries {
        |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY d2, cl) AS rn FROM dist)
        |  GROUP BY 1, 2),
-       |m AS (SELECT label, pred,
+       |m AS (SELECT vec_id, label, pred,
        |  CAST(CASE WHEN d_second IS NULL THEN 1000000
        |            WHEN d_second = 0 THEN 0
        |            ELSE (1000000 * (d_second - d_best)) // d_second
@@ -500,6 +508,91 @@ object EvalQueries {
       t.crossJoin(broadcast(best))
         .withColumn("is_best", col("ece_ppm") === col("best_ece_ppm"))
         .orderBy("mult_num", "mult_den")
+    }),
+
+    // BRIER SCORE + MURPHY DECOMPOSITION (q244): the PROPER scoring
+    // rule behind q237's diagnostic — Brier = mean((conf − outcome)²)
+    // — decomposed Murphy-style over the q237 deciles into
+    // reliability (miscalibration mass, the L2 twin of q237's L1
+    // ECE), resolution (how much the bins separate outcomes), and
+    // uncertainty (the irreducible base-rate variance). Fixed point
+    // is e12 (= ppm², the square of the ppm confidence domain), every
+    // term exact int64: the squared-error sum folds map-side
+    // ((conf − 10⁶·ok)² ≤ 10¹² per row → exact to ~9 M vectors, the
+    // q241 stated-bound convention); the per-bin reliability term
+    // gap²/n_b would overflow if squared first, so it uses the exact
+    // Euclidean split gap = q·n + r ⇒ gap² div n = q²n + 2qr +
+    // (r² div n) (every operand ≤ 10¹²·n_b); uncertainty is defined
+    // on the floored base rate ā_ppm = 10⁶·corr div N as
+    // ā_ppm·(10⁶ − ā_ppm); and the skill term is emitted THROUGH the
+    // exact identity gres = rel + unc − brier — the GENERALIZED
+    // resolution (Stephenson, Coelho & Jolliffe 2008, "Two extra
+    // components in the Brier score decomposition"): with
+    // non-constant confidences inside a bin it equals classic
+    // resolution − within-bin conf variance + 2·within-bin
+    // conf/outcome covariance (EvalSpec pins that identity against a
+    // direct recompute; the classic three-term Murphy identity holds
+    // only for discrete forecast values, which deciles are not).
+    // Scale shape: identical to q237 — one margin fold, one ≤10-group
+    // map-combinable rollup, scalars fold on the bin frame.
+    "q244_brier_decomposition" -> ((s, dir) => {
+      val bins = margins(s, dir)
+        .select(when(col("label") === col("pred"), 1L).otherwise(0L)
+          .as("ok"), col("margin_ppm").as("conf"),
+          least(expr("margin_ppm div 100000"), lit(9L)).as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("nb"), sum("ok").as("cb"),
+          sum("conf").as("sc"),
+          sum(expr("(conf - 1000000 * ok) * (conf - 1000000 * ok)"))
+            .as("se"))
+      bins.select(col("nb"), col("cb"), col("se"),
+          expr("abs(1000000 * cb - sc)").as("gap"))
+        .select(col("nb"), col("cb"), col("se"),
+          expr("(gap div nb) * (gap div nb) * nb" +
+            " + 2 * (gap div nb) * (gap % nb)" +
+            " + ((gap % nb) * (gap % nb)) div nb").as("tb"))
+        .agg(sum("nb").as("n"), sum("cb").as("ncorr"),
+          sum("se").as("sse"), sum("tb").as("stb"))
+        .select(col("n"),
+          expr("sse div n").as("brier_e12"),
+          expr("stb div n").as("rel_e12"),
+          expr("((CAST(1000000 AS BIGINT) * ncorr) div n)" +
+            " * (1000000 - (CAST(1000000 AS BIGINT) * ncorr) div n)")
+            .as("unc_e12"))
+        .withColumn("gres_e12",
+          col("rel_e12") + col("unc_e12") - col("brier_e12"))
+    }),
+
+    // HALF-SAMPLE STABILITY (q245): how much does the q194 accuracy
+    // move under resampling — the deterministic stand-in for a
+    // bootstrap CI (a randomized bootstrap can't be oracle-hashed;
+    // [[Replicates]] fixed half-samples keyed off md5(vec_id) hex
+    // digits give the same spread signal bit-identically in both
+    // engines — the q63 hash-sample discipline). Replicate i keeps a
+    // vector iff digit i of its md5 is in {8..f} (top bit set — an
+    // independent fair coin per digit); each replicate reports its
+    // accuracy and the min/max/spread ride back over the 16-row frame
+    // as a broadcast. A spread_ppm small relative to the full-corpus
+    // accuracy says the eval is big enough to trust; a wide one says
+    // q194's headline number is sampling noise. Scale shape: ONE
+    // margin fold, a literal 16-way explode filtered to ~8× the
+    // corpus, one map-combinable rollup to 16 rows.
+    "q245_half_sample_stability" -> ((s, dir) => {
+      val r = marginsById(s, dir)
+        .select(when(col("label") === col("pred"), 1L).otherwise(0L)
+          .as("ok"), md5(col("vec_id").cast("string")).as("h"),
+          explode(typedLit((1 to Replicates).map(_.toLong)))
+            .as("replicate"))
+        .where(expr("substring(h, CAST(replicate AS INT), 1) >= '8'"))
+        .groupBy("replicate")
+        .agg(count(lit(1)).as("n"), sum("ok").as("n_correct"))
+        .select(col("replicate"), col("n"), col("n_correct"),
+          expr("(CAST(1000000 AS BIGINT) * n_correct) div n").as("acc_ppm"))
+      val g = r.agg(min("acc_ppm").as("min_acc_ppm"),
+        max("acc_ppm").as("max_acc_ppm"))
+      r.crossJoin(broadcast(g))
+        .withColumn("spread_ppm", col("max_acc_ppm") - col("min_acc_ppm"))
+        .orderBy("replicate")
     }),
 
     // ANN BUCKET PURITY (q196... numbered q197 below; see binding
@@ -957,6 +1050,56 @@ object EvalQueries {
          |  CAST(gap // n AS BIGINT) AS ece_ppm, b.best_ece_ppm,
          |  (gap // n) = b.best_ece_ppm AS is_best
          |FROM t CROSS JOIN b ORDER BY mult_num, mult_den""".stripMargin,
+
+    // q244: same bins, same Euclidean-split gap²/n, same floored base
+    // rate, generalized resolution through the same identity.
+    "q244_brier_decomposition" ->
+      s"""WITH $marginCtes,
+         |base AS (SELECT CASE WHEN pred = label THEN 1 ELSE 0 END AS ok,
+         |  margin_ppm AS conf, least(margin_ppm // 100000, 9) AS bin
+         |  FROM m),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+         |  CAST(sum(ok) AS BIGINT) AS cb,
+         |  CAST(sum(conf) AS BIGINT) AS sc,
+         |  CAST(sum((conf - 1000000 * ok) * (conf - 1000000 * ok))
+         |    AS BIGINT) AS se
+         |  FROM base GROUP BY 1),
+         |t AS (SELECT nb, cb, se, abs(1000000 * cb - sc) AS gap FROM bins),
+         |t2 AS (SELECT nb, cb, se,
+         |  (gap // nb) * (gap // nb) * nb + 2 * (gap // nb) * (gap % nb)
+         |    + ((gap % nb) * (gap % nb)) // nb AS tb FROM t),
+         |g AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+         |  CAST(sum(cb) AS BIGINT) AS ncorr,
+         |  CAST(sum(se) AS BIGINT) AS sse,
+         |  CAST(sum(tb) AS BIGINT) AS stb FROM t2)
+         |SELECT n, CAST(sse // n AS BIGINT) AS brier_e12,
+         |  CAST(stb // n AS BIGINT) AS rel_e12,
+         |  CAST(((1000000 * ncorr) // n)
+         |    * (1000000 - (1000000 * ncorr) // n) AS BIGINT) AS unc_e12,
+         |  CAST(stb // n + ((1000000 * ncorr) // n)
+         |    * (1000000 - (1000000 * ncorr) // n) - sse // n AS BIGINT)
+         |    AS gres_e12
+         |FROM g""".stripMargin,
+
+    // q245: same md5 hex-digit membership, same 16-row min/max ride.
+    "q245_half_sample_stability" ->
+      s"""WITH $marginCtes,
+         |reps AS (SELECT unnest(range(1, ${Replicates + 1})) AS replicate),
+         |base AS (SELECT r.replicate,
+         |  CASE WHEN pred = label THEN 1 ELSE 0 END AS ok
+         |  FROM m CROSS JOIN reps r
+         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)),
+         |    CAST(r.replicate AS INT), 1) >= '8'),
+         |acc AS (SELECT CAST(replicate AS BIGINT) AS replicate,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST((1000000 * sum(ok)) // count(*) AS BIGINT) AS acc_ppm
+         |  FROM base GROUP BY 1),
+         |g AS (SELECT CAST(min(acc_ppm) AS BIGINT) AS mn,
+         |  CAST(max(acc_ppm) AS BIGINT) AS mx FROM acc)
+         |SELECT replicate, n, n_correct, acc_ppm, g.mn AS min_acc_ppm,
+         |  g.mx AS max_acc_ppm, g.mx - g.mn AS spread_ppm
+         |FROM acc CROSS JOIN g ORDER BY replicate""".stripMargin,
 
     // q196: same dense grid, slope as an undivided rational + sign.
     "q196_trend_slope" ->

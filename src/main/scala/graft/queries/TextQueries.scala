@@ -131,6 +131,49 @@ object TextQueries {
         .orderBy("lang", "rank")
     }),
 
+    // HEAPS VOCABULARY-GROWTH CURVE (q246): how fast does the corpus
+    // still produce NEW token types as it grows — the companion to
+    // q214's static Zipf spectrum and the collection-size planner's
+    // curve (Heaps' law V(n) ≈ K·n^β: a crawl whose vocab curve has
+    // flattened is re-crawling itself; one whose per-decile novelty
+    // is NOT falling is template-exploding ids/hashes). Docs are cut
+    // into ten id-range deciles (pure value arithmetic off the
+    // broadcast min/max — identical in both engines, no rank);
+    // per decile: cumulative docs, cumulative token occurrences,
+    // cumulative vocabulary (a token counts where its FIRST decile
+    // falls — min(decile) per type, exact), fresh types, and the
+    // novelty rate 10⁶·new_types div n_tok. Scale shape: one explode
+    // + two map-combinable rollups (per-decile occurrence counts and
+    // a min-combinable first-decile per type → ≤10-row recount); the
+    // only windows are cumulative sums over the 10-row decile frame
+    // (aggregate-bounded, the q118/q122 contract); nothing
+    // corpus-sized past the (token) shuffle.
+    "q246_heaps_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val b = d.agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      val dd = d.crossJoin(broadcast(b))
+        .select(expr("((doc_id - d0) * 10) div (d1 - d0 + 1)").as("decile"),
+          tokens(col("text")).as("toks"))
+      val tok = dd.select(col("decile"), explode(col("toks")).as("tok"))
+      val nDocs = dd.groupBy("decile").agg(count(lit(1)).as("n_docs"))
+      val occ = tok.groupBy("decile").agg(count(lit(1)).as("n_tok"))
+      val nt = tok.groupBy("tok").agg(min("decile").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+      val w = Window.orderBy("decile")
+      nDocs.join(occ, Seq("decile"), "left").join(nt, Seq("decile"), "left")
+        .na.fill(0L, Seq("n_tok", "new_types"))
+        .select(col("decile"),
+          sum("n_docs").over(w).as("n_docs_cum"),
+          sum("n_tok").over(w).as("n_tok_cum"),
+          sum("new_types").over(w).as("vocab_cum"),
+          col("new_types"),
+          when(col("n_tok") === 0, -1L)
+            .otherwise(expr("(CAST(1000000 AS BIGINT) * new_types) div n_tok"))
+            .as("novelty_ppm"))
+        .orderBy("decile")
+    }),
+
     "q40_lang_id" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("toks", tokens(col("text")))
@@ -1031,6 +1074,39 @@ object TextQueries {
            |ORDER BY t.lang, t.rank""".stripMargin,
 
       "q108_lm_quality" -> graft.operators.LmScore.bigramLmScoreSql(toksE),
+
+      // q246: identical id-range decile arithmetic, min-decile-per-type
+      // vocabulary attribution, 10-row cumulative windows.
+      "q246_heaps_curve" ->
+        s"""WITH b AS (SELECT min(doc_id) AS d0, max(doc_id) AS d1
+           |  FROM documents),
+           |dd AS (SELECT ((doc_id - b.d0) * 10) // (b.d1 - b.d0 + 1)
+           |    AS decile, $toksE AS toks
+           |  FROM documents CROSS JOIN b),
+           |nd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM dd GROUP BY 1),
+           |tok AS (SELECT decile, unnest(toks) AS tok FROM dd),
+           |occ AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_tok
+           |  FROM tok GROUP BY 1),
+           |nt AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_types
+           |  FROM (SELECT tok, min(decile) AS decile FROM tok GROUP BY tok)
+           |  GROUP BY 1),
+           |j AS (SELECT nd.decile, nd.n_docs,
+           |  coalesce(occ.n_tok, 0) AS n_tok,
+           |  coalesce(nt.new_types, 0) AS new_types
+           |  FROM nd LEFT JOIN occ ON occ.decile = nd.decile
+           |  LEFT JOIN nt ON nt.decile = nd.decile)
+           |SELECT decile,
+           |  CAST(sum(n_docs) OVER (ORDER BY decile) AS BIGINT)
+           |    AS n_docs_cum,
+           |  CAST(sum(n_tok) OVER (ORDER BY decile) AS BIGINT) AS n_tok_cum,
+           |  CAST(sum(new_types) OVER (ORDER BY decile) AS BIGINT)
+           |    AS vocab_cum,
+           |  new_types,
+           |  CAST(CASE WHEN n_tok = 0 THEN -1
+           |    ELSE (1000000 * new_types) // n_tok END AS BIGINT)
+           |    AS novelty_ppm
+           |FROM j ORDER BY decile""".stripMargin,
 
       // q234: identical rate-ratio arithmetic over the unnested token
       // stream (same smoothing, same vocab-bounded rank window).

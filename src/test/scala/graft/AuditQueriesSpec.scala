@@ -225,6 +225,41 @@ class AuditQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q246: vocabulary curve reconciles with a driver-side exact recount") {
+    val rows = TextQueries.queries("q246_heaps_curve")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    // independent recount: same decile arithmetic, Scala collections
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (d0, d1) = (docs.map(_._1).min, docs.map(_._1).max)
+    def dec(id: Long) = (id - d0) * 10 / (d1 - d0 + 1)
+    def toks(t: String) =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val byDec = docs.groupBy(d => dec(d._1))
+    val firstDec = docs.flatMap { case (id, t) => toks(t).map(_ -> dec(id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    var (cd, ct, cv) = (0L, 0L, 0L)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val nDocs = byDec.get(k).map(_.length.toLong).getOrElse(0L)
+      val nTok = byDec.get(k).map(_.map(d => toks(d._2).length.toLong).sum)
+        .getOrElse(0L)
+      val newTypes = firstDec.count(_._2 == k).toLong
+      cd += nDocs; ct += nTok; cv += newTypes
+      assert(r.getLong(1) == cd && r.getLong(2) == ct && r.getLong(3) == cv,
+        s"decile $k cums")
+      assert(r.getLong(4) == newTypes)
+      assert(r.getLong(5) ==
+        (if (nTok == 0) -1L else 1000000L * newTypes / nTok))
+    }
+    assert(cv == firstDec.size.toLong, "vocab_cum tops out at |types|")
+    assert(cd == docs.length.toLong)
+    // novelty falls as the corpus grows (weak Heaps sanity: the last
+    // decile mints new types at a lower rate than the first)
+    assert(rows.last.getLong(5) < rows.head.getLong(5))
+  }
+
   test("q239: multiplicity-counted matrix equals q51's expanded pair list regrouped") {
     // q239 counts doc-level near-dup pairs WITHOUT the member
     // expansion (title-multiplicity products); q51 materializes the

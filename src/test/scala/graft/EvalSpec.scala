@@ -255,6 +255,75 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("q244: Brier/reliability/uncertainty match a BigInt brute recompute; identity slack bounded") {
+    val row = EvalQueries.queries("q244_brier_decomposition")(spark, dir)
+      .collect()(0)
+    val m = EvalQueries.margins(spark, dir).collect()
+      .map(r => (r.getLong(0) == r.getLong(1), r.getLong(2)))
+    val n = m.length.toLong
+    // brute, in BigInt so the spec can't share an overflow bug
+    val brier = (m.map { case (ok, c) =>
+      val d = BigInt(c) - (if (ok) 1000000 else 0)
+      d * d
+    }.sum / n).toLong
+    val bins = m.groupBy { case (_, c) => math.min(c / 100000L, 9L) }
+    val rel = (bins.values.map { xs =>
+      val gap = (BigInt(1000000) * xs.count(_._1) -
+        xs.map(x => BigInt(x._2)).sum).abs
+      gap * gap / xs.length
+    }.sum / n).toLong
+    val aPpm = 1000000L * m.count(_._1) / n
+    val unc = aPpm * (1000000L - aPpm)
+    assert(row.getLong(0) == n)
+    assert(row.getLong(1) == brier, s"brier ${row.getLong(1)} vs $brier")
+    assert(row.getLong(2) == rel, s"rel ${row.getLong(2)} vs $rel")
+    assert(row.getLong(3) == unc)
+    assert(row.getLong(4) == rel + unc - brier)
+    // generalized-resolution identity (Stephenson et al. 2008):
+    // gres = RES − WBV + 2·WBC when bins hold non-constant
+    // confidences — direct double recompute, floor slack only
+    val acc = m.count(_._1).toDouble / n
+    val direct = bins.values.map { xs =>
+      val nb = xs.length
+      val cb = xs.map(_._2.toDouble / 1e6).sum / nb
+      val ab = xs.count(_._1).toDouble / nb
+      val res = nb * (ab - acc) * (ab - acc)
+      val wbv = xs.map(x => math.pow(x._2 / 1e6 - cb, 2)).sum
+      val wbc = xs.map(x =>
+        (x._2 / 1e6 - cb) * ((if (x._1) 1.0 else 0.0) - ab)).sum
+      res - wbv + 2 * wbc
+    }.sum / n * 1e12
+    assert(math.abs(row.getLong(4) - direct) < 1e7,
+      s"gres ${row.getLong(4)} vs direct $direct")
+  }
+
+  test("q245: replicate membership reproduces an independent JVM md5; spread consistent") {
+    val rows = EvalQueries.queries("q245_half_sample_stability")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 16)
+    val m = EvalQueries.marginsById(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1) == r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt
+      val kept = m.filter { case (id, _) => hex(id).charAt(i - 1) >= '8' }
+      assert(r.getLong(1) == kept.length.toLong, s"replicate $i n")
+      assert(r.getLong(2) == kept.count(_._2).toLong, s"replicate $i correct")
+      assert(r.getLong(3) == 1000000L * kept.count(_._2) / kept.length)
+    }
+    val accs = rows.map(_.getLong(3))
+    rows.foreach { r =>
+      assert(r.getLong(4) == accs.min && r.getLong(5) == accs.max)
+      assert(r.getLong(6) == accs.max - accs.min)
+    }
+    // half-samples: each replicate holds roughly half the corpus
+    rows.foreach(r => assert(r.getLong(1) > m.length / 4 &&
+      r.getLong(1) < 3L * m.length / 4))
+  }
+
   test("q220: ceil-k formula holds and coverage concentrates at 1 - alpha") {
     val rows = EvalQueries.queries("q220_conformal")(spark, dir).collect()
     assert(rows.nonEmpty)
