@@ -595,6 +595,100 @@ object EvalQueries {
         .orderBy("replicate")
     }),
 
+    // McNEMAR PAIRED COMPARISON (q247): are two classifiers actually
+    // different, or is the accuracy gap sampling noise? The paired
+    // contingency table between the q194 nearest-centroid classifier
+    // and the q197-machinery bucket-majority classifier (predict the
+    // LSH bucket's majority label) on the SAME vectors: n11/n10/n01/
+    // n00 plus McNemar's statistic (b−c)²/(b+c) in ppm — the paired
+    // test that uses only the DISAGREEMENT cells, which is why it
+    // beats comparing two marginal accuracies (most vectors are easy
+    // for both). Exact integers; (b−c)² ≤ (b+c)·N keeps 10⁶·(b−c)²
+    // in int64 to ~9 M disagreements; b+c = 0 → −1 sentinel. Scale
+    // shape: classifier A is the shared margin fold; classifier B is
+    // the q197 bucket histogram → TopKPerKeyExec k = 1 → a
+    // |buckets|-row broadcast joined back on the bucket key; the
+    // paired rollup is one map-combinable aggregate to a single row.
+    "q247_mcnemar" -> ((s, dir) => {
+      val a = marginsById(s, dir)
+        .select(col("vec_id"), col("label"),
+          when(col("label") === col("pred"), 1L).otherwise(0L).as("ok_a"))
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          Similarity.bucket(col("embedding")).cast("long").as("bucket"))
+      val top = TopK.perKey(
+        e.groupBy("bucket", "label").agg(count(lit(1)).as("c")),
+        Seq("bucket"), Seq("c" -> false, "label" -> true), k = 1)
+        .select(col("bucket"), col("label").as("pred_b"))
+      val b = e.join(broadcast(top), Seq("bucket"))
+        .select(col("vec_id"),
+          when(col("label") === col("pred_b"), 1L).otherwise(0L).as("ok_b"))
+      a.join(b, Seq("vec_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("ok_a * ok_b")).as("n11"),
+          sum(expr("ok_a * (1 - ok_b)")).as("n10"),
+          sum(expr("(1 - ok_a) * ok_b")).as("n01"),
+          sum(expr("(1 - ok_a) * (1 - ok_b)")).as("n00"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("(CAST(1000000 AS BIGINT) * (n11 + n10)) div n")
+            .as("acc_a_ppm"),
+          expr("(CAST(1000000 AS BIGINT) * (n11 + n01)) div n")
+            .as("acc_b_ppm"),
+          when(col("n10") + col("n01") === 0, -1L)
+            .otherwise(expr("(CAST(1000000 AS BIGINT) * (n10 - n01)" +
+              " * (n10 - n01)) div (n10 + n01)")).as("mcnemar_ppm"))
+    }),
+
+    // LEARNING CURVE (q248): does MORE DATA still help — the
+    // data-scaling audit every training-data pipeline runs before
+    // paying for the next crawl. Nested training subsets (vec_id mod
+    // 16 < k for k = 1, 2, 4, 8 — each doubles the last, all inside
+    // the first half) fit per-label centroids; a FIXED held-out set
+    // (mod 16 ≥ 8) scores every fraction, so the curve moves only
+    // because the training data grew. One pass each side: the train
+    // explode tags each vector with every fraction that includes it,
+    // centroids fold per (k, label) — a 4·|labels|-row table that
+    // broadcasts — the test side explodes once per fraction and
+    // equi-joins on k; argmin through TopKPerKeyExec on (k, vec_id);
+    // accuracy is a 4-row map-combinable rollup. A label absent from
+    // a small fraction's train split simply fields no centroid there
+    // (identical in both engines; the mod-16 split of a balanced
+    // corpus keeps all labels present in practice).
+    "q248_learning_curve" -> ((s, dir) => {
+      val e = labeled(s, dir)
+      val fr = typedLit(Seq(1L, 2L, 4L, 8L))
+      val tr = e.select(col("vec_id"), col("label"), col("qv"),
+          explode(fr).as("k"))
+        .where(col("vec_id") % 16 < col("k"))
+      val cents = tr
+        .select(col("k"), col("label").as("cl"),
+          posexplode(col("qv")).as(Seq("d", "q")))
+        .groupBy("k", "cl", "d")
+        .agg(expr("sum(q) div count(1)").as("c"))
+        .groupBy("k", "cl")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          x => x.getField("c")).as("cv"))
+      val nTrain = tr.groupBy("k").agg(count(lit(1)).as("n_train"))
+      val tst = e.where(col("vec_id") % 16 >= 8)
+        .select(col("vec_id"), col("label"), col("qv"), explode(fr).as("k"))
+      val dist = tst.join(broadcast(cents), Seq("k"))
+        .select(col("k"), col("vec_id"), col("label"), col("cl"),
+          KMeans.sqDist(col("qv"), col("cv")).as("d2"))
+      TopK.perKey(dist, Seq("k", "vec_id"),
+          Seq("d2" -> true, "cl" -> true), k = 1)
+        .groupBy(col("k").as("frac_16"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("label") === col("cl"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .join(broadcast(nTrain.withColumnRenamed("k", "frac_16")),
+          Seq("frac_16"))
+        .select(col("frac_16"), col("n_train"), col("n_test"),
+          col("n_correct"),
+          expr("(CAST(1000000 AS BIGINT) * n_correct) div n_test")
+            .as("acc_ppm"))
+        .orderBy("frac_16")
+    }),
+
     // ANN BUCKET PURITY (q196... numbered q197 below; see binding
     // order in the map — Scala Maps are unordered, the keys carry
     // the numbering).
@@ -1100,6 +1194,72 @@ object EvalQueries {
          |SELECT replicate, n, n_correct, acc_ppm, g.mn AS min_acc_ppm,
          |  g.mx AS max_acc_ppm, g.mx - g.mn AS spread_ppm
          |FROM acc CROSS JOIN g ORDER BY replicate""".stripMargin,
+
+    // q247: classifier A through the shared margin CTEs, classifier B
+    // through the q197 bucket expression + the same k=1 tie order,
+    // identical paired fold.
+    "q247_mcnemar" ->
+      s"""WITH $marginCtes,
+         |a AS (SELECT vec_id,
+         |  CASE WHEN pred = label THEN 1 ELSE 0 END AS ok_a FROM m),
+         |eb AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(${Similarity.bucketSql("embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |h AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c
+         |  FROM eb GROUP BY 1, 2),
+         |top AS (SELECT bucket, label AS pred_b FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket
+         |    ORDER BY c DESC, label) AS rn FROM h) WHERE rn = 1),
+         |bb AS (SELECT eb.vec_id,
+         |  CASE WHEN eb.label = top.pred_b THEN 1 ELSE 0 END AS ok_b
+         |  FROM eb JOIN top USING (bucket)),
+         |j AS (SELECT a.ok_a, bb.ok_b FROM a JOIN bb
+         |  ON bb.vec_id = a.vec_id),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(ok_a * ok_b) AS BIGINT) AS n11,
+         |  CAST(sum(ok_a * (1 - ok_b)) AS BIGINT) AS n10,
+         |  CAST(sum((1 - ok_a) * ok_b) AS BIGINT) AS n01,
+         |  CAST(sum((1 - ok_a) * (1 - ok_b)) AS BIGINT) AS n00 FROM j)
+         |SELECT n, n11, n10, n01, n00,
+         |  (1000000 * (n11 + n10)) // n AS acc_a_ppm,
+         |  (1000000 * (n11 + n01)) // n AS acc_b_ppm,
+         |  CAST(CASE WHEN n10 + n01 = 0 THEN -1
+         |    ELSE (1000000 * (n10 - n01) * (n10 - n01)) // (n10 + n01)
+         |  END AS BIGINT) AS mcnemar_ppm
+         |FROM g""".stripMargin,
+
+    // q248: same nested mod-16 splits, per-(k, label) centroids, same
+    // argmin tie order, same fixed test half.
+    "q248_learning_curve" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  ${KMeans.quantizeSql("embedding")} AS qv FROM embeddings),
+         |fr AS (SELECT unnest([1, 2, 4, 8]) AS k),
+         |tr AS (SELECT f.k, e.label, e.qv FROM e CROSS JOIN fr f
+         |  WHERE e.vec_id % 16 < f.k),
+         |dims AS (SELECT k, label, generate_subscripts(qv, 1) AS d,
+         |  unnest(qv) AS q FROM tr),
+         |cent AS (SELECT k, label AS cl, d,
+         |  CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+         |  FROM dims GROUP BY 1, 2, 3),
+         |cvs AS (SELECT k, cl, list(c ORDER BY d) AS cv
+         |  FROM cent GROUP BY 1, 2),
+         |ntr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_train
+         |  FROM tr GROUP BY 1),
+         |tst AS (SELECT f.k, e.vec_id, e.label, e.qv
+         |  FROM e CROSS JOIN fr f WHERE e.vec_id % 16 >= 8),
+         |dist AS (SELECT t.k, t.vec_id, t.label, c.cl,
+         |  ${KMeans.sqDistSql("t.qv", "c.cv", Similarity.Dim)} AS d2
+         |  FROM tst t JOIN cvs c ON c.k = t.k),
+         |pred AS (SELECT k, label, cl FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY k, vec_id
+         |    ORDER BY d2, cl) AS rn FROM dist) WHERE rn = 1),
+         |acc AS (SELECT k, CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(count(*) FILTER (label = cl) AS BIGINT) AS n_correct
+         |  FROM pred GROUP BY 1)
+         |SELECT CAST(acc.k AS BIGINT) AS frac_16, ntr.n_train,
+         |  acc.n_test, acc.n_correct,
+         |  (1000000 * acc.n_correct) // acc.n_test AS acc_ppm
+         |FROM acc JOIN ntr ON ntr.k = acc.k ORDER BY frac_16""".stripMargin,
 
     // q196: same dense grid, slope as an undivided rational + sign.
     "q196_trend_slope" ->

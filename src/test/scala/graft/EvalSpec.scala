@@ -324,6 +324,43 @@ class EvalSpec extends SparkSpec {
       r.getLong(1) < 3L * m.length / 4))
   }
 
+  test("q247: paired cells partition the corpus and marginal accuracies reconcile") {
+    val r = EvalQueries.queries("q247_mcnemar")(spark, dir).collect()(0)
+    val (n, n11, n10, n01, n00) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(n == nVecs && n11 + n10 + n01 + n00 == n)
+    // classifier A's marginal accuracy is q194's diagonal mass
+    val diag = EvalQueries.queries("q194_centroid_classifier")(spark, dir)
+      .collect().filter(x => x.getLong(0) == x.getLong(1))
+      .map(_.getLong(2)).sum
+    assert(n11 + n10 == diag, s"acc_a mass ${n11 + n10} vs q194 $diag")
+    assert(r.getLong(5) == 1000000L * (n11 + n10) / n)
+    assert(r.getLong(6) == 1000000L * (n11 + n01) / n)
+    val mc = if (n10 + n01 == 0) -1L
+      else 1000000L * (n10 - n01) * (n10 - n01) / (n10 + n01)
+    assert(r.getLong(7) == mc)
+  }
+
+  test("q248: nested splits double, the test half is fixed, accuracies bounded") {
+    val rows = EvalQueries.queries("q248_learning_curve")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 8L))
+    val ids = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0))
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == ids.count(_ % 16 < k).toLong, s"k=$k train")
+      assert(r.getLong(2) == ids.count(_ % 16 >= 8).toLong, s"k=$k test")
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(4) == 1000000L * r.getLong(3) / r.getLong(2))
+    }
+    // nested: each fraction's training set contains the previous one
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) >= a.getLong(1))
+    }
+  }
+
   test("q220: ceil-k formula holds and coverage concentrates at 1 - alpha") {
     val rows = EvalQueries.queries("q220_conformal")(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -410,6 +410,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q241/q246: every global window sits on an aggregate (value spine, not corpus)") {
+    // q241's cumulative-negatives window runs over the margin VALUE
+    // histogram (≤ 10⁶+1 rows by domain); q246's cumulative curves run
+    // over the 10-row decile frame. Both must keep the q118/q122
+    // structural contract: walking down from each unpartitioned
+    // WindowExec through narrow/exchange operators reaches an
+    // Aggregate before any scan, join, or other window — a revert
+    // (windowing the corpus directly) funnels everything through one
+    // reducer and fails here.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def boundedBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case _: SortExec | _: ProjectExec | _: FilterExec |
+           _: exchange.ShuffleExchangeExec | _: InputAdapter |
+           _: WholeStageCodegenExec | _: CoalesceExec =>
+        boundedBelow(p.children.head)
+      // q246's three cumulative sums share one window input that sits
+      // above the tiny decile joins — a join of aggregate-bounded
+      // sides is bounded too
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        boundedBelow(j.left) && boundedBelow(j.right)
+      case _ => false
+    }
+    for (q <- Seq("q241_margin_auc", "q246_heaps_curve")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.sparkPlan
+      val global = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.nonEmpty, s"$q: expected a global window to pin")
+      global.foreach(w => assert(boundedBelow(w.child),
+        s"$q: global window over a non-aggregate input:\n$w"))
+    }
+  }
+
   test("time-partitioned sink prunes partitions for high-water-mark reads") {
     val out = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "sink").toString + "/events"
