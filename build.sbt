@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default on the 128 GiB box: local[32] runs 32 concurrent tasks
+  // in ONE JVM, and the round-11 scan-split fix (files.minPartitionNum)
+  // made the pair-expansion queries genuinely 32-way parallel — at the
+  // old 8g default, 32 concurrent sort/join buffers OOM'd q51 at sf1
+  // (the serial scan had been throttling memory by accident).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -157,6 +157,16 @@ def main(out_dir: str) -> None:
               for n in list(KEYED) + SHARED_DIMS}
     strides = {n: stride_of(tables[n], KEYED[n][0]) for n in KEYED}
 
+    # Bounded row groups: pq.write_table's default packs each table
+    # into one or two giant row groups, and a row group is the atomic
+    # unit a Spark scan task can claim — a 1M-row events table written
+    # as ONE group reads as ONE task no matter the split settings
+    # (measured: the whole q181 gram expansion ran serial at sf1).
+    # ≥64 groups per table lets the Bench/Verify split sizing fan the
+    # scan out across local[32].
+    def rg(rows: int) -> int:
+        return max(2048, rows // 64)
+
     for n in SHARED_DIMS:
         pq.write_table(tables[n], f"{out_dir}/{n}.parquet")
 
@@ -190,7 +200,8 @@ def main(out_dir: str) -> None:
                 cols.append(col)
             parts.append(pa.table(cols, names=t.column_names))
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{out_dir}/{n}.parquet")
+        pq.write_table(out, f"{out_dir}/{n}.parquet",
+                       row_group_size=rg(out.num_rows))
         print(f"{n}: {t.num_rows} -> {out.num_rows} rows "
               f"(stride {strides[n]})")
 

@@ -157,6 +157,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // fan single-file fixture scans out to the cores (see Verify for
+      // the measured serial-map rationale; inert on many-file layouts)
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .getOrCreate()
     // ERROR, not WARN: bounded-frame window queries legitimately emit
     // "WindowExec: No Partition Defined" WARNs, and ten of those lines

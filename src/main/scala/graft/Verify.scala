@@ -17,6 +17,16 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Split small fixture files down toward row-group granularity so
+      // scans fan out across the cores: the fixtures are single files,
+      // and the default 128 MB/4 MB split sizing reads each one as ONE
+      // task — every expansion-heavy map stage (token explode, gram
+      // hashing, kernel projections) then runs serial until the first
+      // shuffle (measured at sf1: q181 17.95 s wall / 21.6 s cpu on 32
+      // cores). On a production many-file layout these settings are
+      // inert — splits are already ≤ a row group.
+      .config("spark.sql.files.minPartitionNum", cpus)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
