@@ -689,8 +689,14 @@ object RelationalQueries {
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
         .withColumn("blk", concat_ws("#", col("p_brand"), col("p_type"),
           expr("split_part(p_name, ' ', 1)")))
-      graft.operators.Dedup.capBuckets(blocked, Seq("blk"), "p_partkey")
-        .createOrReplaceTempView("parts_lev")
+      val capped = graft.operators.Dedup
+        .capBuckets(blocked, Seq("blk"), "p_partkey")
+        // struct key ≡ the oracle's triple equality (p_brand contains
+        // '#', so joining on the concat string could alias distinct
+        // triples; the concat stays ONLY as the cap's grouping key,
+        // which the oracle mirrors verbatim)
+        .withColumn("bk", struct(col("p_brand"), col("p_type"),
+          expr("split_part(p_name, ' ', 1)")))
       // The 3-arg THRESHOLD form computes a banded O(len·k) distance
       // (returning -1 past the bound) instead of the full O(len²) DP —
       // the per-call lever, which matters because Catalyst substitutes
@@ -698,16 +704,28 @@ object RelationalQueries {
       // so the call can run twice per surviving pair no matter how the
       // query is phrased. Values for kept rows (dist ≤ 5) are exact, so
       // the plain-levenshtein DuckDB oracle is unchanged.
-      s.sql("""
-        |SELECT key_a, key_b, dist FROM (
-        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-        |    levenshtein(a.p_name, b.p_name, 5) AS dist
-        |  FROM parts_lev a JOIN parts_lev b
-        |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
-        |    AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
-        |    AND a.p_partkey < b.p_partkey)
-        |WHERE dist >= 0
-        |ORDER BY key_a, key_b""".stripMargin)
+      //
+      // SALTED pair expansion (round 11): the block self-join is
+      // compute-skewed — a capped block still emits up to MaxBucket²/2
+      // pairs, and the banded-DP cost concentrates in whichever tasks
+      // own the big blocks (measured at sf1: 52.6 s wall / 90 s cpu =
+      // 1.7 cores busy on 32). The q128 saltedInnerJoin splits each
+      // block's a-side across 8 deterministic hash salts (b-side
+      // replicated 8×, cheap: rows are a name + two keys), so one
+      // block's quadratic work fans across 8 tasks. Every (a, b) pair
+      // still joins exactly once — at a's salt — so the output (and
+      // the oracle) is unchanged.
+      val aSide = capped.select(col("bk"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val bSide = capped.select(col("bk"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      graft.operators.SkewJoin
+        .saltedInnerJoin(aSide, bSide, "bk", col("key_a"), salts = 8)
+        .where(col("key_a") < col("key_b"))
+        .select(col("key_a"), col("key_b"),
+          expr("levenshtein(name_a, name_b, 5)").as("dist"))
+        .where(col("dist") >= 0)
+        .orderBy("key_a", "key_b")
     }),
 
     // Sliding windows (width 10 min, slide 5 min): each event lands in
