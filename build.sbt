@@ -28,13 +28,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: local[32] runs 32 concurrent tasks in ONE JVM, and the
+// round-11 scan-split fix (files.minPartitionNum) made the
+// pair-expansion queries genuinely 32-way parallel — at a flat 8g, 32
+// concurrent sort/join buffers OOM'd q51 at sf1 (the serial scan had
+// been throttling memory by accident). A flat 48g is wrong the other
+// way: on a box with < 48 GiB it drives the OS into swap or an OOM
+// kill (round-11 advisor). So the default DERIVES from physical RAM —
+// half of MemTotal, clamped to [8g, 48g] (48g on the 128 GiB bench
+// box, 8g on a 16 GiB laptop) — and SPARK_DRIVER_MEM overrides.
+val defaultHeap: String = {
+  val memGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong / (2L * 1024 * 1024) }
+      .getOrElse(8L)
+    catch { case _: Throwable => 8L }
+  s"${math.max(8L, math.min(48L, memGb))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g default on the 128 GiB box: local[32] runs 32 concurrent tasks
-  // in ONE JVM, and the round-11 scan-split fix (files.minPartitionNum)
-  // made the pair-expansion queries genuinely 32-way parallel — at the
-  // old 8g default, 32 concurrent sort/join buffers OOM'd q51 at sf1
-  // (the serial scan had been throttling memory by accident).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

@@ -41,7 +41,7 @@ python3 scripts/check.py "$SF" "$OUT" | tail -3
 # Measured at sf0.1 — the fixture the committed floors were set on.
 echo "== recall floors @ sf0.1 =="
 ROUT="$(mktemp -d)/recall"
-sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $ROUT q54_embedding_dup,q88_embedding_dup_multitable,q90_incremental_embedding_dedup,q92_incremental_embedding_dedup_multitable,q213_media_near_dup" 2>/dev/null | grep "\[verify\]" || true
+sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $ROUT q54_embedding_dup,q88_embedding_dup_multitable,q90_incremental_embedding_dedup,q92_incremental_embedding_dedup_multitable,q213_media_near_dup,q249_streamed_admission_parity" 2>/dev/null | grep "\[verify\]" || true
 python3 scripts/recall_check.py /root/testdata/sf0.1 "$ROUT" --assert | tail -8
 
 echo "== bench @ sf0.1 =="

@@ -42,10 +42,17 @@ FLOORS = {
         "q54.recall": 0.15, "q88.recall": 0.42,
         "q90.recall": 0.15, "q92.recall": 0.43,
         "q213.edge_recall": 0.999, "q213.decision_recall": 0.999,
+        # round-12: the STREAMED admission path (restart-spanning
+        # 2-trigger run, DedupQueries q249). Decisions are per-row vs
+        # the fixed history index, so streamed recall must EQUAL q90's
+        # batch recall — same floor; a parity break also hash-fails
+        # q249 in the differential gate.
+        "q249.recall": 0.15,
     },
     "sf1": {
         "q54.recall": 0.15, "q88.recall": 0.39,
         "q90.recall": 0.14, "q92.recall": 0.38,
+        "q249.recall": 0.14,
     },
 }
 
@@ -204,6 +211,24 @@ def main(sf_dir: str, out_dir: str, do_assert: bool = False) -> None:
         print(f"{q}: {len(flagged)} flagged of "
               f"{len(bt)} true-dup batch rows, decision recall = "
               f"{band_recall(flagged, set(bt)):.3f}, false-pos = {len(fp)}")
+
+    # q249: the STREAMED admission path (admitNovelEmbeddings over a
+    # restart-spanning 2-trigger run) against the same exact ground
+    # truth as q90 — decision recall over batch rows with ANY true
+    # history near-dup; the exact-cosine verify makes precision
+    # lossless, so a dropped row with no true near-dup is a bug.
+    if have(out_dir, "q249_streamed_admission_parity"):
+        rows = con.sql(
+            f"SELECT vec_id, admitted FROM "
+            f"'{out_dir}/q249_streamed_admission_parity/*.parquet'").fetchall()
+        dropped = {int(b) for b, a in rows if not a}
+        fp = [b for b in dropped if b not in bt]
+        metrics["q249.recall"] = band_recall(dropped, set(bt))
+        metrics["q249.fp"] = len(fp)
+        print(f"q249_streamed_admission_parity: {len(dropped)} dropped of "
+              f"{len(bt)} true-dup batch rows (streamed, 2 triggers + "
+              f"restart), decision recall = "
+              f"{band_recall(dropped, set(bt)):.3f}, false-pos = {len(fp)}")
 
     media_recall(con, sf_dir, out_dir)
 

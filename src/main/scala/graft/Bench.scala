@@ -25,16 +25,30 @@ import org.apache.spark.sql.SparkSession
   * defend against — all samples land inside a multi-minute burst. The
   * sweep now adjudicates itself three ways:
   *  1. per-query PROCESS CPU time is recorded alongside wall time
-  *     (`"cpu"` map in the full record). CPU time is contention-immune:
-  *     a co-tenant burst inflates wall while leaving this process's CPU
-  *     flat, so a 65 s wall / 2 s CPU entry self-identifies as load
-  *     without anyone re-timing it. (local[32] runs executors in this
-  *     JVM, so process CPU ≈ the query's true compute.)
+  *     (`"cpu"` map in the full record). CPU discriminates load from
+  *     plan regressions far better than wall, but it is NOT fully
+  *     contention-immune: round-11 data shows a sustained co-tenant
+  *     burst roughly DOUBLING this JVM's process CPU for identical
+  *     work (q112: 76.9 CPU-s inside the contended driver sweep vs
+  *     37.8 CPU-s for the same query in judge isolation — cache
+  *     thrash and shuffle-fetch spin burn real cycles). So a 65 s
+  *     wall / 2 s CPU entry still self-identifies as load, but a
+  *     "CPU ≈ record CPU" test under-flags by up to ~2× under heavy
+  *     co-tenancy — CPU is a relative signal here, never an absolute
+  *     adjudicator. (local[32] runs executors in this JVM, so process
+  *     CPU ≈ the query's compute plus contention-induced burn.)
   *  2. an END-OF-SWEEP RE-TIME pass: any query whose min exceeds
-  *     [[RetimeFactor]]× its committed quiet-box record (see 3) gets one
-  *     more sample after the sweep — a burst that straddled its
-  *     alphabetical neighborhood has usually passed by then. Queries
-  *     that stay high are listed in `"load_flagged"`.
+  *     [[RetimeFactor]]× its committed quiet-box record (see 3) gets
+  *     one more sample after the sweep, and — new in round 12, after
+  *     all five r11 flags proved phantom because the re-time ran
+  *     inside the same multi-minute burst — queries that are STILL
+  *     high get a second sample after a [[RetimeSettleMs]] pause, so
+  *     at least one sample lands outside a burst the sweep straddled.
+  *     A query is listed in `"load_flagged"` only if, after both
+  *     extra samples, its wall AND its CPU (when the record carries a
+  *     CPU column) both exceed the record per [[needsRetime]] — a
+  *     high-wall/flat-CPU residual is co-tenant load by signature 1
+  *     and is not a flag.
   *  3. the quiet-box record lives in BENCH_RECORD.json — a file this
   *     sweep NEVER writes (refresh it deliberately by copying a
   *     quiet-box BENCH_LOCAL.json), so the comparison baseline survives
@@ -54,6 +68,17 @@ object Bench {
     * multi-second phantoms the pass exists for, so the excess must
     * also clear this many seconds. */
   val RetimeMinDeltaSec = 0.5
+
+  /** Pause before the SECOND (spaced) re-time sample: the five r11
+    * load flags were all phantom because the immediate re-time ran
+    * while the same co-tenant burst was still live — observed bursts
+    * run minutes, so a fixed short settle buys a sample that is at
+    * least not the SAME instant, at a bounded cost paid only when the
+    * immediate re-time still reads high. Override (e.g. to 0 in
+    * specs) via SPARK_GRAFT_RETIME_SETTLE_MS. */
+  val RetimeSettleMs: Long =
+    sys.env.get("SPARK_GRAFT_RETIME_SETTLE_MS").flatMap(s =>
+      scala.util.Try(s.toLong).toOption).getOrElse(20000L)
 
   /** 2-decimal (10 ms) rendering; Locale.ROOT keeps the decimal point
     * a '.' regardless of JVM locale (a comma-decimal locale would emit
@@ -103,13 +128,13 @@ object Bench {
   def minWithRetry(sample: () => Option[Double]): Double =
     minWithRetryCpu(() => sample().map(w => (w, 0.0)))._1
 
-  /** Extracts the per-query wall map from a BENCH record line (our own
-    * writer's format — `"queries":{"name":sec,...}` with no nested
-    * braces inside the object). Dependency-free by design: the record
+  /** Extracts a named per-query map (`"<field>":{"name":sec,...}`,
+    * no nested braces inside the object — our own writer's format)
+    * from a BENCH record line. Dependency-free by design: the record
     * is read on the bench path where a JSON-library schema drift must
     * never fail the sweep; returns empty on any shape surprise. */
-  def parseRecordQueries(line: String): Map[String, Double] = {
-    val tag = "\"queries\":{"
+  def parseRecordMap(line: String, field: String): Map[String, Double] = {
+    val tag = "\"" + field + "\":{"
     val i = line.indexOf(tag)
     if (i < 0) Map.empty
     else {
@@ -120,6 +145,10 @@ object Bench {
         .toMap
     }
   }
+
+  /** The record's wall map (spec surface since round 11). */
+  def parseRecordQueries(line: String): Map[String, Double] =
+    parseRecordMap(line, "queries")
 
   /** The record's `"sf"` field (the re-time pass must not compare an
     * sf1 sweep against an sf0.1 record — everything would flag). */
@@ -135,6 +164,64 @@ object Bench {
   def needsRetime(wall: Double, record: Option[Double]): Boolean =
     record.exists(r => wall >= 0 && r > 0 &&
       wall > RetimeFactor * r && wall - r > RetimeMinDeltaSec)
+
+  /** Final flag decision for a query that is still wall-suspect after
+    * every re-time sample: flag only if the CPU column AGREES (same
+    * [[needsRetime]] ratio + delta test against the record's committed
+    * CPU). Rationale: a plan regression burns more CPU; pure co-tenant
+    * wall inflation with CPU at ~record is load by construction
+    * (header signature 1). When either CPU reading is unavailable
+    * (record predates the cpu column, or the platform bean is absent)
+    * the wall verdict stands alone — degrading to round-11 behavior,
+    * never silently unflagging. */
+  def isGenuineRegression(wall: Double, recWall: Option[Double],
+                          cpu: Double, recCpu: Option[Double]): Boolean =
+    needsRetime(wall, recWall) &&
+      (cpu < 0 || recCpu.forall(_ <= 0) || needsRetime(cpu, recCpu))
+
+  /** The end-of-sweep re-time pass as a PURE decision procedure (the
+    * spec injects a deliberate regression through `resample` to prove
+    * the detector fires, and a phantom to prove it doesn't).
+    *
+    * Per wall-suspect query: one immediate re-sample; queries still
+    * suspect after it get ONE more after a single shared `settle()`
+    * pause (the r11 lesson: an immediate re-time inside the same
+    * burst re-reads the burst). The reported timing is the min-wall
+    * sample (cpu rides with its own run); `retimed` lists queries the
+    * extra samples improved; `flagged` lists queries that remain
+    * suspect on wall AND cpu per [[isGenuineRegression]]. */
+  def adjudicateSweep(
+      swept: Seq[(String, Timing)],
+      recWall: Map[String, Double],
+      recCpu: Map[String, Double],
+      resample: String => Option[Timing],
+      settle: () => Unit): (Seq[(String, Timing)], List[(String, Double)], List[String]) = {
+    var retimed = List.empty[(String, Double)]
+    var flagged = List.empty[String]
+    // pass 1: immediate re-sample of every wall suspect
+    val pass1: Seq[(String, Timing, Boolean)] = swept.map {
+      case (name, t @ (wall, _)) =>
+        if (!needsRetime(wall, recWall.get(name))) (name, t, false)
+        else {
+          val best = (Some(t) ++ resample(name)).minBy(_._1)
+          (name, best, needsRetime(best._1, recWall.get(name)))
+        }
+    }
+    // pass 2: one SPACED sample for whatever pass 1 didn't clear
+    if (pass1.exists(_._3)) settle()
+    val results = pass1.map { case (name, t @ (wall, _), suspect) =>
+      val best =
+        if (!suspect) t
+        else (Some(t) ++ resample(name)).minBy(_._1)
+      if (best._1 < swept.collectFirst { case (`name`, (w, _)) => w }.get)
+        retimed ::= name -> best._1
+      if (suspect && isGenuineRegression(best._1, recWall.get(name),
+          best._2, recCpu.get(name)))
+        flagged ::= name
+      name -> best
+    }
+    (results, retimed, flagged)
+  }
 
   /** The LAST stdout line — the only payload the driver's ~2 KB tail
     * parse is guaranteed to see, so it must stay far under that bound
@@ -185,20 +272,23 @@ object Bench {
     // optional comma-separated filter for targeted timing runs
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
 
-    // q124's guarded one-time shard write (fingerprint-marker keyed,
-    // CorpusQueries) is sink SETUP, not query work: on a fresh
-    // checkout the first timed run otherwise pays the full physical
-    // shard write (driver r9 recorded 17.9 s for a 0.75 s read-back
-    // query). Warm it here — subsequent runs hit the marker and
-    // measure the read-back path, which is the query. A failed warm-up
-    // is printed (it means the timed run will pay the write).
-    if (only.forall(_.contains("q124_shard_roundtrip")))
-      SparkEntry.queries.get("q124_shard_roundtrip").foreach { fn =>
-        try run(fn) catch { case e: Throwable =>
-          System.err.println(s"[bench] warm-up q124_shard_roundtrip failed: ${e.getMessage}")
-        }
-        spark.catalog.clearCache()
+    // Guarded one-time physical setup (fingerprint-marker keyed) is
+    // sink/stream SETUP, not query work: on a fresh checkout the first
+    // timed run otherwise pays it in full (driver r9 recorded 17.9 s
+    // for q124's 0.75 s read-back query). Warm these here — subsequent
+    // runs hit the marker and measure the read-back path, which is the
+    // query. q249's marker run is the restart-spanning streamed
+    // admission (two streaming queries); its timed query is the
+    // decision read-back + join. A failed warm-up is printed (it means
+    // the timed run will pay the setup).
+    for (setup <- Seq("q124_shard_roundtrip", "q249_streamed_admission_parity")
+         if only.forall(_.contains(setup));
+         fn <- SparkEntry.queries.get(setup)) {
+      try run(fn) catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $setup failed: ${e.getMessage}")
       }
+      spark.catalog.clearCache()
+    }
 
     def mkSample(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -246,23 +336,15 @@ object Bench {
         val src = scala.io.Source.fromFile(recordPath)
         try src.mkString finally src.close()
       } catch { case scala.util.control.NonFatal(_) => "" }
+    val sfMatches = parseRecordSf(recordLine).contains(sfName)
     val record: Map[String, Double] =
-      if (parseRecordSf(recordLine).contains(sfName)) parseRecordQueries(recordLine)
-      else Map.empty
-    var retimed = List.empty[(String, Double)]
-    var flagged = List.empty[String]
-    val results: Seq[(String, Timing)] = swept.map { case (name, (wall, cpu)) =>
-      if (!needsRetime(wall, record.get(name))) name -> ((wall, cpu))
-      else {
-        // one extra sample, taken AFTER the whole sweep (the burst that
-        // inflated this query's neighborhood has usually moved on)
-        val again = mkSample(name, SparkEntry.queries(name))()
-        val best = (Some((wall, cpu)) ++ again).minBy(_._1)
-        if (best._1 < wall) retimed ::= name -> best._1
-        if (needsRetime(best._1, record.get(name))) flagged ::= name
-        name -> best
-      }
-    }
+      if (sfMatches) parseRecordQueries(recordLine) else Map.empty
+    val recordCpu: Map[String, Double] =
+      if (sfMatches) parseRecordMap(recordLine, "cpu") else Map.empty
+    val (results, retimed, flagged) = adjudicateSweep(
+      swept, record, recordCpu,
+      name => mkSample(name, SparkEntry.queries(name))(),
+      () => Thread.sleep(RetimeSettleMs))
 
     // The driver captures a ~2 KB stdout TAIL, and sbt appends its own
     // "[success] ..." line after ours — a 118-entry per-query map is a

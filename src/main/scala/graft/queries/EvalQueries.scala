@@ -128,6 +128,19 @@ object EvalQueries {
       .select(col("vec_id"), col("label").cast("long").as("label"),
         KMeans.quantize(col("embedding")).as("qv"))
 
+  /** NEGATIVE-SUM DIVISION NOTE (round 12, advisor-raised and then
+    * MEASURED): a per-(label, dim) sum of quantized components CAN be
+    * negative (embedding components are signed), so the division
+    * convention matters. Spark's `div` truncates toward zero — and so
+    * does DuckDB's `//` (verified: `SELECT -7 // 2` → -3, not Python's
+    * floored -4), so `sum(q) div count(1)` here and `sum(q) //
+    * count(*)` in the oracle CTEs agree EXACTLY on every sign — the
+    * round-12 differential confirmed it by failing q220/q243/q244 the
+    * moment a floor-division "fix" made Spark diverge. The q242/q196
+    * sign-aware guards remain correct (both engines truncate, and
+    * those comments only rely on floor≡truncate for non-negative
+    * operands); Math.floorDiv stays confined to driver-side KMeans
+    * state where no cross-engine parity is at stake. */
   private def centroids(e: DataFrame): DataFrame =
     e.select(col("label").as("cl"), posexplode(col("qv")).as(Seq("d", "q")))
       .groupBy("cl", "d")
@@ -395,8 +408,12 @@ object EvalQueries {
     // u2 = Σ_v pos(v)·(2·neg_below(v) + neg(v)). One integer division
     // at the end: auc_ppm = 10⁶·u2 div (2·n_pos·n_neg) — exact while
     // 10⁶·2·n_pos·n_neg < 2⁶³, i.e. to ~4 M scored vectors (the q215
-    // convention: the bound is stated, not silently wrapped; past it
-    // both engines would rescale the ppm identically).
+    // convention: the bound is stated, not silently wrapped). Past the
+    // bound the engines diverge LOUDLY, not identically: Spark in ANSI
+    // mode throws on int64 overflow while DuckDB promotes BIGINT sums
+    // to HUGEINT and stays exact — i.e. the differential fails with an
+    // error, never a silent wrong answer; a corpus past ~4 M scored
+    // vectors wants the u2 fold widened to Decimal on both sides.
     "q241_margin_auc" -> ((s, dir) => {
       val h = margins(s, dir)
         .select(when(col("label") === col("pred"), 1L).otherwise(0L)

@@ -685,8 +685,16 @@ object RelationalQueries {
       // same MaxBucket per-block skew cap as the q51/q53 LSH paths
       // (mirrored in the oracle): a boilerplate name family sharing one
       // (brand, type, token) block would otherwise join quadratic
+      // NULL-attribute rows are dropped UP FRONT on both sides (the
+      // oracle mirrors this filter): Spark's struct equality treats
+      // NULL fields as equal while SQL triple equality drops them, and
+      // concat_ws vs `||` disagree on NULL blocking keys — filtering
+      // first makes the engines identical by construction instead of
+      // leaning on the fixture's (true) non-null invariant.
       val blocked = t(s, dir, "part")
         .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_name"))
+        .where(col("p_brand").isNotNull && col("p_type").isNotNull &&
+          col("p_name").isNotNull)
         .withColumn("blk", concat_ws("#", col("p_brand"), col("p_type"),
           expr("split_part(p_name, ' ', 1)")))
       val capped = graft.operators.Dedup
@@ -1269,7 +1277,9 @@ object RelationalQueries {
         |    SELECT *, row_number() OVER (
         |      PARTITION BY p_brand || '#' || p_type || '#' || split_part(p_name, ' ', 1)
         |      ORDER BY p_partkey) AS rk
-        |    FROM part)
+        |    FROM part
+        |    WHERE p_brand IS NOT NULL AND p_type IS NOT NULL
+        |      AND p_name IS NOT NULL)
         |  WHERE rk <= ${graft.operators.Dedup.MaxBucket})
         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  levenshtein(a.p_name, b.p_name) AS dist

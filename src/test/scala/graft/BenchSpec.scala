@@ -108,6 +108,75 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsRetime(0.9, Some(0.42)))        // 2.1x, delta 0.48 < floor
   }
 
+  test("record cpu map parses via the generalized field parser") {
+    val rec = """{"queries":{"q01_a":0.44},"cpu":{"q01_a":3.10,"q02_b":0.50},""" +
+      """"sf":"sf0.1"}"""
+    assert(Bench.parseRecordMap(rec, "cpu") == Map("q01_a" -> 3.10, "q02_b" -> 0.50))
+    assert(Bench.parseRecordMap(rec, "nope") == Map.empty)
+  }
+
+  /** Round-12 flag decision: wall AND cpu must both exceed the record
+    * (a plan regression burns more CPU; co-tenant wall inflation with
+    * CPU at ~record is load). Missing CPU on either side degrades to
+    * the wall-only round-11 verdict — never silently unflags. */
+  test("isGenuineRegression requires cpu agreement when both cpu readings exist") {
+    // wall 10x, cpu at record: phantom load, not flagged
+    assert(!Bench.isGenuineRegression(10.0, Some(1.0), 2.0, Some(2.0)))
+    // wall 10x AND cpu 10x: genuine regression
+    assert(Bench.isGenuineRegression(10.0, Some(1.0), 10.0, Some(1.0)))
+    // wall fine: never flagged regardless of cpu
+    assert(!Bench.isGenuineRegression(1.0, Some(1.0), 99.0, Some(1.0)))
+    // cpu unavailable (platform bean / old record): wall verdict stands
+    assert(Bench.isGenuineRegression(10.0, Some(1.0), -1.0, Some(1.0)))
+    assert(Bench.isGenuineRegression(10.0, Some(1.0), 10.0, None))
+    assert(Bench.isGenuineRegression(10.0, Some(1.0), 10.0, Some(0.0)))
+  }
+
+  /** Round-12 re-time pass, driven end-to-end with injected samplers:
+    * a deliberate regression must fire the detector, a phantom must
+    * not, and the settle pause runs only when the immediate re-sample
+    * fails to clear a suspect. */
+  test("adjudicateSweep flags an injected genuine regression and clears phantoms") {
+    val recW = Map("q_reg" -> 1.0, "q_phantom" -> 1.0, "q_ok" -> 1.0)
+    val recC = Map("q_reg" -> 1.0, "q_phantom" -> 2.0, "q_ok" -> 1.0)
+    var settles = 0
+    var resamples = List.empty[String]
+    val swept = Seq(
+      "q_reg" -> ((10.0, 10.0)),     // injected regression: stays hot on both
+      "q_phantom" -> ((10.0, 2.1)),  // wall 10x but cpu at record: load
+      "q_ok" -> ((1.1, 1.0)))        // within record: untouched
+    val (res, retimed, flagged) = Bench.adjudicateSweep(
+      swept, recW, recC,
+      name => { resamples ::= name; Some((10.0, if (name == "q_reg") 10.0 else 2.1)) },
+      () => settles += 1)
+    assert(flagged == List("q_reg"), s"got $flagged")
+    assert(settles == 1)                        // spaced pass engaged once
+    assert(resamples.count(_ == "q_reg") == 2)  // immediate + spaced
+    assert(resamples.count(_ == "q_ok") == 0)   // never touched
+    assert(retimed.isEmpty)                     // no sample improved
+    assert(res.toMap.apply("q_ok") == ((1.1, 1.0)))
+  }
+
+  test("adjudicateSweep: immediate re-sample at the record clears without settling") {
+    var settles = 0
+    val (res, retimed, flagged) = Bench.adjudicateSweep(
+      Seq("q1" -> ((10.0, 2.0))), Map("q1" -> 1.0), Map("q1" -> 2.0),
+      _ => Some((1.0, 2.0)), () => settles += 1)
+    assert(flagged.isEmpty && settles == 0)
+    assert(retimed == List("q1" -> 1.0))        // improvement recorded
+    assert(res.toMap.apply("q1") == ((1.0, 2.0)))
+  }
+
+  test("adjudicateSweep: burst passing between samples clears on the spaced pass") {
+    val it = Iterator((9.0, 9.0), (1.0, 1.0))   // still hot, then quiet
+    var settles = 0
+    val (res, _, flagged) = Bench.adjudicateSweep(
+      Seq("q1" -> ((10.0, 10.0))), Map("q1" -> 1.0), Map("q1" -> 1.0),
+      _ => Some(it.next()), () => settles += 1)
+    assert(flagged.isEmpty && settles == 1)
+    assert(res.toMap.apply("q1") == ((1.0, 1.0)))
+  }
+
   test("summary line carries the contention-adjudication scalars") {
     val l = Bench.summaryLine(Seq("q1" -> 1.0), 1.0, 0, "sf0.1",
       cpuSec = 7.5, nRetimed = 2, nLoadFlagged = 1)
