@@ -281,7 +281,8 @@ object Bench {
     // admission (two streaming queries); its timed query is the
     // decision read-back + join. A failed warm-up is printed (it means
     // the timed run will pay the setup).
-    for (setup <- Seq("q124_shard_roundtrip", "q249_streamed_admission_parity")
+    for (setup <- Seq("q124_shard_roundtrip", "q249_streamed_admission_parity",
+           "q250_streamed_text_admission_parity")
          if only.forall(_.contains(setup));
          fn <- SparkEntry.queries.get(setup)) {
       try run(fn) catch { case e: Throwable =>

@@ -605,6 +605,90 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // STREAMED TEXT admission parity (q250, round 12): q249's exact-
+    // dedup twin — StreamingIngest.admitNovelTexts (Bloom-gated,
+    // index = history ∪ prior admissions, maintained across triggers
+    // AND restarts) over the same restart-spanning 2-drop protocol.
+    // Unlike q249, decisions here are ORDER-DEPENDENT (the first
+    // arrival of a duplicated text wins), so each drop is written as
+    // ONE file — one micro-batch per drop — making processing order
+    // the deterministic (drop, doc_id) ramp the oracle replays as a
+    // single row_number: admitted ⟺ hash ∉ history AND first among
+    // same-hash stream docs by (doc_id % 2, doc_id). One hash thus
+    // certifies the Bloom gate (no false negative may drop a novel
+    // text), the exact-verify of bloom-positives, the cross-trigger
+    // index fold, and the restart re-init from the admitted store —
+    // any of which failing moves at least one decision.
+    //
+    // The stream corpus INJECTS duplication deterministically (the
+    // q129 injection discipline — sf0.01 documents carry no exact
+    // dups in the ≥250 split, which would make every decision a
+    // trivial admit): each run of 7 consecutive doc_ids shares the
+    // text of its run base (runs straddle both parities ⇒ cross-drop
+    // dups), and every 11th doc instead carries a HISTORY doc's text
+    // (⇒ history dups, caught by the initial index). The oracle
+    // derives the identical corpus.
+    "q250_streamed_text_admission_parity" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val hist = d.where(col("doc_id") < 250)
+      val base = d.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      val streamSide = d.where(col("doc_id") >= 250).select(col("doc_id"))
+        .withColumn("g_id", col("doc_id") - col("doc_id") % 7)
+        .withColumn("h_id", col("doc_id") % 250)
+        .join(base, col("g_id") === col("b_id"))
+        .withColumnRenamed("b_text", "g_text").drop("b_id")
+        .join(base, col("h_id") === col("b_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, col("b_text"))
+            .otherwise(col("g_text")).as("text"))
+      val path = "target/q250_stream_admit_text/" + new java.io.File(dir).getName
+      // fingerprint the DERIVED stream corpus plus the history split
+      // (not the raw table): a change to the injection protocol must
+      // invalidate the marker exactly like a fixture regeneration
+      val fpRow = streamSide.unionByName(hist).agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("doc_id"), col("text"))).cast("string").as("h"))
+        .collect()(0)
+      val fp = "inject-v2:" +
+        (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      val marker = new java.io.File(path, "_GRAFT_INPUT_FINGERPRINT").toPath
+      val current = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
+      if (!current) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+        val in = s"$path/in"
+        def runOnce(): Unit = {
+          val q = graft.streaming.StreamingIngest.admitNovelTexts(
+            s.readStream.schema(streamSide.schema).parquet(in), hist,
+            targetPath = s"$path/admitted", checkpoint = s"$path/ckpt")
+          try q.awaitTermination(600000) finally q.stop()
+        }
+        // coalesce(1): one file per drop ⇒ one micro-batch per drop ⇒
+        // deterministic arrival order (harness protocol, not a
+        // production pattern — production feeds arrive pre-ordered by
+        // the source's own log)
+        streamSide.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        streamSide.where(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        ()
+      }
+      val admitted = s.read.schema(streamSide.schema)
+        .parquet(s"$path/admitted")
+        .select(col("doc_id")).withColumn("admitted", lit(true))
+      streamSide.select("doc_id").join(admitted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("admitted"), lit(false)).as("admitted"))
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-passage mining — the exact-substring cross-document
     // dedup signal (the published n-gram span-dedup construction:
     // Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -1038,6 +1122,26 @@ object DedupQueries {
            |FROM batch b LEFT JOIN m ON m.bv = b.vec_id
            |ORDER BY b.vec_id""".stripMargin
       },
+
+      // q250: the streamed text admission replayed as one ranked pass
+      // over the SAME injected-duplication corpus — admitted ⟺ hash ∉
+      // history AND first among same-hash stream docs in
+      // (drop = doc_id % 2, doc_id) arrival order.
+      "q250_streamed_text_admission_parity" ->
+        """WITH hist AS (SELECT DISTINCT md5(text) AS h
+          |  FROM documents WHERE doc_id < 250),
+          |strm AS (SELECT s.doc_id,
+          |    CASE WHEN s.doc_id % 11 = 0 THEN hd.text ELSE g.text END AS text
+          |  FROM documents s
+          |  JOIN documents g ON g.doc_id = s.doc_id - (s.doc_id % 7)
+          |  JOIN documents hd ON hd.doc_id = s.doc_id % 250
+          |  WHERE s.doc_id >= 250),
+          |rk AS (SELECT doc_id, md5(text) AS h, row_number() OVER (
+          |    PARTITION BY md5(text) ORDER BY doc_id % 2, doc_id) AS rn
+          |  FROM strm)
+          |SELECT r.doc_id, (r.rn = 1 AND hi.h IS NULL) AS admitted
+          |FROM rk r LEFT JOIN hist hi ON hi.h = r.h
+          |ORDER BY r.doc_id""".stripMargin,
 
       // q104: same rep-level chain; BIGINT casts keep DuckDB's integer
       // sums out of HUGEINT (the driver hashes it differently)
