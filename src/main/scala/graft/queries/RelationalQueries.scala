@@ -713,16 +713,22 @@ object RelationalQueries {
       // query is phrased. Values for kept rows (dist ≤ 5) are exact, so
       // the plain-levenshtein DuckDB oracle is unchanged.
       //
-      // SALTED pair expansion (round 11): the block self-join is
-      // compute-skewed — a capped block still emits up to MaxBucket²/2
-      // pairs, and the banded-DP cost concentrates in whichever tasks
-      // own the big blocks (measured at sf1: 52.6 s wall / 90 s cpu =
-      // 1.7 cores busy on 32). The q128 saltedInnerJoin splits each
-      // block's a-side across 8 deterministic hash salts (b-side
-      // replicated 8×, cheap: rows are a name + two keys), so one
-      // block's quadratic work fans across 8 tasks. Every (a, b) pair
-      // still joins exactly once — at a's salt — so the output (and
-      // the oracle) is unchanged.
+      // SALTED pair expansion (round 11, re-tuned round 12): the block
+      // self-join is compute-skewed — a capped block still emits up to
+      // MaxBucket²/2 pairs, and the banded-DP cost concentrates in
+      // whichever tasks own the big blocks (measured at sf1 pre-salt:
+      // 52.6 s wall / 90 s cpu = 1.7 cores busy on 32). The q128
+      // saltedInnerJoin splits each block's a-side across deterministic
+      // hash salts (b-side replicated salts×, cheap: rows are a name +
+      // two keys), so one block's quadratic work fans across that many
+      // tasks. Every (a, b) pair still joins exactly once — at a's
+      // salt — so the output (and the oracle) is unchanged. salts=8
+      // is the committed operating point; round-12 isolated min-of-2
+      // probes read salts=16 at 42.8 s vs salts=8 at 45.6 s — a 6%
+      // delta within this shared box's measured run-to-run drift
+      // (full-sweep totals varied 507→654 s across three same-tree
+      // runs under co-tenant load), so not enough evidence to move;
+      // salts=32 was rejected in r11 (46.7 s — replication dominates).
       val aSide = capped.select(col("bk"),
         col("p_partkey").as("key_a"), col("p_name").as("name_a"))
       val bSide = capped.select(col("bk"),
