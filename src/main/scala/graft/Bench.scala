@@ -282,7 +282,8 @@ object Bench {
     // decision read-back + join. A failed warm-up is printed (it means
     // the timed run will pay the setup).
     for (setup <- Seq("q124_shard_roundtrip", "q249_streamed_admission_parity",
-           "q250_streamed_text_admission_parity")
+           "q250_streamed_text_admission_parity",
+           "q251_streamed_segment_scrub_parity")
          if only.forall(_.contains(setup));
          fn <- SparkEntry.queries.get(setup)) {
       try run(fn) catch { case e: Throwable =>

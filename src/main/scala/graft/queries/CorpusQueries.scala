@@ -898,6 +898,68 @@ object CorpusQueries {
       reconstructDocs(sp, first).orderBy("doc_id")
     }),
 
+    // STREAMED segment-scrub parity (q251, round 12): the q130 CCNet
+    // scrub's streaming twin — StreamingIngest.scrubSeenSegments —
+    // enters the differential over a restart-spanning run, completing
+    // the admission-path promotion q249/q250 started. The stream side
+    // (doc_id ≥ 250) lands as two CONTIGUOUS doc_id-range drops (one
+    // file each = one micro-batch each, split at the range midpoint),
+    // so cross-batch arrival order coincides with (doc_id, k) — and by
+    // the operator's ordering contract the streamed rebuild is then
+    // bit-identical to batch q130 over the full corpus, restricted to
+    // the stream side. The oracle IS q130's SQL with that restriction,
+    // so one hash certifies the per-batch first-occurrence fold, the
+    // segment-Bloom gate + exact verify, the batch-partitioned
+    // replay-safe sink, the _COMMITTED markers, and the restart
+    // re-init of the segment index — against an oracle that knows
+    // nothing about batches. (StreamingSpec pins the same parity
+    // in-memory; this pins it through the physical file-source /
+    // checkpoint / parquet-sink path, hash-gated every round.)
+    "q251_streamed_segment_scrub_parity" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val hist = d.where(col("doc_id") < 250)
+      val streamSide = d.where(col("doc_id") >= 250)
+      val path = "target/q251_stream_scrub/" + new java.io.File(dir).getName
+      val fpRow = d.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("doc_id"), col("text"))).cast("string").as("h"))
+        .collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      val marker = new java.io.File(path, "_GRAFT_INPUT_FINGERPRINT").toPath
+      val current = java.nio.file.Files.exists(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
+      if (!current) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+        val in = s"$path/in"
+        val mid = (250L +
+          streamSide.agg(max("doc_id")).head.getLong(0)) / 2
+        def runOnce(): Unit = {
+          val q = graft.streaming.StreamingIngest.scrubSeenSegments(
+            s.readStream.schema(streamSide.schema).parquet(in), hist,
+            targetPath = s"$path/out", checkpoint = s"$path/ckpt")
+          try q.awaitTermination(600000) finally q.stop()
+        }
+        streamSide.where(col("doc_id") < mid)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        streamSide.where(col("doc_id") >= mid)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        ()
+      }
+      // readers drop the batch lineage column (scrubSeenSegments'
+      // documented contract); decisions + rebuilt hashes are the parity
+      s.read.parquet(s"$path/out")
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          col("clean_hash"), col("clean_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Host-level boilerplate prior + document gate (q131): the
     // RefinedWeb/UT1 "host prior" shape — quality decisions made at
     // SOURCE granularity from source-level aggregates, then broadcast
@@ -998,6 +1060,33 @@ object CorpusQueries {
           |    'seg', concat_ws(' ', slice(toks, k*8+1, 8)))))""".stripMargin).as("u"))
       .select(col("doc_id"), col("u.k").as("k"), col("u.seg").as("seg"))
       .withColumn("h", md5(col("seg")))
+
+  /** q130's DuckDB twin (corpus-wide first-occurrence segment scrub +
+    * rebuild); `where` restricts the OUTPUT rows only — the rk fold
+    * always runs over the whole corpus, which is exactly what makes
+    * the q251 restriction the streamed scrub's ground truth. */
+  private def segmentDedupSql(where: String): String =
+    s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+       |  FROM documents),
+       |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+       |s0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
+       |    k -> {'k': k, 'seg': array_to_string(list_slice(toks, k*8+1, k*8+8), ' ')})) AS u
+       |  FROM tt),
+       |sp AS (SELECT doc_id, u.k AS k, u.seg AS seg, md5(u.seg) AS h FROM s0),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, k) AS rn
+       |  FROM sp),
+       |kept AS (SELECT doc_id, k, seg FROM rk WHERE rn = 1),
+       |rec AS (SELECT doc_id, count(*) AS n_kept,
+       |    md5(string_agg(seg, ' ' ORDER BY k)) AS clean_hash,
+       |    CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS clean_tokens
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (SELECT doc_id, count(*) AS n_segs FROM sp GROUP BY doc_id)
+       |SELECT tot.doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+       |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, clean_hash,
+       |  coalesce(clean_tokens, 0) AS clean_tokens
+       |FROM tot LEFT JOIN rec ON rec.doc_id = tot.doc_id
+       |$where
+       |ORDER BY tot.doc_id""".stripMargin
 
   /** Rebuild per-doc rows from surviving segments: q130's output
     * contract (doc_id, n_segs, n_kept, clean_hash, clean_tokens),
@@ -1616,27 +1705,15 @@ object CorpusQueries {
     // (doc_id, k) total order; the ordered string_agg re-derives the
     // reconstruction independently, so hash-equality certifies the
     // rebuild order, not just the survivor set.
-    "q130_segment_dedup" ->
-      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
-         |  FROM documents),
-         |tt AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
-         |s0 AS (SELECT doc_id, unnest(list_transform(range(0, (len(toks)-1)//8 + 1),
-         |    k -> {'k': k, 'seg': array_to_string(list_slice(toks, k*8+1, k*8+8), ' ')})) AS u
-         |  FROM tt),
-         |sp AS (SELECT doc_id, u.k AS k, u.seg AS seg, md5(u.seg) AS h FROM s0),
-         |rk AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, k) AS rn
-         |  FROM sp),
-         |kept AS (SELECT doc_id, k, seg FROM rk WHERE rn = 1),
-         |rec AS (SELECT doc_id, count(*) AS n_kept,
-         |    md5(string_agg(seg, ' ' ORDER BY k)) AS clean_hash,
-         |    CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS clean_tokens
-         |  FROM kept GROUP BY doc_id),
-         |tot AS (SELECT doc_id, count(*) AS n_segs FROM sp GROUP BY doc_id)
-         |SELECT tot.doc_id, CAST(n_segs AS BIGINT) AS n_segs,
-         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, clean_hash,
-         |  coalesce(clean_tokens, 0) AS clean_tokens
-         |FROM tot LEFT JOIN rec ON rec.doc_id = tot.doc_id
-         |ORDER BY tot.doc_id""".stripMargin,
+    "q130_segment_dedup" -> segmentDedupSql(""),
+
+    // q251: IDENTICAL corpus-wide first-occurrence computation (the
+    // oracle knows nothing about batches/triggers), restricted to the
+    // streamed side — the contiguous-range drop protocol makes the
+    // streamed scrub coincide with it by the operator's ordering
+    // contract.
+    "q251_streamed_segment_scrub_parity" ->
+      segmentDedupSql("WHERE tot.doc_id >= 250"),
 
     // q131: the same segment universe rolled up one level; integer
     // permille so the threshold compare is exact in both engines.
