@@ -177,6 +177,21 @@ class BenchSpec extends AnyFunSuite {
     assert(res.toMap.apply("q1") == ((1.0, 1.0)))
   }
 
+  /** The COMMITTED record file must stay parseable by the
+    * dependency-free regex reader — a round-12 refresh rewrote it with
+    * a JSON serializer that inserts spaces after colons, which the
+    * reader (correctly, for our own writer's format) rejects, silently
+    * disabling the whole re-time pass for a full sweep. */
+  test("committed BENCH_RECORD.json parses non-empty with its sf") {
+    val f = new java.io.File("BENCH_RECORD.json")
+    assume(f.exists(), "no committed record in this checkout")
+    val line = scala.io.Source.fromFile(f).mkString
+    val qs = Bench.parseRecordQueries(line)
+    assert(qs.size > 100, s"record parsed to ${qs.size} queries — format drift")
+    assert(Bench.parseRecordSf(line).nonEmpty, "record sf missing/unparseable")
+    assert(Bench.parseRecordMap(line, "cpu").size > 100, "cpu column unparseable")
+  }
+
   test("summary line carries the contention-adjudication scalars") {
     val l = Bench.summaryLine(Seq("q1" -> 1.0), 1.0, 0, "sf0.1",
       cpuSec = 7.5, nRetimed = 2, nLoadFlagged = 1)
