@@ -37,14 +37,30 @@ val jdk17AddOpens = Seq(
 // kill (round-11 advisor). So the default DERIVES from physical RAM —
 // half of MemTotal, clamped to [8g, 48g] (48g on the 128 GiB bench
 // box, 8g on a 16 GiB laptop) — and SPARK_DRIVER_MEM overrides.
+// Detection order: /proc/meminfo (Linux), then the JDK's platform
+// MXBean (macOS / a container masking /proc — round-13 advisor: the
+// silent 8g fallback re-creates the exact OOM the derivation exists to
+// avoid on any big non-Linux box), then 8g as the last resort. The
+// chosen value prints once at sbt load so a degraded fallback is
+// visible instead of silent.
 val defaultHeap: String = {
-  val memGb =
+  def procMemGb: Option[Long] =
     try scala.io.Source.fromFile("/proc/meminfo").getLines()
       .collectFirst { case l if l.startsWith("MemTotal:") =>
         l.trim.split("\\s+")(1).toLong / (2L * 1024 * 1024) }
-      .getOrElse(8L)
-    catch { case _: Throwable => 8L }
-  s"${math.max(8L, math.min(48L, memGb))}g"
+    catch { case _: Throwable => None }
+  def beanMemGb: Option[Long] =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        Some(os.getTotalMemorySize / (2L * 1024 * 1024 * 1024))
+      case _ => None
+    } catch { case _: Throwable => None }
+  val memGb = procMemGb.orElse(beanMemGb).getOrElse(8L)
+  val heap = s"${math.max(8L, math.min(48L, memGb))}g"
+  println(s"[build.sbt] derived driver heap: $heap" +
+    s" (meminfo=${procMemGb.isDefined}, mxbean=${beanMemGb.isDefined};" +
+    " override via SPARK_DRIVER_MEM)")
+  heap
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

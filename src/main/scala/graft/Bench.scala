@@ -189,15 +189,21 @@ object Bench {
     * burst re-reads the burst). The reported timing is the min-wall
     * sample (cpu rides with its own run); `retimed` lists queries the
     * extra samples improved; `flagged` lists queries that remain
-    * suspect on wall AND cpu per [[isGenuineRegression]]. */
+    * suspect on wall AND cpu per [[isGenuineRegression]];
+    * `wallSuspects` lists queries that remain wall-suspect but were
+    * NOT flagged because their CPU sat at ~record — the load signature,
+    * but also the signature of an I/O-bound regression (lost cache,
+    * new spill), so the classification leaves a trace instead of
+    * silently filing the query under load (round-13 advisor). */
   def adjudicateSweep(
       swept: Seq[(String, Timing)],
       recWall: Map[String, Double],
       recCpu: Map[String, Double],
       resample: String => Option[Timing],
-      settle: () => Unit): (Seq[(String, Timing)], List[(String, Double)], List[String]) = {
+      settle: () => Unit): (Seq[(String, Timing)], List[(String, Double)], List[String], List[String]) = {
     var retimed = List.empty[(String, Double)]
     var flagged = List.empty[String]
+    var wallSuspects = List.empty[String]
     // pass 1: immediate re-sample of every wall suspect
     val pass1: Seq[(String, Timing, Boolean)] = swept.map {
       case (name, t @ (wall, _)) =>
@@ -215,12 +221,14 @@ object Bench {
         else (Some(t) ++ resample(name)).minBy(_._1)
       if (best._1 < swept.collectFirst { case (`name`, (w, _)) => w }.get)
         retimed ::= name -> best._1
-      if (suspect && isGenuineRegression(best._1, recWall.get(name),
-          best._2, recCpu.get(name)))
-        flagged ::= name
+      if (suspect && needsRetime(best._1, recWall.get(name))) {
+        if (isGenuineRegression(best._1, recWall.get(name),
+            best._2, recCpu.get(name))) flagged ::= name
+        else wallSuspects ::= name
+      }
       name -> best
     }
-    (results, retimed, flagged)
+    (results, retimed, flagged, wallSuspects)
   }
 
   /** The LAST stdout line — the only payload the driver's ~2 KB tail
@@ -231,9 +239,14 @@ object Bench {
     * flagged-name list live only in the full record. */
   def summaryLine(results: Seq[(String, Double)], total: Double,
                   nFailed: Int, sfName: String, cpuSec: Double = -1.0,
-                  nRetimed: Int = 0, nLoadFlagged: Int = 0): String = {
+                  nRetimed: Int = 0, nLoadFlagged: Int = 0,
+                  nWallSuspect: Int = 0): String = {
     val slowest = results.sortBy(-_._2).take(3)
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n_queries":${results.size},"n_failed":$nFailed,"cpu_sec":${fmt(cpuSec)},"n_retimed":$nRetimed,"n_load_flagged":$nLoadFlagged,"slowest":${qmap(slowest)},"full_record":"BENCH_LOCAL.json"}"""
+    // "baseline" names the committed quiet-box comparison file so the
+    // driver artifact is self-describing: re-time counts here are THIS
+    // run's; other same-round runs live under records/ (see
+    // records/README.md for the per-file provenance map).
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n_queries":${results.size},"n_failed":$nFailed,"cpu_sec":${fmt(cpuSec)},"n_retimed":$nRetimed,"n_load_flagged":$nLoadFlagged,"n_wall_suspect":$nWallSuspect,"slowest":${qmap(slowest)},"full_record":"BENCH_LOCAL.json","baseline":"BENCH_RECORD.json","other_runs":"records/README.md"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -343,7 +356,7 @@ object Bench {
       if (sfMatches) parseRecordQueries(recordLine) else Map.empty
     val recordCpu: Map[String, Double] =
       if (sfMatches) parseRecordMap(recordLine, "cpu") else Map.empty
-    val (results, retimed, flagged) = adjudicateSweep(
+    val (results, retimed, flagged, wallSuspects) = adjudicateSweep(
       swept, record, recordCpu,
       name => mkSample(name, SparkEntry.queries(name))(),
       () => Thread.sleep(RetimeSettleMs))
@@ -370,16 +383,17 @@ object Bench {
     val total = walls.map(_._2).filter(_ >= 0).sum
     val cpuTotal = results.map(_._2._2).filter(_ >= 0).sum
     val nFailed = walls.count(_._2 < 0)
-    val flaggedJson = flagged.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def nameList(ns: List[String]): String =
+      ns.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"queries":${qmap(walls)},"cpu":${qmap(results.map { case (n, (_, c)) => n -> c })},"retimed":${qmap(retimed.sortBy(_._1))},"load_flagged":$flaggedJson,"record_file":"${if (record.nonEmpty) recordPath else ""}","n_failed":$nFailed,"metric":"total","value":${fmt(total)},"cpu_sec":${fmt(cpuTotal)},"unit":"sec","sf":"$sfName"}"""
+      s"""{"queries":${qmap(walls)},"cpu":${qmap(results.map { case (n, (_, c)) => n -> c })},"retimed":${qmap(retimed.sortBy(_._1))},"load_flagged":${nameList(flagged)},"wall_suspect":${nameList(wallSuspects)},"record_file":"${if (record.nonEmpty) recordPath else ""}","n_failed":$nFailed,"metric":"total","value":${fmt(total)},"cpu_sec":${fmt(cpuTotal)},"unit":"sec","sf":"$sfName"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out))
       try w.println(fullLine) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
     println(summaryLine(walls, total, nFailed, sfName, cpuTotal,
-      retimed.size, flagged.size))
+      retimed.size, flagged.size, wallSuspects.size))
     spark.stop()
   }
 }

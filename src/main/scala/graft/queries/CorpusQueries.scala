@@ -928,6 +928,17 @@ object CorpusQueries {
       val marker = new java.io.File(path, "_GRAFT_INPUT_FINGERPRINT").toPath
       val current = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
+      // degenerate-fixture guard (round-13 advisor): a fixture with no
+      // doc_id ≥ 250 rows has nothing to stream — degrade to the empty
+      // result the sibling queries produce instead of NPE-ing on the
+      // null max below (and never leave a marker for a run that
+      // streamed nothing)
+      val maxIdRow = streamSide.agg(max("doc_id")).head
+      if (maxIdRow.isNullAt(0)) {
+        streamSide.select(col("doc_id"), lit(0L).as("n_segs"),
+          lit(0L).as("n_kept"), md5(col("text")).as("clean_hash"),
+          lit(0L).as("clean_tokens")).limit(0)
+      } else {
       if (!current) {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory) f.listFiles.foreach(rm)
@@ -935,13 +946,18 @@ object CorpusQueries {
         }
         rm(new java.io.File(path))
         val in = s"$path/in"
-        val mid = (250L +
-          streamSide.agg(max("doc_id")).head.getLong(0)) / 2
+        val mid = (250L + maxIdRow.getLong(0)) / 2
         def runOnce(): Unit = {
           val q = graft.streaming.StreamingIngest.scrubSeenSegments(
             s.readStream.schema(streamSide.schema).parquet(in), hist,
             targetPath = s"$path/out", checkpoint = s"$path/ckpt")
-          try q.awaitTermination(600000) finally q.stop()
+          // a timed-out run must FAIL (never fall through to the
+          // fingerprint marker with a partial streamed output —
+          // the marker would cache the truncation permanently)
+          try {
+            if (!q.awaitTermination(600000))
+              sys.error("streamed setup timed out after 600s")
+          } finally q.stop()
         }
         streamSide.where(col("doc_id") < mid)
           .coalesce(1).write.mode("append").parquet(in)
@@ -958,6 +974,7 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_segs"), col("n_kept"),
           col("clean_hash"), col("clean_tokens"))
         .orderBy("doc_id")
+      }
     }),
 
     // Host-level boilerplate prior + document gate (q131): the

@@ -572,7 +572,9 @@ object DedupQueries {
         // bit_xor is order-independent and wrap-free (the q124 note)
         bit_xor(xxhash64(col("vec_id"), Dedup.norm(col("embedding"))))
           .cast("string").as("h")).collect()(0)
-      val fp = (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      // "v1:" version prefix (the q250/q251 convention): a protocol or
+      // recipe change bumps the prefix and force-invalidates the marker
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
       val marker = new java.io.File(path, "_GRAFT_INPUT_FINGERPRINT").toPath
       val current = java.nio.file.Files.exists(marker) &&
         new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
@@ -587,7 +589,13 @@ object DedupQueries {
           val q = graft.streaming.StreamingIngest.admitNovelEmbeddings(
             s.readStream.schema(batchSide.schema).parquet(in), hist,
             targetPath = s"$path/admitted", checkpoint = s"$path/ckpt")
-          try q.awaitTermination(600000) finally q.stop()
+          // a timed-out run must FAIL (never fall through to the
+          // fingerprint marker with a partial streamed output —
+          // the marker would cache the truncation permanently)
+          try {
+            if (!q.awaitTermination(600000))
+              sys.error("streamed setup timed out after 600s")
+          } finally q.stop()
         }
         batchSide.where(col("vec_id") % 2 === 0).write.mode("append").parquet(in)
         runOnce()
@@ -665,7 +673,13 @@ object DedupQueries {
           val q = graft.streaming.StreamingIngest.admitNovelTexts(
             s.readStream.schema(streamSide.schema).parquet(in), hist,
             targetPath = s"$path/admitted", checkpoint = s"$path/ckpt")
-          try q.awaitTermination(600000) finally q.stop()
+          // a timed-out run must FAIL (never fall through to the
+          // fingerprint marker with a partial streamed output —
+          // the marker would cache the truncation permanently)
+          try {
+            if (!q.awaitTermination(600000))
+              sys.error("streamed setup timed out after 600s")
+          } finally q.stop()
         }
         // coalesce(1): one file per drop ⇒ one micro-batch per drop ⇒
         // deterministic arrival order (harness protocol, not a

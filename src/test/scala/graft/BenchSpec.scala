@@ -145,11 +145,14 @@ class BenchSpec extends AnyFunSuite {
       "q_reg" -> ((10.0, 10.0)),     // injected regression: stays hot on both
       "q_phantom" -> ((10.0, 2.1)),  // wall 10x but cpu at record: load
       "q_ok" -> ((1.1, 1.0)))        // within record: untouched
-    val (res, retimed, flagged) = Bench.adjudicateSweep(
+    val (res, retimed, flagged, wallSuspects) = Bench.adjudicateSweep(
       swept, recW, recC,
       name => { resamples ::= name; Some((10.0, if (name == "q_reg") 10.0 else 2.1)) },
       () => settles += 1)
     assert(flagged == List("q_reg"), s"got $flagged")
+    // the unflagged-but-still-hot wall leaves a trace (round-13 advisor:
+    // an I/O-bound regression has exactly this signature)
+    assert(wallSuspects == List("q_phantom"), s"got $wallSuspects")
     assert(settles == 1)                        // spaced pass engaged once
     assert(resamples.count(_ == "q_reg") == 2)  // immediate + spaced
     assert(resamples.count(_ == "q_ok") == 0)   // never touched
@@ -159,10 +162,10 @@ class BenchSpec extends AnyFunSuite {
 
   test("adjudicateSweep: immediate re-sample at the record clears without settling") {
     var settles = 0
-    val (res, retimed, flagged) = Bench.adjudicateSweep(
+    val (res, retimed, flagged, wallSuspects) = Bench.adjudicateSweep(
       Seq("q1" -> ((10.0, 2.0))), Map("q1" -> 1.0), Map("q1" -> 2.0),
       _ => Some((1.0, 2.0)), () => settles += 1)
-    assert(flagged.isEmpty && settles == 0)
+    assert(flagged.isEmpty && wallSuspects.isEmpty && settles == 0)
     assert(retimed == List("q1" -> 1.0))        // improvement recorded
     assert(res.toMap.apply("q1") == ((1.0, 2.0)))
   }
@@ -170,10 +173,10 @@ class BenchSpec extends AnyFunSuite {
   test("adjudicateSweep: burst passing between samples clears on the spaced pass") {
     val it = Iterator((9.0, 9.0), (1.0, 1.0))   // still hot, then quiet
     var settles = 0
-    val (res, _, flagged) = Bench.adjudicateSweep(
+    val (res, _, flagged, wallSuspects) = Bench.adjudicateSweep(
       Seq("q1" -> ((10.0, 10.0))), Map("q1" -> 1.0), Map("q1" -> 1.0),
       _ => Some(it.next()), () => settles += 1)
-    assert(flagged.isEmpty && settles == 1)
+    assert(flagged.isEmpty && wallSuspects.isEmpty && settles == 1)
     assert(res.toMap.apply("q1") == ((1.0, 1.0)))
   }
 
