@@ -296,7 +296,11 @@ object Bench {
     // the timed run will pay the setup).
     for (setup <- Seq("q124_shard_roundtrip", "q249_streamed_admission_parity",
            "q250_streamed_text_admission_parity",
-           "q251_streamed_segment_scrub_parity")
+           "q251_streamed_segment_scrub_parity",
+           "q252_streamed_heavy_hitters_parity",
+           "q253_streamed_distinct_parity",
+           "q254_streamed_quantiles_parity",
+           "q255_streamed_scrub_adversarial_order")
          if only.forall(_.contains(setup));
          fn <- SparkEntry.queries.get(setup)) {
       try run(fn) catch { case e: Throwable =>

@@ -575,34 +575,16 @@ object DedupQueries {
       // "v1:" version prefix (the q250/q251 convention): a protocol or
       // recipe change bumps the prefix and force-invalidates the marker
       val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
-      val marker = new java.io.File(path, "_GRAFT_INPUT_FINGERPRINT").toPath
-      val current = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
-      if (!current) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(path)) // stale/partial attempt: start clean
+      StreamGuard.ensure(path, fp) {
         val in = s"$path/in"
-        def runOnce(): Unit = {
-          val q = graft.streaming.StreamingIngest.admitNovelEmbeddings(
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.admitNovelEmbeddings(
             s.readStream.schema(batchSide.schema).parquet(in), hist,
-            targetPath = s"$path/admitted", checkpoint = s"$path/ckpt")
-          // a timed-out run must FAIL (never fall through to the
-          // fingerprint marker with a partial streamed output —
-          // the marker would cache the truncation permanently)
-          try {
-            if (!q.awaitTermination(600000))
-              sys.error("streamed setup timed out after 600s")
-          } finally q.stop()
-        }
+            targetPath = s"$path/admitted", checkpoint = s"$path/ckpt"))
         batchSide.where(col("vec_id") % 2 === 0).write.mode("append").parquet(in)
         runOnce()
         batchSide.where(col("vec_id") % 2 === 1).write.mode("append").parquet(in)
         runOnce()
-        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
-        ()
       }
       val admitted = s.read.schema(batchSide.schema)
         .parquet(s"$path/admitted")
@@ -659,28 +641,12 @@ object DedupQueries {
         .collect()(0)
       val fp = "inject-v2:" +
         (0 until fpRow.length).map(fpRow.getString).mkString(":")
-      val marker = new java.io.File(path, "_GRAFT_INPUT_FINGERPRINT").toPath
-      val current = java.nio.file.Files.exists(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
-      if (!current) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(path))
+      StreamGuard.ensure(path, fp) {
         val in = s"$path/in"
-        def runOnce(): Unit = {
-          val q = graft.streaming.StreamingIngest.admitNovelTexts(
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.admitNovelTexts(
             s.readStream.schema(streamSide.schema).parquet(in), hist,
-            targetPath = s"$path/admitted", checkpoint = s"$path/ckpt")
-          // a timed-out run must FAIL (never fall through to the
-          // fingerprint marker with a partial streamed output —
-          // the marker would cache the truncation permanently)
-          try {
-            if (!q.awaitTermination(600000))
-              sys.error("streamed setup timed out after 600s")
-          } finally q.stop()
-        }
+            targetPath = s"$path/admitted", checkpoint = s"$path/ckpt"))
         // coalesce(1): one file per drop ⇒ one micro-batch per drop ⇒
         // deterministic arrival order (harness protocol, not a
         // production pattern — production feeds arrive pre-ordered by
@@ -691,8 +657,6 @@ object DedupQueries {
         streamSide.where(col("doc_id") % 2 === 1)
           .coalesce(1).write.mode("append").parquet(in)
         runOnce()
-        java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
-        ()
       }
       val admitted = s.read.schema(streamSide.schema)
         .parquet(s"$path/admitted")

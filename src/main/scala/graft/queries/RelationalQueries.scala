@@ -439,6 +439,103 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // STREAMED distinct-count parity (q253, round 13): q46's HLL
+    // sketch maintained across micro-batches AND a restart
+    // (StreamingIngest.DistinctTracker) enters the hash-gated
+    // differential surface — second of the r12 verdict's spec-only
+    // sketch promotions. Register-max is idempotent and commutative,
+    // so the streamed register array must be BIT-IDENTICAL to one
+    // batch graft_hll over the same rows for ANY batch split —
+    // registers_match pins exactly that, and it is the sketch analog
+    // of effectively-once: a LOST drop moves registers and fails it,
+    // while a REPLAYED drop cannot (that asymmetry is the design —
+    // replay-safety by idempotence rather than by offset bookkeeping;
+    // the sum-folded twins q252/q254 carry the replay-sensitive
+    // gating). within_10pct grades the estimate against the exact
+    // distinct the oracle recomputes (HLL p=12, σ≈1.6%).
+    "q253_streamed_distinct_parity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val path = "target/q253_stream_hll/" + new java.io.File(dir).getName
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("event_id"), col("user_id")))
+          .cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        import s.implicits._
+        val in = s"$path/in"
+        val tracker = new graft.streaming.StreamingIngest.DistinctTracker
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.trackDistinct(
+            s.readStream.schema(ev.schema).parquet(in), "user_id",
+            s"$path/ckpt", tracker))
+        ev.where(col("event_id") % 2 === 0).write.mode("append").parquet(in)
+        runOnce()
+        ev.where(col("event_id") % 2 === 1).write.mode("append").parquet(in)
+        runOnce()
+        val batchRegs = ev.agg(call_function("graft_hll", col("user_id")))
+          .head.getAs[Array[Byte]](0)
+        Seq((tracker.estimate,
+            java.util.Arrays.equals(tracker.registers, batchRegs)))
+          .toDF("streamed_est", "registers_match")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/result")
+      }
+      val exact = t(s, dir, "events")
+        .agg(countDistinct("user_id").as("n_exact"))
+      s.read.parquet(s"$path/result")
+        .crossJoin(broadcast(exact))
+        .select(col("n_exact"), col("registers_match"),
+          (abs(col("streamed_est") - col("n_exact"))
+            <= col("n_exact") * lit(0.1)).as("within_10pct"))
+    }),
+
+    // STREAMED histogram-quantile parity (q254, round 13): q102's
+    // fixed-bin sketch maintained across micro-batches AND a restart
+    // (StreamingIngest.QuantileTracker) — third sketch promotion, and
+    // the replay-sensitive one: the fold is a SUM, so a replayed drop
+    // inflates n_rows and shifts cumulative cuts while a lost drop
+    // deflates them — either mismatches the oracle, which re-derives
+    // every number with q102's exact integer arithmetic over the same
+    // rows (bins, cross-multiplied cumulative cuts, upper-edge
+    // rendering). The domain [lo, hi] is FIXED up front (the
+    // streaming contract — a stream has no final min/max pass), here
+    // from the fixture's own exact integer min/max so the edge clamp
+    // stays inert and the oracle needs no clamp arm.
+    "q254_streamed_quantiles_parity" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+      val path = "target/q254_stream_quant/" + new java.io.File(dir).getName
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("event_id"), col("value")))
+          .cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        import s.implicits._
+        val in = s"$path/in"
+        val dom = ev.select(floor(col("value") * 100).cast("long").as("c"))
+          .agg(min("c").as("lo"), max("c").as("hi")).head
+        val tracker = new graft.streaming.StreamingIngest.QuantileTracker(
+          lo = dom.getLong(0), hi = dom.getLong(1))
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.trackQuantiles(
+            s.readStream.schema(ev.schema).parquet(in), "value",
+            s"$path/ckpt", tracker))
+        ev.where(col("event_id") % 2 === 0).write.mode("append").parquet(in)
+        runOnce()
+        ev.where(col("event_id") % 2 === 1).write.mode("append").parquet(in)
+        runOnce()
+        Seq((tracker.count, tracker.lo, tracker.hi,
+            tracker.quantile(50).get, tracker.quantile(90).get,
+            tracker.quantile(99).get))
+          .toDF("n_rows", "lo_cents", "hi_cents",
+            "p50_cents", "p90_cents", "p99_cents")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/result")
+      }
+      s.read.parquet(s"$path/result")
+        .select(col("n_rows"), col("lo_cents"), col("hi_cents"),
+          col("p50_cents"), col("p90_cents"), col("p99_cents"))
+    }),
+
     // SCD2 history-preserving upsert (Merge.scd2Upsert) — the
     // dimension-history companion of q08's last-writer-wins MERGE: a
     // deterministic update batch (acctbal bump on custkey%7=0, no-op
@@ -1518,6 +1615,39 @@ object RelationalQueries {
         |  lo + ((b90 + 1) * (hi - lo + 1)) // 128 - 1 AS p90_cents,
         |  lo + ((b99 + 1) * (hi - lo + 1)) // 128 - 1 AS p99_cents
         |FROM q, s ORDER BY l_returnflag""".stripMargin,
+
+    // q253: exact distinct recomputed; the two sketch-parity booleans
+    // are literal TRUE by the register-max idempotence + accuracy
+    // contract (the q46 convention for non-SQL-expressible sketch
+    // internals — the registers comparison itself runs engine-side
+    // bit-for-bit).
+    "q253_streamed_distinct_parity" ->
+      """SELECT count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS registers_match, TRUE AS within_10pct
+        |FROM events""".stripMargin,
+
+    // q254: q102's integer histogram arithmetic over the same rows —
+    // `//` is DuckDB's floor division (Spark `div`), BIGINT casts keep
+    // window sums out of HUGEINT.
+    "q254_streamed_quantiles_parity" ->
+      """WITH c AS (SELECT CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+        |b AS (SELECT ((c - lo) * 128) // (hi - lo + 1) AS bin FROM c, s),
+        |g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |cu AS (SELECT bin, n,
+        |  CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+        |  CAST(sum(n) OVER () AS BIGINT) AS total FROM g),
+        |q AS (SELECT max(total) AS n_rows,
+        |  min(CASE WHEN cum * 100 >= total * 50 THEN bin END) AS b50,
+        |  min(CASE WHEN cum * 100 >= total * 90 THEN bin END) AS b90,
+        |  min(CASE WHEN cum * 100 >= total * 99 THEN bin END) AS b99
+        |  FROM cu)
+        |SELECT n_rows, lo AS lo_cents, hi AS hi_cents,
+        |  lo + ((b50 + 1) * (hi - lo + 1)) // 128 - 1 AS p50_cents,
+        |  lo + ((b90 + 1) * (hi - lo + 1)) // 128 - 1 AS p90_cents,
+        |  lo + ((b99 + 1) * (hi - lo + 1)) // 128 - 1 AS p99_cents
+        |FROM q, s""".stripMargin,
 
     "q49_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (

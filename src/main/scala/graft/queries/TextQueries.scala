@@ -348,6 +348,67 @@ object TextQueries {
         |ORDER BY exact_n DESC, token""".stripMargin)
     }),
 
+    // STREAMED heavy-hitter parity (q252, round 13): q94's Count-Min
+    // sketch maintained ACROSS micro-batches AND a restart
+    // (StreamingIngest.HeavyHitterTracker) enters the hash-gated
+    // differential surface — the first of the three spec-only
+    // streaming sketches the r12 verdict asked to promote via the
+    // q249 pattern. The stream side (doc_id ≥ 250) lands as two file
+    // drops processed by two AvailableNow queries sharing one
+    // checkpoint and ONE driver-held tracker (the production shape:
+    // the sketch outlives the query; the checkpoint must make the
+    // second query fold ONLY the new drop). The probe set is the
+    // exact global top-20 (batch-computed, deterministic), so the
+    // heap/pool candidate policy — pinned separately in StreamingSpec
+    // — never gates the hash; what the hash certifies is the GRID:
+    // the streamed element-wise sum-fold over any batch split must
+    // equal one CMS over the whole stream side, which the oracle
+    // re-derives cell-by-cell relationally (q94's grid SQL restricted
+    // to the stream side). A double-processed drop inflates cells, a
+    // lost drop deflates them — both mismatch; drop order is
+    // immaterial by commutativity, so no coalesce(1) protocol is
+    // needed (contrast q250).
+    "q252_streamed_heavy_hitters_parity" -> ((s, dir) => {
+      val streamSide = docs(s, dir).select(col("doc_id"), col("text"))
+        .where(col("doc_id") >= 250)
+      val path = "target/q252_stream_hh/" + new java.io.File(dir).getName
+      val fpRow = streamSide.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("doc_id"), col("text"))).cast("string").as("h"))
+        .collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        import s.implicits._
+        val in = s"$path/in"
+        val tracker =
+          new graft.streaming.StreamingIngest.HeavyHitterTracker(k = 20)
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.trackHeavyHitters(
+            s.readStream.schema(streamSide.schema).parquet(in),
+            "text", 20, s"$path/ckpt", tracker))
+        streamSide.where(col("doc_id") % 2 === 0)
+          .write.mode("append").parquet(in)
+        runOnce()
+        streamSide.where(col("doc_id") % 2 === 1)
+          .write.mode("append").parquet(in)
+        runOnce()
+        // probe the restart-spanning grid at the exact global top-20
+        // (k/limit-bounded collect — 20 rows)
+        val top = streamSide
+          .select(explode(tokens(col("text"))).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("t").asc).limit(20)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        top.map { case (t, n) => (t, n, tracker.estimateOf(t)) }
+          .toDF("token", "exact_n", "streamed_est")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/result")
+      }
+      s.read.parquet(s"$path/result")
+        .select(col("token"), col("exact_n"), col("streamed_est"),
+          (col("streamed_est") >= col("exact_n")).as("no_undercount"))
+        .orderBy(col("exact_n").desc, col("token"))
+    }),
+
     // Vocabulary coverage — the tokenizer-sizing question a training
     // pipeline asks before fixing a vocab: per language, the smallest
     // frequency-ranked vocabulary covering ≥ 90 % of token
@@ -1505,6 +1566,30 @@ object TextQueries {
            |top AS (SELECT t, exact_n FROM cnt ORDER BY exact_n DESC, t LIMIT 20)
            |SELECT top.t AS token, top.exact_n, est.cms_est,
            |  est.cms_est >= top.exact_n AS no_undercount
+           |FROM top JOIN est ON est.t = top.t
+           |ORDER BY exact_n DESC, token""".stripMargin
+      },
+
+      // q252: q94's relational CMS grid restricted to the stream side
+      // — the oracle recomputes every probed cell from exact counts,
+      // so a single grid counter diverging from the streamed
+      // restart-spanning fold (double-processed or lost drop, broken
+      // element-wise sum) hash-mismatches.
+      "q252_streamed_heavy_hitters_parity" -> {
+        val (d, w) = (Cms.DefaultDepth, Cms.DefaultWidth)
+        s"""WITH tok AS (SELECT unnest($toksE) AS t FROM documents WHERE doc_id >= 250),
+           |cnt AS (SELECT t, count(*) AS exact_n FROM tok GROUP BY t),
+           |js AS (SELECT unnest(range(0, $d)) AS j),
+           |pos AS (SELECT t, exact_n, j, ${Bloom.positionSql("j", "t", w)} AS p
+           |  FROM cnt CROSS JOIN js),
+           |cells AS (SELECT j, p, CAST(sum(exact_n) AS BIGINT) AS cell_n
+           |  FROM pos GROUP BY j, p),
+           |est AS (SELECT pos.t, min(cells.cell_n) AS streamed_est
+           |  FROM pos JOIN cells ON cells.j = pos.j AND cells.p = pos.p
+           |  GROUP BY pos.t),
+           |top AS (SELECT t, exact_n FROM cnt ORDER BY exact_n DESC, t LIMIT 20)
+           |SELECT top.t AS token, top.exact_n, est.streamed_est,
+           |  est.streamed_est >= top.exact_n AS no_undercount
            |FROM top JOIN est ON est.t = top.t
            |ORDER BY exact_n DESC, token""".stripMargin
       },

@@ -467,6 +467,12 @@ object StreamingIngest {
     def top: Seq[(String, Long)] = synchronized {
       heap.toSeq.sortBy { case (t, e) => (-e, t) }.take(k)
     }
+
+    /** Point probe of the folded grid for an externally chosen token —
+      * the differential surface (q252) probes the restart-spanning grid
+      * at the exact global top-k, independent of the heap/pool policy
+      * (which StreamingSpec pins separately). */
+    def estimateOf(t: String): Long = synchronized(estimate(t))
   }
 
   /** Streaming distinct counting — the q46 HLL sketch maintained
@@ -490,6 +496,12 @@ object StreamingIngest {
     }
 
     def estimate: Long = synchronized(HllSketchAgg.estimate(regs))
+
+    /** Defensive copy of the folded register array — q253's parity
+      * compares it bit-for-bit against one batch `graft_hll` over the
+      * same rows (register-max idempotence makes the two identical for
+      * ANY batch split or replay). */
+    def registers: Array[Byte] = synchronized(regs.clone())
   }
 
   /** Folds `stream(keyCol)` (int/bigint) into `tracker` across
