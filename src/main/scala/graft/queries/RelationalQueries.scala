@@ -820,11 +820,12 @@ object RelationalQueries {
       // two keys), so one block's quadratic work fans across that many
       // tasks. Every (a, b) pair still joins exactly once — at a's
       // salt — so the output (and the oracle) is unchanged. salts=8
-      // is the committed operating point; round-12 isolated min-of-2
-      // probes read salts=16 at 42.8 s vs salts=8 at 45.6 s — a 6%
-      // delta within this shared box's measured run-to-run drift
-      // (full-sweep totals varied 507→654 s across three same-tree
-      // runs under co-tenant load), so not enough evidence to move;
+      // is the committed operating point, SETTLED by a round-13
+      // quiet-box interleaved A/B (min-of-3 alternating sf1 runs,
+      // load < 3 on 32 cores): salts=8 read {37.10, 37.98, 37.46} s,
+      // salts=16 read {38.89, 37.28, 38.69} s — no difference (16's
+      // median and CPU marginally worse: 74.1 vs 71.5 CPU-s mean).
+      // The r12 contended probe's 6% s16 edge did not reproduce quiet;
       // salts=32 was rejected in r11 (46.7 s — replication dominates).
       val aSide = capped.select(col("bk"),
         col("p_partkey").as("key_a"), col("p_name").as("name_a"))
