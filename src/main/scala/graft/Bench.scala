@@ -300,7 +300,8 @@ object Bench {
            "q252_streamed_heavy_hitters_parity",
            "q253_streamed_distinct_parity",
            "q254_streamed_quantiles_parity",
-           "q255_streamed_scrub_adversarial_order")
+           "q255_streamed_scrub_adversarial_order",
+           "q256_streamed_drift_parity")
          if only.forall(_.contains(setup));
          fn <- SparkEntry.queries.get(setup)) {
       try run(fn) catch { case e: Throwable =>

@@ -265,6 +265,69 @@ object OpsQueries {
         .orderBy("event_type", "bin")
     }),
 
+    // STREAMED drift-gauge parity (q256, round 13): q217's two-sample
+    // χ² maintained as the standing production gauge
+    // (StreamingIngest.DriftTracker — reference = the distribution the
+    // model was fit on, live = everything since) enters the hash-gated
+    // differential surface over a restart-spanning run, completing the
+    // streaming sketch promotions (q252 CMS / q253 HLL / q254
+    // histogram / q256 drift). Protocol: the reference is the fixture's
+    // FIRST time half (q217's own split), the second half streams as
+    // two event_id-parity drops through two AvailableNow queries
+    // sharing one checkpoint and one tracker. The oracle recomputes
+    // per-key χ² with q217's exact arithmetic (int64 cross products,
+    // the same fixed IEEE association order, milli-floor) over
+    // (half 0, half 1) — batch-order-free, so any fold error,
+    // double-processed drop (the tracker's per-stream batch-id
+    // high-water marks), or lost drop moves an int64 statistic and
+    // mismatches. The novel/null gauges ride as differentially pinned
+    // columns (zero on this fixture, recomputed as such by the
+    // oracle).
+    "q256_streamed_drift_parity" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val path = "target/q256_stream_drift/" + new java.io.File(dir).getName
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("event_id"), col("event_type"), col("value"),
+          col("ts"))).cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        import s.implicits._
+        val in = s"$path/in"
+        val b = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
+          max(expr("unix_millis(ts)")).as("t1")).head
+        val halfPred = expr("unix_millis(ts)") * 2 < lit(b.getLong(0) + b.getLong(1))
+        // reference grid: (event_type, $10-bin) counts of half 0 —
+        // value-space-bounded (|event_type| × |bins|), the q237-style
+        // grid collect
+        val refCells = ev.where(halfPred && col("event_type").isNotNull)
+          .groupBy(col("event_type").cast("string").as("k"),
+            expr("CAST(round(value * 100, 0) AS BIGINT) div 1000").as("bin"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toSeq
+        val tracker = new graft.streaming.StreamingIngest.DriftTracker(refCells)
+        val live = ev.where(!halfPred)
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.trackValueDrift(
+            s.readStream.schema(live.schema).parquet(in), "event_type",
+            "value", s"$path/ckpt", tracker))
+        live.where(col("event_id") % 2 === 0).write.mode("append").parquet(in)
+        runOnce()
+        live.where(col("event_id") % 2 === 1).write.mode("append").parquet(in)
+        runOnce()
+        tracker.chi2Milli.toSeq
+          .map { case (k, chi) =>
+            (k, chi, tracker.novelCount, tracker.nullKeyCount) }
+          .toDF("event_type", "chi2_milli", "novel_rows", "null_key_rows")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/result")
+      }
+      s.read.parquet(s"$path/result")
+        .select(col("event_type"), col("chi2_milli"),
+          col("novel_rows"), col("null_key_rows"))
+        .orderBy("event_type")
+    }),
+
     // ASSOCIATION RULES (q184): the market-basket classic (Agrawal &
     // Srikant 1994) over order baskets — for supplier pairs
     // co-occurring in ≥ MinSup orders, both directional rules A⇒C
@@ -839,6 +902,53 @@ object OpsQueries {
         |  CAST(sum(contrib_milli) OVER (PARTITION BY event_type) AS BIGINT)
         |    AS chi2_milli
         |FROM k ORDER BY event_type, bin""".stripMargin,
+
+    // q256: q217's arithmetic rolled up to one χ² row per reference
+    // key, plus the tracker's two overflow gauges recomputed exactly
+    // (novel = half-1 rows under a non-null key absent from half 0;
+    // null = half-1 rows with a NULL key — both 0 on this fixture).
+    // A reference key with an empty live side reports -1 (the
+    // tracker's "no drift signal yet" contract).
+    "q256_streamed_drift_parity" ->
+      """WITH b AS (SELECT min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1
+        |  FROM events),
+        |h AS (SELECT event_type,
+        |    CAST(round(value * 100, 0) AS BIGINT) // 1000 AS bin,
+        |    CASE WHEN epoch_ms(ts) * 2 < b.t0 + b.t1 THEN 0 ELSE 1 END
+        |      AS half
+        |  FROM events CROSS JOIN b),
+        |refk AS (SELECT DISTINCT event_type FROM h
+        |  WHERE half = 0 AND event_type IS NOT NULL),
+        |cells AS (SELECT event_type, bin,
+        |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM h WHERE event_type IN (SELECT event_type FROM refk)
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM cells GROUP BY 1),
+        |j AS (SELECT c.event_type, c.c1, c.c2, t.n1, t.n2,
+        |    c.c1 * t.n2 - c.c2 * t.n1 AS t
+        |  FROM cells c JOIN tt t ON t.event_type = c.event_type),
+        |chi AS (SELECT event_type,
+        |    CAST(sum(CAST(floor(CAST(1000 AS DOUBLE) * ((CAST(t AS DOUBLE) *
+        |      CAST(t AS DOUBLE)) / CAST(c1 + c2 AS DOUBLE) /
+        |      CAST(n1 AS DOUBLE) / CAST(n2 AS DOUBLE)) +
+        |      CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS chi2_raw,
+        |    max(n2) AS n2
+        |  FROM j GROUP BY event_type),
+        |gauges AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN half = 1 AND event_type IS NOT NULL
+        |      AND event_type NOT IN (SELECT event_type FROM refk)
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS novel_rows,
+        |    CAST(coalesce(sum(CASE WHEN half = 1 AND event_type IS NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_key_rows
+        |  FROM h)
+        |SELECT event_type,
+        |  CASE WHEN n2 = 0 THEN -1 ELSE chi2_raw END AS chi2_milli,
+        |  novel_rows, null_key_rows
+        |FROM chi CROSS JOIN gauges
+        |ORDER BY event_type""".stripMargin,
 
     // q184: the same pair/item/basket arithmetic; the per-antecedent
     // cap as a row_number window with the same tie order.
