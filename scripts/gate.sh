@@ -20,7 +20,13 @@ if [[ "${1:-}" == "sf1" ]]; then
   echo "== recall floors @ sf1 =="
   python3 scripts/recall_check.py "$SF" "$OUT" --assert | tail -8
   echo "== bench @ sf1 =="
+  # sf1 sweeps get the same contention self-defense as sf0.1: the
+  # re-time pass engages only when the record's sf matches the sweep's,
+  # so point it at the sf1 quiet-run minima (round-13 finding: an sf1
+  # sweep on this shared box showed 3 multi-query burst windows that
+  # the disengaged detector could not adjudicate).
   SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_BENCH_OUT=target/bench_sf1.json \
+    SPARK_GRAFT_BENCH_RECORD=records/bench_sf1_record.json \
     sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
   exit 0
 fi
