@@ -240,13 +240,17 @@ object Bench {
   def summaryLine(results: Seq[(String, Double)], total: Double,
                   nFailed: Int, sfName: String, cpuSec: Double = -1.0,
                   nRetimed: Int = 0, nLoadFlagged: Int = 0,
-                  nWallSuspect: Int = 0): String = {
+                  nWallSuspect: Int = 0,
+                  fullRecord: String = "BENCH_LOCAL.json",
+                  baseline: String = "BENCH_RECORD.json"): String = {
     val slowest = results.sortBy(-_._2).take(3)
-    // "baseline" names the committed quiet-box comparison file so the
-    // driver artifact is self-describing: re-time counts here are THIS
-    // run's; other same-round runs live under records/ (see
-    // records/README.md for the per-file provenance map).
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n_queries":${results.size},"n_failed":$nFailed,"cpu_sec":${fmt(cpuSec)},"n_retimed":$nRetimed,"n_load_flagged":$nLoadFlagged,"n_wall_suspect":$nWallSuspect,"slowest":${qmap(slowest)},"full_record":"BENCH_LOCAL.json","baseline":"BENCH_RECORD.json","other_runs":"records/README.md"}"""
+    // "full_record"/"baseline" name the RESOLVED record/comparison
+    // files (env overrides included — an sf1 gate run must not claim
+    // the sf0.1 defaults; round-13 advisor) so the driver artifact is
+    // self-describing: re-time counts here are THIS run's; other
+    // same-round runs live under records/ (see records/README.md for
+    // the per-file provenance map).
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfName","n_queries":${results.size},"n_failed":$nFailed,"cpu_sec":${fmt(cpuSec)},"n_retimed":$nRetimed,"n_load_flagged":$nLoadFlagged,"n_wall_suspect":$nWallSuspect,"slowest":${qmap(slowest)},"full_record":"$fullRecord","baseline":"$baseline","other_runs":"records/README.md"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -398,7 +402,8 @@ object Bench {
       try w.println(fullLine) finally w.close()
     } catch { case scala.util.control.NonFatal(_) => () }
     println(summaryLine(walls, total, nFailed, sfName, cpuTotal,
-      retimed.size, flagged.size, wallSuspects.size))
+      retimed.size, flagged.size, wallSuspects.size,
+      fullRecord = out, baseline = recordPath))
     spark.stop()
   }
 }

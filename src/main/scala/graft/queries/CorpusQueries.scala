@@ -982,6 +982,15 @@ object CorpusQueries {
         bit_xor(xxhash64(col("doc_id"), col("text"))).cast("string").as("h"))
         .collect()(0)
       val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      // degenerate-fixture guard (q251's, round-13 advisor): with no
+      // stream side there is nothing to scrub — return the empty
+      // schema-matched result rather than streaming zero rows, writing
+      // a marker, and then failing forever on the missing output dir
+      if (streamSide.agg(max("doc_id")).head.isNullAt(0)) {
+        streamSide.select(col("doc_id"), lit(0L).as("n_segs"),
+          lit(0L).as("n_kept"), md5(col("text")).as("clean_hash"),
+          lit(0L).as("clean_tokens")).limit(0)
+      } else {
       StreamGuard.ensure(path, fp) {
         val in = s"$path/in"
         def runOnce(): Unit = StreamGuard.await(
@@ -999,6 +1008,7 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_segs"), col("n_kept"),
           col("clean_hash"), col("clean_tokens"))
         .orderBy("doc_id")
+      }
     }),
 
     // Host-level boilerplate prior + document gate (q131): the

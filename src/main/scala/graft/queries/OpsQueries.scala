@@ -240,6 +240,9 @@ object OpsQueries {
       val ev = Tables.load(s, dir, "events")
       val b = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
         max(expr("unix_millis(ts)")).as("t1"))
+      // Spark `div` and the oracle's DuckDB `//` BOTH truncate toward
+      // zero (measured: -7 // 2 = -3 in this duckdb build), so the bin
+      // is engine/oracle-stable even for negative values.
       val halves = ev.crossJoin(broadcast(b))
         .select(col("event_type"),
           expr("CAST(round(value * 100, 0) AS BIGINT) div 1000").as("bin"),
@@ -287,6 +290,17 @@ object OpsQueries {
       val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"), col("ts"))
       val path = "target/q256_stream_drift/" + new java.io.File(dir).getName
+      // degenerate-fixture guard (round-13 advisor, the q251
+      // convention): an empty events table has no midpoint and nothing
+      // to stream — degrade to the schema-matched empty result instead
+      // of NPE-ing on the null min/max, and never write a marker
+      val bRow = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
+        max(expr("unix_millis(ts)")).as("t1")).head
+      if (bRow.isNullAt(0)) {
+        ev.select(col("event_type").cast("string").as("event_type"),
+          lit(0L).as("chi2_milli"), lit(0L).as("novel_rows"),
+          lit(0L).as("null_key_rows")).limit(0)
+      } else {
       val fpRow = ev.agg(
         count(lit(1)).cast("string").as("c"),
         bit_xor(xxhash64(col("event_id"), col("event_type"), col("value"),
@@ -295,19 +309,26 @@ object OpsQueries {
       StreamGuard.ensure(path, fp) {
         import s.implicits._
         val in = s"$path/in"
-        val b = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
-          max(expr("unix_millis(ts)")).as("t1")).head
-        val halfPred = expr("unix_millis(ts)") * 2 < lit(b.getLong(0) + b.getLong(1))
+        val halfPred = expr("unix_millis(ts)") * 2 <
+          lit(bRow.getLong(0) + bRow.getLong(1))
         // reference grid: (event_type, $10-bin) counts of half 0 —
         // value-space-bounded (|event_type| × |bins|), the q237-style
-        // grid collect
-        val refCells = ev.where(halfPred && col("event_type").isNotNull)
+        // grid collect. NULL handling mirrors q217's oracle CASE
+        // (round-13 advisor): a null ts fails halfPred and lands in
+        // half 1 on BOTH sides; a null value has no bin and is
+        // excluded from the cells on BOTH sides (the oracle filters
+        // identically).
+        val refCells = ev.where(halfPred && col("event_type").isNotNull &&
+            col("value").isNotNull)
           .groupBy(col("event_type").cast("string").as("k"),
             expr("CAST(round(value * 100, 0) AS BIGINT) div 1000").as("bin"))
           .agg(count(lit(1)).as("n"))
           .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toSeq
         val tracker = new graft.streaming.StreamingIngest.DriftTracker(refCells)
-        val live = ev.where(!halfPred)
+        // when(halfPred, 0).otherwise(1): null ts → half 1 (live), the
+        // q217/oracle convention — a bare !halfPred would drop null-ts
+        // rows from both halves
+        val live = ev.where(when(halfPred, lit(0)).otherwise(lit(1)) === 1)
         def runOnce(): Unit = StreamGuard.await(
           graft.streaming.StreamingIngest.trackValueDrift(
             s.readStream.schema(live.schema).parquet(in), "event_type",
@@ -326,6 +347,7 @@ object OpsQueries {
         .select(col("event_type"), col("chi2_milli"),
           col("novel_rows"), col("null_key_rows"))
         .orderBy("event_type")
+      }
     }),
 
     // ASSOCIATION RULES (q184): the market-basket classic (Agrawal &
@@ -908,7 +930,10 @@ object OpsQueries {
     // (novel = half-1 rows under a non-null key absent from half 0;
     // null = half-1 rows with a NULL key — both 0 on this fixture).
     // A reference key with an empty live side reports -1 (the
-    // tracker's "no drift signal yet" contract).
+    // tracker's "no drift signal yet" contract). NULL conventions
+    // match the engine exactly (round-13 advisor): null ts → half 1
+    // (the CASE's ELSE), null value → no bin → excluded from cells and
+    // from the reference key universe, but still gauged by key status.
     "q256_streamed_drift_parity" ->
       """WITH b AS (SELECT min(epoch_ms(ts)) AS t0, max(epoch_ms(ts)) AS t1
         |  FROM events),
@@ -918,11 +943,12 @@ object OpsQueries {
         |      AS half
         |  FROM events CROSS JOIN b),
         |refk AS (SELECT DISTINCT event_type FROM h
-        |  WHERE half = 0 AND event_type IS NOT NULL),
+        |  WHERE half = 0 AND event_type IS NOT NULL AND bin IS NOT NULL),
         |cells AS (SELECT event_type, bin,
         |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
         |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
         |  FROM h WHERE event_type IN (SELECT event_type FROM refk)
+        |    AND bin IS NOT NULL
         |  GROUP BY 1, 2),
         |tt AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
         |    CAST(sum(c2) AS BIGINT) AS n2

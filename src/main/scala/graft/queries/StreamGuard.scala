@@ -23,9 +23,16 @@ private[queries] object StreamGuard {
     val current = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
     if (!current) {
+      // wipe failures must be LOUD (round-13 advisor): a silently
+      // half-wiped dir would be re-populated by `setup` with stale
+      // files surviving under renamed batch dirs — worse than failing
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete(); ()
+        if (f.isDirectory)
+          Option(f.listFiles()) // null on an IO error mid-walk
+            .getOrElse(sys.error(s"cannot list $f while wiping stale run"))
+            .foreach(rm)
+        if (!f.delete() && f.exists())
+          sys.error(s"cannot delete $f while wiping stale run")
       }
       rm(new java.io.File(path)) // stale/partial attempt: start clean
       setup

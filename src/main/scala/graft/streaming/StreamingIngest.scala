@@ -701,6 +701,10 @@ object StreamingIngest {
         val inRef =
           if (keys.isEmpty) lit(false)
           else col("k").isin(keys: _*)
+        // `div` truncates toward zero in BOTH engines (Spark div and
+        // DuckDB // — measured: -7 // 2 = -3 in the oracle's duckdb
+        // build), so the bin expression is engine/oracle-stable for
+        // negative values too; no floor rewrite needed.
         val rows = batch
           .select(col(keyCol).cast("string").as("k"),
             expr(s"CAST(round($valueCol * 100, 0) AS BIGINT)" +
@@ -713,7 +717,12 @@ object StreamingIngest {
             col("bin"))
           .agg(count(lit(1)).as("n"))
           .collect()
-        val kept = rows.filter(_.getInt(0) == 0)
+        // a reference-key row with a NULL value has no bin to fold —
+        // it carries no drift signal and is dropped from the live grid
+        // (the gauges still count null/novel KEYS whatever the value);
+        // without this guard a null `value` NPEs the getLong decode
+        // (round-13 advisor)
+        val kept = rows.filter(r => r.getInt(0) == 0 && !r.isNullAt(2))
         def gauge(kind: Int): Long =
           rows.filter(_.getInt(0) == kind).map(_.getLong(3)).sum
         tracker.update(batchId,
