@@ -305,7 +305,10 @@ object Bench {
            "q253_streamed_distinct_parity",
            "q254_streamed_quantiles_parity",
            "q255_streamed_scrub_adversarial_order",
-           "q256_streamed_drift_parity")
+           "q256_streamed_drift_parity",
+           "q257_streamed_classify_parity",
+           "q258_streamed_prefix_store_parity",
+           "q259_streamed_upsert_parity")
          if only.forall(_.contains(setup));
          fn <- SparkEntry.queries.get(setup)) {
       try run(fn) catch { case e: Throwable =>

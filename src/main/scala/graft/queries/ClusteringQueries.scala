@@ -439,6 +439,62 @@ object ClusteringQueries {
       }.reduce(_.union(_)).orderBy("nprobe")
     }),
 
+    // STREAMED k-means classification parity (q257, round 14): the
+    // train-on-history / classify-the-stream deployment path
+    // (StreamingIngest.classifyVectors → the transactional parquet
+    // file sink) enters the hash-gated differential surface over a
+    // restart-spanning run — the last streamed inference path that had
+    // no CORRECTNESS row. Protocol (the q249 pattern): the model is
+    // the SHARED frozen coarse fit (memoized coarseCents — trained
+    // once on the full embeddings fixture, exactly what the oracle's
+    // unrolled Lloyd CTEs recompute); the stream side (vec_id ≥ 250)
+    // lands as two parity drops processed by two AvailableNow queries
+    // sharing one checkpoint (a genuine stop/restart across the file
+    // source's committed offsets). Because classification is a
+    // STATELESS per-row projection under a frozen literal model with
+    // exact-integer arithmetic, the streamed assignments must be
+    // bit-identical to the batch q98 assignment restricted to the
+    // stream side no matter how rows split across triggers — one hash
+    // certifies offset tracking, the file sink's _spark_metadata
+    // commit log (a replayed batch's files must stay invisible), and
+    // the kernel's batch/stream parity together.
+    "q257_streamed_classify_parity" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val streamSide = emb.where(col("vec_id") >= 250)
+      val path = "target/q257_stream_classify/" + new java.io.File(dir).getName
+      val fpRow = emb.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("vec_id"), Dedup.norm(col("embedding"))))
+          .cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      // degenerate-fixture guard (the q251 convention): no stream side
+      // → schema-matched empty result, no marker
+      if (streamSide.agg(max("vec_id")).head.isNullAt(0)) {
+        streamSide.select(col("vec_id"), lit(0L).as("cluster"),
+          lit(0L).as("dist")).limit(0)
+      } else {
+      StreamGuard.ensure(path, fp) {
+        val cents = coarseCents(s, dir) // frozen model: full-table fit
+        val in = s"$path/in"
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.classifyToParquet(
+            s.readStream.schema(streamSide.schema).parquet(in), cents,
+            targetPath = s"$path/out", checkpoint = s"$path/ckpt"))
+        streamSide.where(col("vec_id") % 2 === 0)
+          .write.mode("append").parquet(in)
+        runOnce()
+        streamSide.where(col("vec_id") % 2 === 1)
+          .write.mode("append").parquet(in)
+        runOnce()
+      }
+      s.read.parquet(s"$path/out")
+        .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+          col("dist"))
+        .orderBy("vec_id")
+      }
+    }),
+
     // Cluster-blocked semantic near-dup — the SemDeDup blocking
     // structure (cluster the embedding space, then compare only within
     // clusters), complementing the LSH-bucketed q54/q89 path: LSH
@@ -884,6 +940,15 @@ object ClusteringQueries {
          |SELECT vec_id, cid AS cluster, d AS dist,
          |  count(*) OVER (PARTITION BY cid) AS n_members
          |FROM sf WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // q257: the q98 Lloyd chain's final assignment restricted to the
+    // stream side — batch-order-free, so any lost/duplicated/reordered
+    // micro-batch row (or a replayed file surviving the sink manifest)
+    // moves a row and mismatches.
+    "q257_streamed_classify_parity" ->
+      s"""$kmeansOracleCtes
+         |SELECT vec_id, cid AS cluster, d AS dist
+         |FROM sf WHERE rk = 1 AND vec_id >= 250 ORDER BY vec_id""".stripMargin,
 
     // q207: the same Lloyd chain; centroid-pair distances from the
     // final centroid CTE; same integer ratio.

@@ -1011,6 +1011,64 @@ object CorpusQueries {
       }
     }),
 
+    // STREAMED prefix-store parity (q258, round 14): the standing
+    // prefix-reuse rollup (StreamingIngest.trackSharedPrefixes — the
+    // KV-cache-opportunity gauge maintained as a VersionedStore across
+    // micro-batches) enters the hash-gated differential surface over a
+    // restart-spanning run. Unlike the admission sinks, the merge here
+    // is NOT idempotent (counts SUM on merge), so this differential is
+    // the one that actually exercises the committed-batchId skip + the
+    // atomic pointer flip as correctness requirements rather than
+    // structural pins. Protocol: the WHOLE documents fixture streams
+    // as two doc_id-parity drops through two AvailableNow queries
+    // sharing one checkpoint; the store's merge is a re-aggregation
+    // (counts sum, mins fold — associative + commutative), so the
+    // final store must equal q157's one-shot batch rollup over the
+    // full corpus REGARDLESS of the split — the oracle IS q157's SQL,
+    // verbatim. Any double-applied replay, lost batch, or pointer-flip
+    // failure moves an integer count and mismatches.
+    "q258_streamed_prefix_store_parity" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val path = "target/q258_stream_prefix/" + new java.io.File(dir).getName
+      val fpRow = d.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("doc_id"), col("text"))).cast("string").as("h"))
+        .collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      // degenerate-fixture guard: an empty corpus streams zero rows
+      // and commits no store version — schema-matched empty result, no
+      // marker, no sticky read-back failure
+      if (d.agg(max("doc_id")).head.isNullAt(0)) {
+        d.select(md5(col("text")).as("prefix_hash"), lit(0L).as("n_docs"),
+          lit(0L).as("prefix_len"), lit(0L).as("saved_tokens"),
+          col("doc_id").as("rep_doc_id")).limit(0)
+      } else {
+      StreamGuard.ensure(path, fp) {
+        val in = s"$path/in"
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.trackSharedPrefixes(
+            s.readStream.schema(d.schema).parquet(in),
+            targetPath = s"$path/store", checkpoint = s"$path/ckpt"))
+        d.where(col("doc_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        d.where(col("doc_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      }
+      // same projection as q157: only groups that actually reuse
+      // anything (n_docs ≥ 2) report, with the prefill-savings column
+      graft.streaming.StreamingIngest.readStore(s, s"$path/store")
+        .getOrElse(sys.error(s"no committed store under $path/store"))
+        .where(col("n_docs") >= 2)
+        .select(col("h").as("prefix_hash"), col("n_docs"),
+          col("prefix_len"),
+          ((col("n_docs") - 1) * col("prefix_len")).as("saved_tokens"),
+          col("rep_doc_id"))
+        .orderBy("prefix_hash")
+      }
+    }),
+
     // Host-level boilerplate prior + document gate (q131): the
     // RefinedWeb/UT1 "host prior" shape — quality decisions made at
     // SOURCE granularity from source-level aggregates, then broadcast
@@ -1425,6 +1483,20 @@ object CorpusQueries {
        |    (so$suffix.off + sl$suffix.cum_in - sl$suffix.n_tokens) // $ShardTokens AS shard
        |  FROM sl$suffix JOIN so$suffix ON so$suffix.r = sl$suffix.r)""".stripMargin
 
+  /** q157's oracle body — shared verbatim by q258 (the streamed
+    * prefix store's read-back must hash-match the batch rollup). */
+  private def sharedPrefixOracle: String =
+    s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
+       |  FROM documents),
+       |p AS (SELECT doc_id, CAST(least(len(toks), $PrefixTokens) AS BIGINT) AS plen,
+       |    md5(array_to_string(list_slice(toks, 1, $PrefixTokens), ' ')) AS h
+       |  FROM t WHERE len(toks) >= 1)
+       |SELECT h AS prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(plen) AS prefix_len, (count(*) - 1) * min(plen) AS saved_tokens,
+       |  min(doc_id) AS rep_doc_id
+       |FROM p GROUP BY 1 HAVING count(*) >= 2
+       |ORDER BY prefix_hash""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q115_importance_weights" ->
       s"""WITH $dsirCtes
@@ -1530,17 +1602,15 @@ object CorpusQueries {
          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q157: identical prefix hash + groupwise count/min aggregates.
-    "q157_shared_prefixes" ->
-      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSql("text")} AS toks
-         |  FROM documents),
-         |p AS (SELECT doc_id, CAST(least(len(toks), $PrefixTokens) AS BIGINT) AS plen,
-         |    md5(array_to_string(list_slice(toks, 1, $PrefixTokens), ' ')) AS h
-         |  FROM t WHERE len(toks) >= 1)
-         |SELECT h AS prefix_hash, CAST(count(*) AS BIGINT) AS n_docs,
-         |  min(plen) AS prefix_len, (count(*) - 1) * min(plen) AS saved_tokens,
-         |  min(doc_id) AS rep_doc_id
-         |FROM p GROUP BY 1 HAVING count(*) >= 2
-         |ORDER BY prefix_hash""".stripMargin,
+    "q157_shared_prefixes" -> sharedPrefixOracle,
+
+    // q258: the streamed prefix store must equal the batch rollup —
+    // the oracle IS q157's, verbatim (counts sum and mins fold
+    // associatively/commutatively across micro-batches, so the store
+    // after any batch split equals the one-shot rollup; a
+    // double-applied replay or a lost batch moves a count and
+    // mismatches).
+    "q258_streamed_prefix_store_parity" -> sharedPrefixOracle,
 
     // q167: both contamination signals re-derived — the q78 gram
     // semi-join and a bounded-bench sqdist scan — and the same

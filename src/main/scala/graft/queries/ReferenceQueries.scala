@@ -104,6 +104,58 @@ object ReferenceQueries {
       Merge.upsert(base, updates, Seq("event_id")).orderBy("event_id")
     }),
 
+    // STREAMED upsert-sink parity (q259, round 14): the production
+    // streamed MERGE path — StreamingIngest.upsertEachBatch +
+    // VersionedStore, the ST4 core a daily ingest exercises constantly
+    // — enters the hash-gated differential surface over a
+    // restart-spanning run (crash-window property tests existed;
+    // the differential did not). Protocol: q08's exact base/updates
+    // construction, streamed as two drops through two AvailableNow
+    // queries sharing one checkpoint — drop 1 seeds the store with the
+    // base rows, a genuine stop/restart, then drop 2 delivers the
+    // updates, which must REPLACE their keys through the idempotent
+    // keyed merge + atomic pointer flip. The final store read through
+    // the version pointer must equal batch q08's Merge.upsert — the
+    // oracle IS q08's SQL, verbatim. A lost batch, a double-applied
+    // merge (harmless by idempotence — pinned elsewhere), a
+    // non-replaced key, or a reader surfacing a mid-swap store all
+    // move a row and mismatch.
+    "q259_streamed_upsert_parity" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val base = ev.where(col("event_id") % 2 === 0)
+      val updates = ev.where(col("event_id") % 3 === 0)
+        .withColumn("event_type", lit("updated"))
+        .withColumn("value", col("value") * 2)
+      val path = "target/q259_stream_upsert/" + new java.io.File(dir).getName
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("event_id"), col("ts"), col("event_type"),
+          col("value"))).cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        val in = s"$path/in"
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.upsertEachBatch(
+            s.readStream.schema(base.schema).parquet(in),
+            targetPath = s"$path/store", keys = Seq("event_id"),
+            checkpoint = s"$path/ckpt"))
+        // one file per drop: updates must arrive AFTER the base run
+        // completes (last-writer-wins is an ORDER contract — the
+        // q250 single-file-per-drop discipline)
+        base.coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        updates.select(base.columns.map(col).toSeq: _*)
+          .coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      }
+      // empty-fixture degenerate case: zero batches commit no store —
+      // degrade to the schema-matched empty frame (the marker is fine
+      // here: an empty stream IS the completed run)
+      graft.streaming.StreamingIngest.readStore(s, s"$path/store")
+        .getOrElse(base.limit(0))
+        .orderBy("event_id")
+    }),
+
     // A1/ST2 high-water mark with pinned `now`
     "q09_high_water_mark" -> ((s, dir) =>
       Incremental.highWaterMark(events(s, dir), "ts",
@@ -117,6 +169,19 @@ object ReferenceQueries {
         timestamp_millis(unix_millis(col("ts"))).as("ts_roundtrip"),
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso"))
         .orderBy("event_id")))
+
+  /** q08's oracle body — shared verbatim by q259 (the streamed
+    * upsert store's read-back must hash-match the batch MERGE). */
+  private def mergeUpsertOracle: String =
+    """WITH base AS (SELECT * FROM events WHERE event_id % 2 = 0),
+      |updates AS (
+      |  SELECT event_id, ts, user_id, 'updated' AS event_type, value * 2 AS value, props
+      |  FROM events WHERE event_id % 3 = 0)
+      |SELECT * FROM (
+      |  SELECT * FROM updates
+      |  UNION ALL
+      |  SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = b.event_id))
+      |ORDER BY event_id""".stripMargin
 
   val oracleSql: Map[String, String] = {
     val cte = PostsProxy.duckCte
@@ -167,16 +232,13 @@ object ReferenceQueries {
           |  FROM events) WHERE rn = 1
           |ORDER BY user_id, event_type""".stripMargin,
 
-      "q08_merge_upsert" ->
-        """WITH base AS (SELECT * FROM events WHERE event_id % 2 = 0),
-          |updates AS (
-          |  SELECT event_id, ts, user_id, 'updated' AS event_type, value * 2 AS value, props
-          |  FROM events WHERE event_id % 3 = 0)
-          |SELECT * FROM (
-          |  SELECT * FROM updates
-          |  UNION ALL
-          |  SELECT b.* FROM base b WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.event_id = b.event_id))
-          |ORDER BY event_id""".stripMargin,
+      "q08_merge_upsert" -> mergeUpsertOracle,
+
+      // q259: the streamed upsert store's read-back must equal batch
+      // MERGE — the oracle IS q08's, verbatim (the store after
+      // base-drop → restart → updates-drop is exactly updates ∪
+      // (base ⟕anti updates)).
+      "q259_streamed_upsert_parity" -> mergeUpsertOracle,
 
       "q09_high_water_mark" ->
         """SELECT coalesce(max(ts), TIMESTAMP '2024-02-10 00:00:00' - INTERVAL 7 DAY) AS high_water_mark

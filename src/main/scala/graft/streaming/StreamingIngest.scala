@@ -415,6 +415,24 @@ object StreamingIngest {
                       cents: Array[Array[Long]]): DataFrame =
     graft.operators.KMeans.transform(stream, "vec_id", "embedding", cents)
 
+  /** [[classifyVectors]] → Spark's transactional parquet FILE SINK:
+    * assignments append under `targetPath` with the sink's
+    * `_spark_metadata` commit log, so a replayed micro-batch's
+    * rewritten files are invisible to readers (the manifest names only
+    * committed files) — effectively-once without any keyed merge,
+    * which is the right sink for an APPEND-shaped, stateless
+    * projection (contrast the upsert sinks, which must reconcile by
+    * key). Read back with `spark.read.parquet(targetPath)` — the
+    * DataSource honors the manifest. */
+  def classifyToParquet(stream: DataFrame, cents: Array[Array[Long]],
+                        targetPath: String, checkpoint: String): StreamingQuery =
+    classifyVectors(stream, cents).writeStream
+      .format("parquet")
+      .option("path", targetPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming heavy hitters — q94's Count-Min sketch maintained
     * ACROSS micro-batches (the sketch analog of the Bloom admission
     * sink above): per trigger, the batch's token CMS is built
