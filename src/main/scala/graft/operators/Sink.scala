@@ -50,6 +50,27 @@ object Sink {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Z-ORDER write — the physical end of the q150 Morton keys (the
+    * Delta/Iceberg OPTIMIZE ZORDER analog): files bucketed by a
+    * deterministic zkey range (`zfile` = zkey div bucket width,
+    * computed by the caller), rows inside each file in exact
+    * (zkey, doc_id) order, so per-file min/max column statistics prune
+    * scans on EITHER interleaved dimension. Bucketing is explicit
+    * arithmetic rather than repartitionByRange: range sampling's
+    * boundaries are plan-private state, while an arithmetic bucket is
+    * derivable by any independent reader (and by the q260 oracle) —
+    * production table formats persist a manifest for the same reason.
+    * Same dynamic-partition-writer ordering discipline as
+    * [[writeShardPartitioned]]: the within-partition sort leads with
+    * the partition column so FileFormatWriter keeps OUR sort, and
+    * doc_id breaks zkey ties so the physical order is total. */
+  def writeZOrdered(df: DataFrame, path: String): Unit =
+    df.repartition(col("zfile"))
+      .sortWithinPartitions(col("zfile"), col("zkey"), col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("zfile")
+      .parquet(path)
+
   /** Small-files compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files. Streaming/incremental sinks accrete
     * tiny files (one per micro-batch per partition); at 100 TB the

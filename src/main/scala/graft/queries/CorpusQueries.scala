@@ -389,23 +389,45 @@ object CorpusQueries {
     // both corpus-linear; this query certifies the key arithmetic
     // itself per document. The global rank windows sit on DISTINCT
     // aggregates (the q118 bounded-window contract), never the corpus.
-    "q150_zorder_layout" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
-      val langs = d.select("lang").distinct()
-        .withColumn("lr", (row_number().over(Window.orderBy("lang")) - 1)
-          .cast("long"))
-      val srcs = d.select("source").distinct()
-        .withColumn("sr", (row_number().over(Window.orderBy("source")) - 1)
-          .cast("long"))
-      val interleave = (0 until 16).map(i =>
-        s"(shiftleft(shiftright(lr, $i) & 1, ${2 * i + 1}) + " +
-          s"shiftleft(shiftright(sr, $i) & 1, ${2 * i}))").mkString(" + ")
-      d.join(broadcast(langs), Seq("lang"))
-        .join(broadcast(srcs), Seq("source"))
-        .withColumn("zkey", expr(interleave))
+    "q150_zorder_layout" -> ((s, dir) =>
+      zorderKeys(s, dir)
         .select(col("doc_id"), col("lr"), col("sr"), col("zkey"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // Z-ORDER physical ROUND TRIP (q260, round 14): q150 certifies the
+    // Morton key arithmetic; this closes the layout story the way q124
+    // closed the shard manifest's — the keys become a PHYSICAL parquet
+    // layout (Sink.writeZOrdered: files bucketed by deterministic zkey
+    // range, rows inside each file in exact (zkey, doc_id) order), the
+    // layout is read back, and every row reports its file (from the
+    // partition DIRECTORY) and its physical in-file position
+    // (`_metadata.row_index` — row-group-metadata-derived, split-size
+    // independent). No re-sort of the read-back, so a writer that
+    // scrambled, dropped, duplicated, or mis-binned rows
+    // hash-mismatches the oracle, which derives (zfile, pos)
+    // independently from the rank CTEs. The pruning PAYOFF of this
+    // layout (per-file min/max stats skipping on either dimension) is
+    // pinned by ZOrderSpec and measured in BASELINE.md; the
+    // differential here certifies the physical order the stats depend
+    // on. Write is marker-guarded (the q124 fingerprint pattern).
+    "q260_zorder_roundtrip" -> ((s, dir) => {
+      val path = "target/q260_zorder/" + new java.io.File(dir).getName
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      val fpRow = d.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("doc_id"), col("lang"), col("source")))
+          .cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        graft.operators.Sink.writeZOrdered(
+          zorderKeys(s, dir).withColumn("zfile", expr(s"zkey div $ZBucket"))
+            .select("doc_id", "lr", "sr", "zkey", "zfile"), path)
+      }
+      s.read.parquet(path)
+        .select(col("zfile").cast("long").as("zfile"),
+          col("_metadata.row_index").as("pos"),
+          col("doc_id"), col("lr"), col("sr"), col("zkey"))
+        .orderBy("zfile", "pos")
     }),
 
     // PACKED-SEQUENCE LAYOUT (q153): GPT-style pretraining packs the
@@ -1483,6 +1505,36 @@ object CorpusQueries {
        |    (so$suffix.off + sl$suffix.cum_in - sl$suffix.n_tokens) // $ShardTokens AS shard
        |  FROM sl$suffix JOIN so$suffix ON so$suffix.r = sl$suffix.r)""".stripMargin
 
+  /** q150/q260 Morton keys: (doc_id, lang, source, lr, sr, zkey) —
+    * both dimensions dense-ranked via bounded distinct aggregates
+    * (value-space-sized, broadcast back), the 16-bit interleave a pure
+    * codegen'd bit projection. The global rank windows sit on DISTINCT
+    * aggregates (the q118 bounded-window contract), never the corpus. */
+  private def zorderKeys(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+    val langs = d.select("lang").distinct()
+      .withColumn("lr", (row_number().over(Window.orderBy("lang")) - 1)
+        .cast("long"))
+    val srcs = d.select("source").distinct()
+      .withColumn("sr", (row_number().over(Window.orderBy("source")) - 1)
+        .cast("long"))
+    val interleave = (0 until 16).map(i =>
+      s"(shiftleft(shiftright(lr, $i) & 1, ${2 * i + 1}) + " +
+        s"shiftleft(shiftright(sr, $i) & 1, ${2 * i}))").mkString(" + ")
+    d.join(broadcast(langs), Seq("lang"))
+      .join(broadcast(srcs), Seq("source"))
+      .withColumn("zkey", expr(interleave))
+  }
+
+  /** q260 zkey-range file-bucket width: the fixture's rank domains
+    * (5 langs × 20 sources) interleave to zkey ∈ [0, ~293], so 32-wide
+    * buckets give ~10 files — enough for the min/max-stat pruning
+    * demonstration to have something to skip. At corpus scale the
+    * width is the files-per-table knob (or a manifest-backed range
+    * split); the ORACLE-derivable arithmetic is what q260 pins. */
+  private val ZBucket = 32L
+
   /** q157's oracle body — shared verbatim by q258 (the streamed
     * prefix store's read-back must hash-match the batch rollup). */
   private def sharedPrefixOracle: String =
@@ -1547,6 +1599,32 @@ object CorpusQueries {
          |FROM documents d JOIN langs l ON l.lang = d.lang
          |JOIN srcs s ON s.source = d.source
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // q260: the same rank/interleave CTEs plus the arithmetic file
+    // bucket and an independent per-file row_number — pos must equal
+    // the PHYSICAL parquet row index the engine read back, so the
+    // oracle knows nothing about the writer.
+    "q260_zorder_roundtrip" -> {
+      val interleave = (0 until 16).map(i =>
+        s"((((lr >> $i) & 1) << ${2 * i + 1}) + (((sr >> $i) & 1) << ${2 * i}))")
+        .mkString(" + ")
+      s"""WITH langs AS (SELECT lang,
+         |    CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT) AS lr
+         |  FROM (SELECT DISTINCT lang FROM documents)),
+         |srcs AS (SELECT source,
+         |    CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sr
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |k AS (SELECT d.doc_id, l.lr, s.sr,
+         |    CAST($interleave AS BIGINT) AS zkey
+         |  FROM documents d JOIN langs l ON l.lang = d.lang
+         |  JOIN srcs s ON s.source = d.source),
+         |z AS (SELECT doc_id, lr, sr, zkey, zkey // $ZBucket AS zfile FROM k)
+         |SELECT zfile,
+         |  CAST(row_number() OVER (PARTITION BY zfile
+         |    ORDER BY zkey, doc_id) - 1 AS BIGINT) AS pos,
+         |  doc_id, lr, sr, zkey
+         |FROM z ORDER BY zfile, pos""".stripMargin
     },
 
     // q153: q116's certified shard CTEs re-finished with the
