@@ -50,5 +50,15 @@ ROUT="$(mktemp -d)/recall"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 $ROUT q54_embedding_dup,q88_embedding_dup_multitable,q90_incremental_embedding_dedup,q92_incremental_embedding_dedup_multitable,q213_media_near_dup,q249_streamed_admission_parity" 2>/dev/null | grep "\[verify\]" || true
 python3 scripts/recall_check.py /root/testdata/sf0.1 "$ROUT" --assert | tail -8
 
+# Strong-band floors (round-14 gate): the driver fixtures have no pairs
+# at cos >= 0.9, so the floors above gate only the weak tail; the
+# planted fixture (make_strongband.py) measures the near-duplicate
+# regime itself — multi-table configs must stay ≈1.0 there.
+echo "== recall floors @ strong-band fixture =="
+[[ -f target/sfsb/embeddings.parquet ]] || python3 scripts/make_strongband.py target/sfsb
+SBOUT="$(mktemp -d)/recall_sb"
+sbt -batch "runMain graft.Verify target/sfsb $SBOUT q54_embedding_dup,q88_embedding_dup_multitable,q90_incremental_embedding_dedup,q92_incremental_embedding_dedup_multitable,q249_streamed_admission_parity" 2>/dev/null | grep "\[verify\]" || true
+python3 scripts/recall_check.py target/sfsb "$SBOUT" --assert | tail -8
+
 echo "== bench @ sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'

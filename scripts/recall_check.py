@@ -54,6 +54,23 @@ FLOORS = {
         "q90.recall": 0.14, "q92.recall": 0.38,
         "q249.recall": 0.14,
     },
+    # round-14: the PLANTED strong-band fixture (make_strongband.py —
+    # sf0.1 + 400 deterministic perturbation pairs at cos 0.905-0.985).
+    # The driver fixtures have NO pairs at cos >= 0.9, so only these
+    # floors gate the regime a production ingest gate exists for. The
+    # multi-table configs deliver ≈1.0 exactly as the banding math
+    # promises (3 independent tables: 1-(1-r)^3); the single-table
+    # floors document the measured 8-plane Hamming-1 ceiling (~0.80 at
+    # cos≈0.95) — the reason q88/q92 are the production recommendation.
+    # Measured r14: q54 .299/.802, q88 .538/.998, q90 .273/.840,
+    # q92 .528/1.000, q249 .273/.840 (total/strong).
+    "sfsb": {
+        "q54.recall": 0.29, "q54.strong_recall": 0.80,
+        "q88.recall": 0.53, "q88.strong_recall": 0.99,
+        "q90.recall": 0.27, "q90.strong_recall": 0.83,
+        "q92.recall": 0.52, "q92.strong_recall": 0.99,
+        "q249.recall": 0.27, "q249.strong_recall": 0.83,
+    },
 }
 
 # measured values, filled by the checks below; ".fp" entries must be 0
@@ -183,6 +200,11 @@ def main(sf_dir: str, out_dir: str, do_assert: bool = False) -> None:
             f"SELECT vec_a, vec_b FROM '{out_dir}/{q}/*.parquet'").fetchall()))
         metrics[f"{tag}.recall"] = band_recall(got, truth)
         metrics[f"{tag}.fp"] = len(got - truth)
+        # strong-band recall is measurable (and floor-gated) only on a
+        # fixture that HAS strong pairs — the planted sfsb fixture
+        # (scripts/make_strongband.py); on the driver fixtures it is nan
+        if strong:
+            metrics[f"{tag}.strong_recall"] = band_recall(got, strong)
         print(f"{q}: {len(got)} pairs, recall@0.4 = {band_recall(got, truth):.3f} "
               f"(strong>=0.9: {band_recall(got, strong):.3f}, "
               f"tail 0.4-0.9: {band_recall(got, weak):.3f}), "
@@ -197,6 +219,11 @@ def main(sf_dir: str, out_dir: str, do_assert: bool = False) -> None:
     bh = v[batch_mask] @ v[hist_mask].T
     bt = {int(b): set(ids[hist_mask][bh[i] >= 0.4].tolist())
           for i, b in enumerate(ids[batch_mask]) if (bh[i] >= 0.4).any()}
+    # strong-band decision rows: batch rows with a true history
+    # near-dup at cos >= 0.9 — the rows a production ingest gate MUST
+    # catch (nonempty only on the planted sfsb fixture)
+    bt_strong = {int(b) for i, b in enumerate(ids[batch_mask])
+                 if (bh[i] >= 0.9).any()}
     for q, tag in (("q90_incremental_embedding_dedup", "q90"),
                    ("q92_incremental_embedding_dedup_multitable", "q92")):
         if not have(out_dir, q):
@@ -208,9 +235,13 @@ def main(sf_dir: str, out_dir: str, do_assert: bool = False) -> None:
               if d is not None and d not in bt.get(b, set())]
         metrics[f"{tag}.recall"] = band_recall(flagged, set(bt))
         metrics[f"{tag}.fp"] = len(fp)
+        if bt_strong:
+            metrics[f"{tag}.strong_recall"] = band_recall(flagged, bt_strong)
         print(f"{q}: {len(flagged)} flagged of "
               f"{len(bt)} true-dup batch rows, decision recall = "
-              f"{band_recall(flagged, set(bt)):.3f}, false-pos = {len(fp)}")
+              f"{band_recall(flagged, set(bt)):.3f} "
+              f"(strong>=0.9: {band_recall(flagged, bt_strong):.3f} "
+              f"over {len(bt_strong)}), false-pos = {len(fp)}")
 
     # q249: the STREAMED admission path (admitNovelEmbeddings over a
     # restart-spanning 2-trigger run) against the same exact ground
@@ -225,10 +256,14 @@ def main(sf_dir: str, out_dir: str, do_assert: bool = False) -> None:
         fp = [b for b in dropped if b not in bt]
         metrics["q249.recall"] = band_recall(dropped, set(bt))
         metrics["q249.fp"] = len(fp)
+        if bt_strong:
+            metrics["q249.strong_recall"] = band_recall(dropped, bt_strong)
         print(f"q249_streamed_admission_parity: {len(dropped)} dropped of "
               f"{len(bt)} true-dup batch rows (streamed, 2 triggers + "
               f"restart), decision recall = "
-              f"{band_recall(dropped, set(bt)):.3f}, false-pos = {len(fp)}")
+              f"{band_recall(dropped, set(bt)):.3f} "
+              f"(strong>=0.9: {band_recall(dropped, bt_strong):.3f} "
+              f"over {len(bt_strong)}), false-pos = {len(fp)}")
 
     media_recall(con, sf_dir, out_dir)
 
