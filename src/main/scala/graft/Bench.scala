@@ -308,7 +308,10 @@ object Bench {
            "q256_streamed_drift_parity",
            "q257_streamed_classify_parity",
            "q258_streamed_prefix_store_parity",
-           "q259_streamed_upsert_parity")
+           "q259_streamed_upsert_parity",
+           "q261_streamed_window_counts_parity",
+           "q262_streamed_sessionize_parity",
+           "q263_streamed_interval_join_parity")
          if only.forall(_.contains(setup));
          fn <- SparkEntry.queries.get(setup)) {
       try run(fn) catch { case e: Throwable =>

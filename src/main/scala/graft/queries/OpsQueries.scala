@@ -40,6 +40,18 @@ object OpsQueries {
     * click at most 7 days old. */
   private val AttribWindowMs = 604800000L
 
+  /** q261–q263 streamed-parity constants, mirrored in the oracles:
+    * 6 h tumbling windows / 5 min watermark slack (q261, q263's join
+    * slack), a 12 h session gap / 10 s slack (q262 — the fixture's
+    * ~150 users × 30 days ≈ 10.7 h mean per-user inter-arrival, so a
+    * 12 h gap yields real multi-event sessions), a 2 h join horizon
+    * (q263). */
+  private val WindowMs = 21600000L
+  private val WindowSlackMs = 300000L
+  private val StreamGapMs = 43200000L
+  private val StreamGapSlackMs = 10000L
+  private val JoinHorizonMs = 7200000L
+
   /** q189: cumulative-revenue-share class boundaries (percent). */
   private val AbcA = 80L
   private val AbcB = 95L
@@ -347,6 +359,189 @@ object OpsQueries {
         .select(col("event_type"), col("chi2_milli"),
           col("novel_rows"), col("null_key_rows"))
         .orderBy("event_type")
+      }
+    }),
+
+    // STREAMED windowed-counts parity (q261, round 14): the
+    // watermarked tumbling-window aggregation — the first streaming
+    // operator any production monitor deploys — enters the hash-gated
+    // differential surface over a restart-spanning run. Protocol: the
+    // event stream lands as two TIME-CONTIGUOUS drops split at the
+    // range midpoint (one file = one micro-batch each — a parity split
+    // would make half the data late against the first drop's
+    // watermark, which is a different experiment: q255's adversarial
+    // axis), processed by two AvailableNow queries sharing one
+    // checkpoint. Append mode emits a window only once the watermark
+    // passes its end, and the watermark ratchets at BATCH boundaries,
+    // so the emitted set is exactly the windows with
+    // window_end <= max(ts) − slack (the final watermark — AvailableNow
+    // runs the no-data flush batch that applies it); the oracle
+    // recomputes that set relationally, so one hash certifies window
+    // assignment, the cross-batch state fold, watermark-gated emission,
+    // and the file sink's manifest together. The decimal sum rides as
+    // cents (exact int64) — the oracle's SUM is order-free.
+    "q261_streamed_window_counts_parity" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val path = "target/q261_stream_window/" + new java.io.File(dir).getName
+      val bRow = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
+        max(expr("unix_millis(ts)")).as("t1")).head
+      if (bRow.isNullAt(0)) {
+        ev.select(col("ts").as("window_start"),
+          col("event_type").cast("string").as("event_type"),
+          lit(0L).as("n"), lit(0L).as("total_e4")).limit(0)
+      } else {
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("event_id"), col("event_type"), col("value"),
+          col("ts"))).cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        val in = s"$path/in"
+        val halfPred = expr("unix_millis(ts)") * 2 <
+          lit(bRow.getLong(0) + bRow.getLong(1))
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.windowedEventCounts(
+              s.readStream.schema(ev.schema).parquet(in),
+              windowLen = "6 hours", slack = "5 minutes")
+            .writeStream.format("parquet")
+            .option("path", s"$path/out")
+            .option("checkpointLocation", s"$path/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+        ev.where(halfPred).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        ev.where(!halfPred).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      }
+      s.read.parquet(s"$path/out")
+        // ×10000 lifts the full scale-4 decimal into an exact int64 —
+        // ×100 would truncate live half-cents divergently per engine
+        .select(col("window_start"), col("event_type"), col("n"),
+          (col("total") * 10000).cast("long").as("total_e4"))
+        .orderBy("window_start", "event_type")
+      }
+    }),
+
+    // STREAMED sessionization parity (q262, round 14): the
+    // flatMapGroupsWithState event-time-timeout sessionizer — the
+    // custom-state path the built-in windows can't express — enters
+    // the differential surface over the q261 protocol (two
+    // time-contiguous drops, restart between). Sessions close two
+    // ways, both deterministic under the protocol: EAGERLY when a
+    // later event of the same user exceeds the gap (cross-batch —
+    // state persists through the checkpoint), and by EVENT-TIME
+    // TIMEOUT once the watermark passes session_end + gap. The oracle
+    // is classic island detection (lag/cumsum) over the same events
+    // with the same emission rule: every non-final island of a user
+    // emits (its successor event closed it), and a user's final
+    // island emits iff session_end + gap is STRICTLY below
+    // max(ts) − slack (Spark fires an event-time timeout only once the
+    // watermark advances beyond the set timestamp; gap arithmetic runs
+    // in micros on both sides, the timeout comparison in the watermark's
+    // floored millis). One hash certifies the per-batch sort, the
+    // cross-batch state carry, the timeout arithmetic, and the
+    // append-mode emission discipline.
+    "q262_streamed_sessionize_parity" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val path = "target/q262_stream_session/" + new java.io.File(dir).getName
+      val bRow = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
+        max(expr("unix_millis(ts)")).as("t1")).head
+      if (bRow.isNullAt(0)) {
+        ev.select(col("user_id"), col("ts").as("session_start"),
+          col("ts").as("session_end"), lit(0L).as("n_events")).limit(0)
+      } else {
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("user_id"), col("ts"), col("event_type")))
+          .cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        val in = s"$path/in"
+        val halfPred = expr("unix_millis(ts)") * 2 <
+          lit(bRow.getLong(0) + bRow.getLong(1))
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.sessionize(
+              s.readStream.schema(ev.schema).parquet(in)
+                .as[graft.streaming.StreamingIngest.Event],
+              gapMs = StreamGapMs, slack = "10 seconds")
+            .toDF()
+            .writeStream.format("parquet")
+            .option("path", s"$path/out")
+            .option("checkpointLocation", s"$path/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+        ev.where(halfPred).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        ev.where(!halfPred).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      }
+      s.read.parquet(s"$path/out")
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy("user_id", "session_start")
+      }
+    }),
+
+    // STREAMED interval-join parity (q263, round 14): the
+    // stream-stream attribution join (click → purchase within the
+    // horizon, both sides watermarked so state is bounded on BOTH
+    // streams) enters the differential surface over the q261 protocol.
+    // An inner stream-stream join emits a match in the batch where the
+    // later side arrives, and Spark's watermark contract guarantees a
+    // row is evicted only once no future match is possible — under the
+    // time-contiguous split no cross-batch match can be lost (a drop-2
+    // row within the horizon of an evicted drop-1 row would contradict
+    // the eviction bound), so the streamed output must equal the batch
+    // inequality join EXACTLY, with no emission-horizon filter at all
+    // — the one streamed operator whose parity needs no watermark
+    // arithmetic in the oracle. One hash certifies the dual-sided
+    // state management, eviction correctness, and replay safety.
+    "q263_streamed_interval_join_parity" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val path = "target/q263_stream_ijoin/" + new java.io.File(dir).getName
+      val bRow = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
+        max(expr("unix_millis(ts)")).as("t1")).head
+      if (bRow.isNullAt(0)) {
+        ev.select(col("user_id"), col("ts").as("l_ts"),
+          col("ts").as("r_ts")).limit(0)
+      } else {
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))).cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      val sideSchema = ev.select(col("user_id"), col("ts")).schema
+      StreamGuard.ensure(path, fp) {
+        val halfPred = expr("unix_millis(ts)") * 2 <
+          lit(bRow.getLong(0) + bRow.getLong(1))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"))
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.intervalJoin(
+              s.readStream.schema(sideSchema).parquet(s"$path/in_l"),
+              s.readStream.schema(sideSchema).parquet(s"$path/in_r"),
+              key = "user_id", horizon = "2 hours", slack = "5 minutes")
+            .writeStream.format("parquet")
+            .option("path", s"$path/out")
+            .option("checkpointLocation", s"$path/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+        clicks.where(halfPred).coalesce(1).write.mode("append").parquet(s"$path/in_l")
+        purchases.where(halfPred).coalesce(1).write.mode("append").parquet(s"$path/in_r")
+        runOnce()
+        clicks.where(!halfPred).coalesce(1).write.mode("append").parquet(s"$path/in_l")
+        purchases.where(!halfPred).coalesce(1).write.mode("append").parquet(s"$path/in_r")
+        runOnce()
+      }
+      s.read.parquet(s"$path/out")
+        .select(col("user_id"), col("l_ts"), col("r_ts"))
+        .orderBy("user_id", "l_ts", "r_ts")
       }
     }),
 
@@ -975,6 +1170,62 @@ object OpsQueries {
         |  novel_rows, null_key_rows
         |FROM chi CROSS JOIN gauges
         |ORDER BY event_type""".stripMargin,
+
+    // q261: the same epoch-aligned tumbling windows and the exact
+    // decimal sum (scaled to an integer so no engine renders a
+    // decimal), filtered to the windows the final watermark
+    // (max ts − slack) has sealed — append mode's emission rule,
+    // derived relationally with no knowledge of batches.
+    "q261_streamed_window_counts_parity" ->
+      s"""WITH b AS (SELECT max(epoch_ms(ts)) AS t1 FROM events),
+         |w AS (SELECT epoch_ms(ts) // $WindowMs AS wk, event_type,
+         |    CAST(value AS DECIMAL(18,4)) AS v
+         |  FROM events),
+         |agg AS (SELECT wk, event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) * 10000 AS BIGINT) AS total_e4
+         |  FROM w GROUP BY 1, 2)
+         |SELECT epoch_ms(wk * $WindowMs) AS window_start, event_type, n,
+         |  total_e4
+         |FROM agg CROSS JOIN b
+         |WHERE (wk + 1) * $WindowMs <= b.t1 - $WindowSlackMs
+         |ORDER BY window_start, event_type""".stripMargin,
+
+    // q262: classic island detection (lag + cumulative break sum) with
+    // the operator's emission rule: non-final islands emit (their
+    // successor event closed them eagerly), a user's final island
+    // emits iff the final watermark passed session_end + gap.
+    "q262_streamed_sessionize_parity" ->
+      s"""WITH b AS (SELECT max(epoch_ms(ts)) AS t1 FROM events),
+         |o AS (SELECT user_id, ts,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         |  FROM events),
+         |m AS (SELECT user_id, ts, CASE WHEN prev IS NULL OR
+         |    epoch_us(ts) - epoch_us(prev) > ${StreamGapMs}000
+         |    THEN 1 ELSE 0 END AS brk FROM o),
+         |g AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+         |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+         |isl AS (SELECT user_id, sid, min(ts) AS session_start,
+         |    max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events,
+         |    max(sid) OVER (PARTITION BY user_id) AS last_sid
+         |  FROM g GROUP BY user_id, sid)
+         |SELECT user_id, session_start, session_end, n_events
+         |FROM isl CROSS JOIN b
+         |WHERE sid < last_sid
+         |  OR epoch_ms(session_end) + $StreamGapMs < b.t1 - $StreamGapSlackMs
+         |ORDER BY user_id, session_start""".stripMargin,
+
+    // q263: the plain inequality join — the streamed inner join must
+    // equal it exactly (no emission filter: eviction correctness means
+    // no match can be lost, and inner-join matches emit as the later
+    // side arrives).
+    "q263_streamed_interval_join_parity" ->
+      s"""WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+         |SELECT c.user_id, c.ts AS l_ts, p.ts AS r_ts
+         |FROM c JOIN p ON p.user_id = c.user_id
+         |  AND p.ts >= c.ts
+         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + ${JoinHorizonMs}000
+         |ORDER BY c.user_id, l_ts, r_ts""".stripMargin,
 
     // q184: the same pair/item/basket arithmetic; the per-antecedent
     // cap as a row_number window with the same tie order.

@@ -55,9 +55,21 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  /** Session bounds are held as epoch MICROSECONDS — `Timestamp.getTime`
+    * is millis and would silently truncate the micro-precision event
+    * times Spark's TimestampType carries (caught by the q262 hash gate). */
   case class SessionState(start: Long, end: Long, n: Int)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Int)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Stateful sessionization with an EVENT-time gap timeout — the
     * `flatMapGroupsWithState` path for custom state the built-in windows
@@ -76,20 +88,18 @@ object StreamingIngest {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.n))
+            Iterator.single(Session(user, microsTs(s.start), microsTs(s.end), s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(tsMicros _ compose (_.ts))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if t - s.end <= gapMs * 1000L =>
                   cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
-                  closed += Session(user, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.n)
+                  closed += Session(user, microsTs(s.start), microsTs(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -98,7 +108,9 @@ object StreamingIngest {
             cur.foreach { s =>
               state.update(s)
               // fire when the watermark passes the session's gap horizon
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // (timeout API is millis; floor matches the watermark's own
+              // micros→millis floor, so the oracle's ms arithmetic agrees)
+              state.setTimeoutTimestamp(Math.floorDiv(s.end, 1000L) + gapMs)
             }
             closed.result().iterator
           }
