@@ -151,7 +151,9 @@ def fresh_events(t: pa.Table, c: int, key_offs, span: int) -> pa.Table:
     return pa.table(cols, names=names)
 
 
-def main(out_dir: str) -> None:
+def main(out_dir: str, copies: int = COPIES) -> None:
+    global COPIES
+    COPIES = copies  # 10 = sf1; 30 = sf3 (the second scaling point)
     os.makedirs(out_dir, exist_ok=True)
     tables = {n: pq.read_table(f"{SRC}/{n}.parquet")
               for n in list(KEYED) + SHARED_DIMS}
@@ -207,4 +209,5 @@ def main(out_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1",
+         int(sys.argv[2]) if len(sys.argv) > 2 else COPIES)

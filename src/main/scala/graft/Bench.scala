@@ -311,7 +311,8 @@ object Bench {
            "q259_streamed_upsert_parity",
            "q261_streamed_window_counts_parity",
            "q262_streamed_sessionize_parity",
-           "q263_streamed_interval_join_parity")
+           "q263_streamed_interval_join_parity",
+           "q264_streamed_dedup_parity")
          if only.forall(_.contains(setup));
          fn <- SparkEntry.queries.get(setup)) {
       try run(fn) catch { case e: Throwable =>

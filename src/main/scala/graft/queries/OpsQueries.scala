@@ -545,6 +545,69 @@ object OpsQueries {
       }
     }),
 
+    // STREAMED keyed-dedup parity (q264, round 14): the LAST spec-only
+    // streaming operator — dropDuplicatesWithinWatermark — enters the
+    // hash-gated differential surface, completing the streaming table.
+    // Regime choice matters for determinism: with a BOUNDED horizon,
+    // which duplicate of a within-batch group is kept is partition-order
+    // dependent, and the kept row's event time steers state expiry, so
+    // the episode structure itself is nondeterministic (that regime
+    // stays spec-certified). The differential therefore pins the
+    // GLOBAL-window regime: the horizon is computed from the fixture's
+    // own span (span + 2 days — sf1/sf3 stretch time 10×/30×, so a
+    // fixed constant would silently re-admit keys at scale), the
+    // watermark never passes any key's expiry, and the operator must
+    // emit each key EXACTLY once across both drops and the restart —
+    // n_emitted > 1 is a lost-state smoking gun (checkpoint carry
+    // broken), a missing key is a lost-emission one (sink manifest
+    // broken). Key = (user_id, event_type, day) so the dedup runs on a
+    // derived bucket column, not just raw columns, and the state is
+    // ~50× richer than user×type alone.
+    "q264_streamed_dedup_parity" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          date_trunc("day", col("ts")).as("day"))
+      val path = "target/q264_stream_dedup/" + new java.io.File(dir).getName
+      val bRow = ev.agg(min(expr("unix_millis(ts)")).as("t0"),
+        max(expr("unix_millis(ts)")).as("t1")).head
+      if (bRow.isNullAt(0)) {
+        ev.select(col("user_id"),
+          col("event_type").cast("string").as("event_type"),
+          col("day"), lit(0L).as("n_emitted")).limit(0)
+      } else {
+      val fpRow = ev.agg(
+        count(lit(1)).cast("string").as("c"),
+        bit_xor(xxhash64(col("user_id"), col("event_type"), col("ts")))
+          .cast("string").as("h")).collect()(0)
+      val fp = "v1:" + (0 until fpRow.length).map(fpRow.getString).mkString(":")
+      StreamGuard.ensure(path, fp) {
+        val in = s"$path/in"
+        val spanDays = (bRow.getLong(1) - bRow.getLong(0)) / 86400000L + 2L
+        val halfPred = expr("unix_millis(ts)") * 2 <
+          lit(bRow.getLong(0) + bRow.getLong(1))
+        def runOnce(): Unit = StreamGuard.await(
+          graft.streaming.StreamingIngest.dedupStream(
+              s.readStream.schema(ev.schema).parquet(in),
+              tsCol = "ts", keys = Seq("user_id", "event_type", "day"),
+              slack = s"$spanDays days")
+            .select(col("user_id"), col("event_type"), col("day"))
+            .writeStream.format("parquet")
+            .option("path", s"$path/out")
+            .option("checkpointLocation", s"$path/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start())
+        ev.where(halfPred).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+        ev.where(!halfPred).coalesce(1).write.mode("append").parquet(in)
+        runOnce()
+      }
+      s.read.parquet(s"$path/out")
+        .groupBy(col("user_id"), col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_emitted"))
+        .orderBy("user_id", "event_type", "day")
+      }
+    }),
+
     // ASSOCIATION RULES (q184): the market-basket classic (Agrawal &
     // Srikant 1994) over order baskets — for supplier pairs
     // co-occurring in ≥ MinSup orders, both directional rules A⇒C
@@ -1226,6 +1289,17 @@ object OpsQueries {
          |  AND p.ts >= c.ts
          |  AND epoch_us(p.ts) <= epoch_us(c.ts) + ${JoinHorizonMs}000
          |ORDER BY c.user_id, l_ts, r_ts""".stripMargin,
+
+    // q264: under the global-window horizon every (user, type, day)
+    // key emits exactly once across both drops and the restart — the
+    // oracle is the distinct-key set with the emission count pinned
+    // at 1 (any state loss re-emits and breaks the count, any sink
+    // replay breaks it upward, any lost emission drops the row).
+    "q264_streamed_dedup_parity" ->
+      """SELECT user_id, event_type, date_trunc('day', ts) AS day,
+        |  CAST(1 AS BIGINT) AS n_emitted
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY user_id, event_type, day""".stripMargin,
 
     // q184: the same pair/item/basket arithmetic; the per-antecedent
     // cap as a row_number window with the same tie order.
