@@ -21,7 +21,7 @@ object Probe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.minPartitionNum", cpus)
@@ -57,11 +57,15 @@ object Probe {
     }
     run() // warm-up (JIT, codegen, footers) — mirrors Bench
     stages.clear()
-    val t0 = System.nanoTime()
-    for (_ <- 1 to reps) run()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      (System.nanoTime() - t0) / 1e9
+    }
     Thread.sleep(500) // let listener events drain
-    println(f"%n[probe] $name%s: ${fmtd(wall / reps)}%s s/run ($reps reps), " +
+    println(f"%n[probe] $name%s: min ${fmtd(times.min)}%s avg " +
+      s"${fmtd(times.sum / reps)} s/run ($reps reps, " +
+      s"all ${times.map(fmtd).mkString(",")}), " +
       s"${stages.size} stages, ${stages.map(_.job).distinct.size} jobs")
     println(f"${"job"}%4s ${"stage"}%5s ${"tasks"}%5s ${"wallMs"}%7s " +
       f"${"taskMs"}%7s ${"cpuMs"}%7s ${"shR_KB"}%7s ${"shW_KB"}%7s ${"recs"}%9s  name")

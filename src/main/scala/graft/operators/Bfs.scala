@@ -45,11 +45,14 @@ object Bfs {
     * `edges` (src, dst) from `seeds` (single column `node`). Returns
     * (node, dist) for every node in the edge list; unreached nodes
     * carry dist = [[Inf]]. */
-  def run(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, seeds: DataFrame, iters: Int,
+          parts: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val bp = if (parts > 0) parts
+      else LoopSizing.partitions(edges.sparkSession, 2L * edges.count())
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .repartition(bp, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = adj.select(col("src").as("node")).distinct()
     val d0 = nodes

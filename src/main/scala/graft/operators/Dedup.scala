@@ -188,7 +188,8 @@ object Dedup {
     * passage duplicated a million times costs its hash-partition
     * size, not its square. */
   def maxDupSpan(docs: DataFrame, w: Int = 8): DataFrame = {
-    val toksDf = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val toksDf = FanOut.byKey(docs, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val nTok = toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
     val spans = toksDf
       .where(size(col("toks")) >= w)

@@ -36,11 +36,13 @@ object LabelProp {
   /** Labels after `iters` synchronous rounds over the UNDIRECTED graph
     * given by `edges` (src, dst) — both directions added here, pass
     * each undirected edge once. Returns (node, label). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val lp = if (parts > 0) parts
+      else LoopSizing.partitions(edges.sparkSession, 2L * edges.count())
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .repartition(lp, col("src"))
       .persist()
     // every node of an undirected edge list appears as a src
     val nodes = adj.select(col("src").as("node")).distinct().persist()

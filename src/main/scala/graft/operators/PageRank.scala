@@ -78,9 +78,9 @@ object PageRank {
   /** Ranks after `iters` synchronous updates over the UNDIRECTED graph
     * given by `edges` (src, dst) — both directions are added here, so
     * pass each undirected edge once. Returns (node, deg, rank). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val (adj, deg) = adjacency(edges)
+    val (adj, deg) = adjacency(edges, parts)
     val n = deg.agg(count(lit(1)).as("n"))
     // (node, deg, rank0, base): the scalar n is broadcast-joined ONCE —
     // the uniform start and the damping base term become row-local
@@ -103,9 +103,10 @@ object PageRank {
     * from any seed. Identical iteration machinery and scale shape as
     * [[run]]; only the (rank0, base) columns differ: Mass splits over
     * the seed nodes present in the graph. */
-  def runTrust(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  def runTrust(edges: DataFrame, seeds: DataFrame, iters: Int,
+               parts: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val (adj, deg) = adjacency(edges)
+    val (adj, deg) = adjacency(edges, parts)
     val seedSet = seeds.select(col("node")).distinct()
     val ns = deg.join(broadcast(seedSet), Seq("node"), "left_semi")
       .agg(count(lit(1)).as("ns"))
@@ -130,11 +131,13 @@ object PageRank {
     * multiplicities. Same uniform teleport as [[run]]; same
     * one-shuffle-per-iteration scale shape, with (deg → W) the only
     * structural change. */
-  def runWeighted(edges: DataFrame, iters: Int): DataFrame = {
+  def runWeighted(edges: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val wp = if (parts > 0) parts
+      else LoopSizing.partitions(edges.sparkSession, 2L * edges.count())
     val adj = edges.select(col("src"), col("dst"), col("w"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .repartition(col("src"))
+      .repartition(wp, col("src"))
       .persist()
     val wsum = adj.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("wtot"))
@@ -184,10 +187,12 @@ object PageRank {
     * The node universe is src ∪ dst (distinct), built once and
     * persisted with the adjacency (cache contract above). Returns
     * (node, outdeg, rank). */
-  def runDirected(edges: DataFrame, iters: Int): DataFrame = {
+  def runDirected(edges: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dp = if (parts > 0) parts
+      else LoopSizing.partitions(edges.sparkSession, edges.count())
     val adj = edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
+      .repartition(dp, col("src"))
       .persist()
     val outdeg = adj.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
@@ -342,11 +347,13 @@ object PageRank {
     * authority→hub join — so each of the two per-round joins is
     * co-located and only (key, partial-sum) rows cross the wire.
     * Returns (node, hub, auth). */
-  def runHits(edges: DataFrame, iters: Int): DataFrame = {
+  def runHits(edges: DataFrame, iters: Int, parts: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val hp = if (parts > 0) parts
+      else LoopSizing.partitions(edges.sparkSession, edges.count())
     val adjS = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
-    val adjD = adjS.repartition(col("dst")).persist()
+      .repartition(hp, col("src")).persist()
+    val adjD = adjS.repartition(hp, col("dst")).persist()
     val nodes = adjS.select(col("src").as("node"))
       .unionByName(adjS.select(col("dst").as("node"))).distinct().persist()
     // Lineage: each half-step localCheckpoints (the Bfs.scala pattern —
@@ -429,11 +436,18 @@ object PageRank {
        |pr AS (SELECT node, wtot, rank FROM r$iters)""".stripMargin
   }
 
-  /** Symmetrized adjacency (persisted, src-partitioned) + degrees. */
-  private def adjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+  /** Symmetrized adjacency (persisted, src-partitioned) + degrees.
+    * Partition width is size-derived ([[LoopSizing]]): the adjacency's
+    * width sets every round's stage width, so it follows the edge
+    * count, not the session default (r14 measurement at the
+    * LoopSizing scaladoc). */
+  private def adjacency(edges: DataFrame,
+                        parts: Int = 0): (DataFrame, DataFrame) = {
+    val p = if (parts > 0) parts
+      else LoopSizing.partitions(edges.sparkSession, 2L * edges.count())
     val adj = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+      .repartition(p, col("src"))
       .persist()
     (adj, adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
   }

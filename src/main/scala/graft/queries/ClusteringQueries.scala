@@ -661,7 +661,8 @@ object ClusteringQueries {
       val ex = d.select(col("doc_id"), md5(col("text")).as("h"))
       val exFlag = ex.join(ex.groupBy("h").agg(min("doc_id").as("ek")), Seq("h"))
         .select(col("doc_id"), (col("ek") < col("doc_id")).as("fe"))
-      val sp = d.select(col("doc_id"),
+      val sp = graft.operators.FanOut.byKey(d, col("doc_id"))
+        .select(col("doc_id"),
           explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 8)).as("span"))
         .select(col("doc_id"), md5(col("span")).as("sh"))
       val spFlag = sp.join(sp.groupBy("sh").agg(min("doc_id").as("sk")), Seq("sh"))

@@ -73,8 +73,9 @@ object CorpusQueries {
 
   /** (doc_id, gram) pairs, one row per DISTINCT word-5-gram per doc. */
   private def docGrams(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      explode(Dedup.shingles(TextAnalysis.tokens(col("text")), n = 5)).as("gram"))
+    graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
+      .select(col("doc_id"),
+        explode(Dedup.shingles(TextAnalysis.tokens(col("text")), n = 5)).as("gram"))
 
   private def docGramsSql: String =
     s"""SELECT doc_id, unnest(${Dedup.shinglesSql(TextAnalysis.tokensSql("text"), n = 5)}) AS gram
@@ -297,7 +298,7 @@ object CorpusQueries {
     // source count, not the copy count), and the output is
     // #sources²-bounded.
     "q105_source_overlap" -> ((s, dir) => {
-      val d = docs(s, dir)
+      val d = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
       d.select(col("source"), md5(col("text")).as("h"))
         .distinct().createOrReplaceTempView("so_texts")
       d.select(col("source"),
@@ -634,7 +635,7 @@ object CorpusQueries {
     // Every gate is exact integer arithmetic on the row — the whole
     // filter is a zero-shuffle scan at any corpus size.
     "q171_quality_consensus" -> ((s, dir) =>
-      docs(s, dir)
+      graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")).cast("long"))
         .where(col("n") >= 1)
@@ -734,7 +735,7 @@ object CorpusQueries {
     // is vocabulary-bounded; the blocklist is a TakeOrdered 20-row
     // broadcast back onto the stream; per-doc rollup map-combines.
     "q164_boilerplate_blocklist" -> ((s, dir) => {
-      val sp = docs(s, dir)
+      val sp = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .select(col("doc_id"),
           explode(Dedup.shingles(TextAnalysis.tokens(col("text")), BlockWin))
             .as("span"))

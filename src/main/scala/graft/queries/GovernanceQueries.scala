@@ -291,8 +291,13 @@ object GovernanceQueries {
     // and the distinct count shuffles on (source, n, gram) — bounded
     // by the observed gram space, the same budget every n-gram query
     // in the engine already pays.
+    // Fan-out (r14): the gram expansion is ~30× the scan bytes and ran
+    // entirely inside the single-row-group scan task (1.44 s serial
+    // stage of a 1.97 s query); one doc_id repartition after the read
+    // parallelizes it (FanOut scaladoc; results placement-invariant —
+    // exact counts/distincts over strings).
     "q181_distinct_n" -> ((s, dir) => {
-      val g = docs(s, dir)
+      val g = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
         .withColumn("nt", size(col("toks")).cast("long"))
         .select(col("source"), col("nt"), col("toks"),

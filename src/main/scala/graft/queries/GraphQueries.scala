@@ -34,7 +34,7 @@ object GraphQueries {
     val e = knnEdges(s, dir)
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
-      .repartition(col("a")).persist()
+      .repartition(knnParts(s, dir), col("a")).persist()
     val nodes = adj.select(col("a").as("node")).distinct()
     val r0 = nodes
       .withColumn("h", h48(concat(lit("anf:"), col("node").cast("string"))))
@@ -118,6 +118,23 @@ object GraphQueries {
     * orders); only the physical row layout differs. */
   private val edgeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  /** Size-derived loop partitions for the purchase/kNN graphs
+    * ([[graft.operators.LoopSizing]]), memoized with the edges so the
+    * count job runs once per (session, fixture) instead of once per
+    * bench run (the count reads the already-checkpointed edge blocks). */
+  private val partsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Int]
+
+  private def purchaseParts(s: SparkSession, dir: String): Int =
+    partsMemo.computeIfAbsent((s, dir, "purchase"), { _ =>
+      graft.operators.LoopSizing.partitions(s, 2L * purchaseEdges(s, dir).count())
+    })
+
+  private def knnParts(s: SparkSession, dir: String): Int =
+    partsMemo.computeIfAbsent((s, dir, "knn"), { _ =>
+      graft.operators.LoopSizing.partitions(s, 2L * knnEdges(s, dir).count())
+    })
 
   private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
     edgeMemo.computeIfAbsent((s, dir), { _ =>
@@ -356,7 +373,7 @@ object GraphQueries {
     // node count: (node, kind, deg, rank), ranks on the Mass = 10^12
     // integer scale.
     "q112_pagerank" -> ((s, dir) => {
-      PageRank.run(purchaseEdges(s, dir), Iters)
+      PageRank.run(purchaseEdges(s, dir), Iters, purchaseParts(s, dir))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -373,7 +390,7 @@ object GraphQueries {
       val seeds = Tables.load(s, dir, "supplier")
         .where(col("s_nationkey") === 0)
         .select((col("s_suppkey") * 2 + 1).as("node"))
-      Bfs.run(purchaseEdges(s, dir), seeds, BfsIters)
+      Bfs.run(purchaseEdges(s, dir), seeds, BfsIters, purchaseParts(s, dir))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -390,7 +407,7 @@ object GraphQueries {
     // one-shuffle-per-iteration machinery with total out-weight in
     // place of degree.
     "q121_weighted_pagerank" -> ((s, dir) => {
-      PageRank.runWeighted(weightedEdges(s, dir), Iters)
+      PageRank.runWeighted(weightedEdges(s, dir), Iters, purchaseParts(s, dir))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -409,7 +426,7 @@ object GraphQueries {
       val seeds = Tables.load(s, dir, "supplier")
         .where(col("s_nationkey") === 0)
         .select((col("s_suppkey") * 2 + 1).as("node"))
-      PageRank.runTrust(purchaseEdges(s, dir), seeds, Iters)
+      PageRank.runTrust(purchaseEdges(s, dir), seeds, Iters, purchaseParts(s, dir))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -429,7 +446,7 @@ object GraphQueries {
     // one-data-shuffle-per-iteration machinery as q112 plus a 1-row
     // dangling-sum broadcast per round.
     "q123_directed_pagerank" -> ((s, dir) => {
-      PageRank.runDirected(purchaseEdges(s, dir), Iters)
+      PageRank.runDirected(purchaseEdges(s, dir), Iters, purchaseParts(s, dir))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -449,7 +466,7 @@ object GraphQueries {
     // sides' scores separate by construction — a useful structural
     // sanity the spec pins).
     "q125_hits" -> ((s, dir) => {
-      PageRank.runHits(purchaseEdges(s, dir), Iters)
+      PageRank.runHits(purchaseEdges(s, dir), Iters, purchaseParts(s, dir))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -467,7 +484,7 @@ object GraphQueries {
     // operator inventory composes inside iterative loops, not just as
     // a terminal stage.
     "q126_label_propagation" -> ((s, dir) => {
-      LabelProp.run(purchaseEdges(s, dir), Iters)
+      LabelProp.run(purchaseEdges(s, dir), Iters, purchaseParts(s, dir))
         .select(col("node"),
           when(col("node") % 2 === 0, lit("customer"))
             .otherwise(lit("supplier")).as("kind"),
@@ -486,7 +503,7 @@ object GraphQueries {
     // (the sampling frame); segment from the customer dimension via
     // broadcast join.
     "q114_centrality_sample" -> ((s, dir) => {
-      val ranks = PageRank.run(purchaseEdges(s, dir), Iters)
+      val ranks = PageRank.run(purchaseEdges(s, dir), Iters, purchaseParts(s, dir))
         .where(col("node") % 2 === 0)
         .select(col("node"), col("rank").as("pr"))
       val cust = Tables.load(s, dir, "customer")

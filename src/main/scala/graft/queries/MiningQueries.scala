@@ -127,7 +127,7 @@ object MiningQueries {
     // 48-bit hash (linear, map-combinable), one linear join back;
     // the W-window min never materializes per-window gram lists.
     "q175_winnowing" -> ((s, dir) => {
-      val t = docs(s, dir)
+      val t = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .withColumn("n", size(col("toks")).cast("long"))
         .where(col("n") >= WinK + WinW - 1)
@@ -172,7 +172,7 @@ object MiningQueries {
     // recover doc_ids, ties on all three axes included. Every stage
     // after (1) is output/value-bounded at ANY corpus size.
     "q176_skyline" -> ((s, dir) => {
-      val m = docs(s, dir)
+      val m = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .where(col("n_tokens") >= 1)

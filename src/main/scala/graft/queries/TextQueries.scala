@@ -739,7 +739,7 @@ object TextQueries {
     // boundaries survive via the sizes frame with a left join; the
     // per-doc argmin streams through TopKPerKeyExec.
     "q208_text_tiling" -> ((s, dir) => {
-      val blocks = docs(s, dir)
+      val blocks = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .withColumn("nb", expr(s"size(toks) div $TileW").cast("long"))
         .where(col("nb") >= 2)
@@ -961,7 +961,8 @@ object TextQueries {
   private[graft] def exactScrub(d: DataFrame): DataFrame = {
     {
       import org.apache.spark.sql.expressions.Window
-      val t = d.select(col("doc_id"), tokens(col("text")).as("toks"))
+      val t = graft.operators.FanOut.byKey(d, col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
       val fw = t.where(size(col("toks")) >= 16)
         .select(col("doc_id"), expr(
           """explode(transform(sequence(0, size(toks) - 16),
@@ -999,7 +1000,8 @@ object TextQueries {
     * Shared by q135 (per-position ranks) and q136 (distinct-window
     * LCP array). */
   private def suffixWindows(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), tokens(col("text")).as("toks"))
+    graft.operators.FanOut.byKey(d, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col("doc_id"), expr(
         """explode(transform(sequence(0, size(toks) - 1),
