@@ -37,9 +37,17 @@ object KCore {
     e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as(out))
 
-  /** (node, deg, peel_round) for every node of `edges`. */
-  def run(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** (node, deg, peel_round) for every node of `edges`.
+    * `parts` sizes the loop width ([[LoopSizing]], r14): the peeling
+    * rounds re-reference the edge list every round, so its partition
+    * count sets each round's stage width — size-derived, never the
+    * session default (the kNN graph is a few thousand rows; 32-wide
+    * rounds measured as ~90–120 ms of empty 32-task stages each). */
+  def run(edges0: DataFrame, k: Int, rounds: Int, parts: Int = 0): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val p = if (parts > 0) parts
+      else LoopSizing.partitions(edges0.sparkSession, edges0.count())
+    val edges = edges0.repartition(p, col("u"))
     val deg0 = degrees(edges, "deg").persist()
     var peeled = deg0.select(col("node"), col("deg"),
       when(col("deg") < k, lit(0L)).otherwise(lit(null).cast("long")).as("pr"))

@@ -1384,7 +1384,7 @@ object CorpusQueries {
     * the contrast constant down (the ranking only needs the RELATIVE
     * fixed-point resolution) or widen to Decimal on both sides. */
   def importanceWeights(docsDf: DataFrame): DataFrame = {
-      val fb = docsDf
+      val fb = graft.operators.FanOut.byKey(docsDf, col("doc_id"))
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .select(col("doc_id"),

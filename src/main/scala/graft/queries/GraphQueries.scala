@@ -333,7 +333,7 @@ object GraphQueries {
     "q216_modularity" -> ((s, dir) => {
       val e = knnEdges(s, dir)
         .select(col("u").as("src"), col("v").as("dst"))
-      val labels = LabelProp.run(e, Iters)
+      val labels = LabelProp.run(e, Iters, knnParts(s, dir))
       e.createOrReplaceTempView("q216_edges")
       labels.createOrReplaceTempView("q216_labels")
       val ein = s.sql(
@@ -560,7 +560,8 @@ object GraphQueries {
     // count — O(m) per round, O(1) plan size via the family's
     // alternating localCheckpoint.
     "q142_kcore" -> ((s, dir) =>
-      KCore.run(knnEdges(s, dir), KCoreK, KCoreRounds).orderBy("node")),
+      KCore.run(knnEdges(s, dir), KCoreK, KCoreRounds,
+        knnParts(s, dir)).orderBy("node")),
 
     // Graph-embedding positive pairs (q144): DeepWalk/node2vec's
     // preprocessing (Perozzi et al. 2014 — public literature) made

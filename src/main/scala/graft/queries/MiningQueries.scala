@@ -217,7 +217,7 @@ object MiningQueries {
     // |sources|·m rows forever; the pair algebra runs on that tiny
     // table (|sources|²·m), never on data.
     "q177_hll_algebra" -> ((s, dir) => {
-      val sh = docs(s, dir)
+      val sh = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .select(col("source"),
           explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3))
             .as("span"))

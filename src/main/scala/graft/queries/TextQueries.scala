@@ -583,7 +583,8 @@ object TextQueries {
     // map-combinable (query, doc) count; top-10 streams through
     // TopKPerKey.
     "q173_query_expansion" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+      val t = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
       val pc = t.select(explode(expr(
         """flatten(array(
           |  zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
@@ -811,9 +812,16 @@ object TextQueries {
     // fold per pair, 16-bounded. Output is distinct-window-linear.
     "q136_lcp_array" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // persisted: dw feeds BOTH the local-rank windows and the range
+      // offsets — without it the whole scan+window-expansion+groupBy
+      // runs twice (measured: two ~11 MB partial-agg stages per run,
+      // ~0.5 s; exchange reuse cannot fire because the two consumers
+      // aggregate differently). Released by the harness's per-query
+      // clearCache (the iterative-operator cache contract).
       val dw = suffixWindows(docs(s, dir))
         .groupBy("w").agg(count(lit(1)).as("reps"))
         .withColumn("r", substring(col("w"), 1, 1))
+        .persist()
       val inRange = Window.partitionBy("r").orderBy("w")
       val local = dw
         .withColumn("lr", dense_rank().over(inRange).cast("long"))
@@ -1013,8 +1021,12 @@ object TextQueries {
     * the range-fan-out knob (output invariant in it). */
   private[graft] def suffixRanks(d: DataFrame, prefixChars: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted for the same two-consumer reason as q136's dw (the
+    // rank windows and the distinct-count offsets both re-expand the
+    // corpus otherwise); caller-released via clearCache
     val w1 = suffixWindows(d)
       .withColumn("r", substring(col("w"), 1, prefixChars))
+      .persist()
     val local = w1
       .withColumn("lr",
         dense_rank().over(Window.partitionBy("r").orderBy("w")).cast("long"))
