@@ -6,52 +6,77 @@ import org.apache.spark.sql.{Column, DataFrame}
   * "one huge unsplittable file … otherwise repartition immediately
   * after the read").
   *
-  * The driver fixtures are SINGLE-ROW-GROUP parquet files, and a parquet
-  * row group is atomic to the reader — `spark.sql.files.minPartitionNum`
-  * produces 32 byte-range splits but every row lands in the one task
-  * whose split contains the row group, so the whole scan→first-exchange
-  * segment of every query runs serial (measured: q181's scan+explode+
-  * partial-agg stage = 1.44 s wall / 1.41 s cpu on 32 cores — one task
-  * did all of it). For queries whose pre-shuffle map work dominates
-  * (token/gram explosion, per-byte fingerprints, kernel projections),
-  * one hash repartition right after the read unlocks the cores: the
-  * shuffle moves the raw rows once (bytes the stage must read anyway),
-  * and the ≥10× expansion work after it runs parallel.
+  * A parquet ROW GROUP is atomic to the reader, so a scan's effective
+  * parallelism is its total row-group count no matter how many byte
+  * splits `spark.sql.files.minPartitionNum` produces. The sf0.001–0.1
+  * driver fixtures are SINGLE-row-group files: every scan runs as one
+  * task, and everything between the scan and the first exchange is
+  * serial (measured: q181's scan+explode+partial-agg stage = 1.44 s
+  * wall / 1.41 s cpu with 32 cores idle). For queries whose pre-shuffle
+  * map work dominates (token/gram/window explosion, md5-per-token
+  * features), one hash repartition right after the read unlocks the
+  * cores: the shuffle moves the raw rows once — bytes the stage must
+  * read anyway — and the ≥10× expansion work after it runs parallel.
+  * It also MOVES the first exchange below the expansion: the shuffle
+  * carries the small side of the blowup (guide §2.3).
   *
-  * Scale posture: partition count comes from `spark.sql.shuffle.partitions`
-  * (set from SPARK_GRAFT_CPUS by the harness) — no local constant; the
-  * key is a stable high-cardinality id, so the hash spreads evenly at
-  * any scale; `repartition(col)` (REPARTITION_BY_COL) is deliberately
-  * chosen over round-robin `repartition(n)` — deterministic row
-  * placement under task retry (guide §2.5, SPARK-38388) and no
-  * sort-before-repartition cost. On a production many-file layout the
-  * same call is the standard defense against unsplittable/skewed
-  * inputs; apply it ONLY where per-row map work dominates the scan —
-  * for plain scan→aggregate queries the parquet decode is the whole
-  * stage and a fan-out would just add a shuffle.
+  * LAYOUT-AWARE (r14, second measurement round): the sf1 fixture is
+  * 25+ row groups per table, so its scans already fan out ~25-way —
+  * there the same repartition is pure overhead (+0.6–1.7 s on q105/
+  * q115/q175 at sf1, A/B-measured against the pre-change tree). The
+  * operator therefore reads the input's total row-group count from the
+  * parquet footers (memoized per file; one footer read each, the same
+  * metadata the scan planner touches) and becomes a NO-OP when the
+  * layout can already feed at least half the configured cores —
+  * exactly the guide's contract: repartition-after-read is the defense
+  * for unsplittable inputs, not a blanket policy. On a production
+  * many-file layout the no-op path always wins, so nothing here is
+  * local-mode tuning; the widths involved all derive from
+  * SPARK_GRAFT_CPUS via defaultParallelism.
   *
-  * Results are unchanged: every consumer below a fan-out is either a
-  * key-partitioned aggregation/join (placement-invariant by semantics)
-  * with exact (integer/string/min/max/count) merge functions, or
-  * re-establishes its own total order downstream — audited per call
-  * site, OPTIMIZATION_r14.md has the list.
+  * Results are unchanged either way: every consumer below a fan-out is
+  * a key-partitioned aggregation/join with exact (integer/string/
+  * min/max/count) merge semantics, or re-establishes its own total
+  * order downstream — audited per call site, OPTIMIZATION_r14.md has
+  * the list.
   */
 object FanOut {
 
-  /** Hash-repartition `df` by `key` to unlock post-scan parallelism.
-    * No-op in spirit (same rows, same values, different placement);
-    * see object scaladoc for when to use it.
-    *
-    * The partition count is pinned to `defaultParallelism` (= the
-    * executor core count, SPARK_GRAFT_CPUS here — an env-derived value,
-    * not a local constant): a bare `repartition(col)` is
-    * REPARTITION_BY_COL, which AQE's coalescer is free to shrink by
-    * byte size — and a fan-out exists precisely because the byte size
-    * UNDER-states the downstream expansion work (measured: AQE
-    * re-coalesced q181's 872 KB post-repartition stage back to one
-    * task). Pinning the count makes the stage width follow the core
-    * count, which is also what the driver's reduced-core scaling run
-    * expects. */
-  def byKey(df: DataFrame, key: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+  /** path → row-group count (footer metadata, read once per file). */
+  private val rowGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Int]
+
+  private def rowGroups(df: DataFrame): Option[Int] = {
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) None
+    else Some(files.map { f =>
+      rowGroupMemo.computeIfAbsent(f, { _ =>
+        try {
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        } catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+      })
+    }.foldLeft(0L)((a, b) => math.min(a + b, Int.MaxValue.toLong)).toInt)
+  }
+
+  /** Hash-repartition `df` by `key` to unlock post-scan parallelism —
+    * or pass it through untouched when the file layout already feeds
+    * the cores (object scaladoc). The fan width is pinned to
+    * `defaultParallelism` (env-derived): a bare `repartition(col)` is
+    * REPARTITION_BY_COL, which AQE's byte-based coalescer shrinks back
+    * to one task precisely because a fan-out's input bytes UNDER-state
+    * its downstream expansion work (measured on q181). Non-file inputs
+    * (synthetic spec frames, derived views) pass through: they carry
+    * their own partitioning. */
+  def byKey(df: DataFrame, key: Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    rowGroups(df) match {
+      case Some(rg) if rg < math.max(2, cores / 2) =>
+        df.repartition(cores, key)
+      case _ => df
+    }
+  }
 }
