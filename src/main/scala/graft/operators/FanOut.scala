@@ -42,7 +42,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object FanOut {
 
-  /** path → row-group count (footer metadata, read once per file). */
+  /** path#len#mtime → row-group count (footer metadata, read once per
+    * file VERSION — the length+mtime token makes a regenerated file a
+    * cache miss instead of a stale count; graft.sources.FixtureStamp). */
   private val rowGroupMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Int]
 
@@ -50,7 +52,7 @@ object FanOut {
     val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
     if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) None
     else Some(files.map { f =>
-      rowGroupMemo.computeIfAbsent(f, { _ =>
+      rowGroupMemo.computeIfAbsent(graft.sources.FixtureStamp.fileToken(f), { _ =>
         try {
           val conf = df.sparkSession.sessionState.newHadoopConf()
           val in = org.apache.parquet.hadoop.util.HadoopInputFile

@@ -54,14 +54,10 @@ object DedupQueries {
     * oracle computes the SAME width in SQL
     * (Similarity.planesForCorpusSql). */
   private val planeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
-  private def adaptivePlanes(s: SparkSession, dir: String): Int = {
-    planeCache.keys.foreach { case k @ (sess, _) =>
-      if (sess.sparkContext.isStopped) planeCache.remove(k)
-    }
-    planeCache.getOrElseUpdate((s, dir),
-      Similarity.planesForCorpus(Tables.load(s, dir, "embeddings").count()))
-  }
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), Int]
+  private def adaptivePlanes(s: SparkSession, dir: String): Int =
+    planeCache.computeIfAbsent(graft.sources.FixtureStamp.key(planeCache, s, dir),
+      _ => Similarity.planesForCorpus(Tables.load(s, dir, "embeddings").count()))
 
   /** Title-level near-dup pairs — the MinHash+LSH candidate pipeline up
     * to (but not including) the member expansion: registers the
@@ -85,11 +81,23 @@ object DedupQueries {
     * Results are unchanged by construction: the memo holds the same
     * deterministic multisets; Bench's clearCache does not drop
     * RDD-level checkpoint storage (the established memo contract). */
-  private val titlePairMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private case class TitleChain(members: DataFrame, sh: DataFrame,
+                                bands: DataFrame, pairs: DataFrame)
 
-  private def titlePairs(s: SparkSession, dir: String): DataFrame =
-    titlePairMemo.computeIfAbsent((s, dir), { _ =>
+  private val titleChainMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), TitleChain]
+
+  /** Memoized chain + view refresh. The memo holds the FRAMES; the
+    * `mh_members`/`mh_sh`/`mh_bands` temp views are re-registered from
+    * the memoized frames on EVERY call (not just on the build), so a
+    * session running queries against two fixture dirs never reads one
+    * dir's views against the other's cached pairs (r14 ADVICE). The
+    * memo key carries the fixture's file stamp ([[graft.sources.FixtureStamp]]),
+    * so regenerating the files at the same path is a miss, not a stale
+    * hit. */
+  private def titleChain(s: SparkSession, dir: String): TitleChain = {
+    val c = titleChainMemo.computeIfAbsent(
+      graft.sources.FixtureStamp.key(titleChainMemo, s, dir), { _ =>
     val members = proxyTitles(s, dir)
     members.createOrReplaceTempView("mh_members")
     val tit = members.groupBy("title")
@@ -97,16 +105,17 @@ object DedupQueries {
       .withColumn("sh", Dedup.shingles(TextAnalysis.tokens(col("title"))))
     val sig = tit.withColumn("sig", Dedup.minhashSignature(col("sh")))
       .localCheckpoint(false)
-    sig.select("title", "rep", "n_docs", "sh").createOrReplaceTempView("mh_sh")
+    val sh = sig.select("title", "rep", "n_docs", "sh")
+    sh.createOrReplaceTempView("mh_sh")
     val banded = sig.select(col("title"), col("rep"), explode(array((0 until Dedup.Bands).map(b =>
         struct(lit(b).as("band"), Dedup.bandKey(col("sig"), b).as("bkey"))): _*)).as("bk"))
       .select(col("title"), col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // skew guard: bound every band bucket to MaxBucket members (see
     // Dedup.capBuckets — a boilerplate bucket otherwise joins quadratic)
-    Dedup.capBuckets(banded, Seq("band", "bkey"), "rep")
+    val bands = Dedup.capBuckets(banded, Seq("band", "bkey"), "rep")
       .localCheckpoint(false)
-      .createOrReplaceTempView("mh_bands")
-    s.sql("""
+    bands.createOrReplaceTempView("mh_bands")
+    val pairs = s.sql("""
       |WITH cand AS (
       |  SELECT DISTINCT a.title AS title_a, b.title AS title_b,
       |                  a.rep AS rep_a, b.rep AS rep_b
@@ -121,7 +130,16 @@ object DedupQueries {
       |  JOIN mh_sh sb ON sb.title = title_b)
       |SELECT * FROM tj WHERE jaccard >= 0.5""".stripMargin)
       .localCheckpoint(false)
+    TitleChain(members, sh, bands, pairs)
   })
+    c.members.createOrReplaceTempView("mh_members")
+    c.sh.createOrReplaceTempView("mh_sh")
+    c.bands.createOrReplaceTempView("mh_bands")
+    c
+  }
+
+  private def titlePairs(s: SparkSession, dir: String): DataFrame =
+    titleChain(s, dir).pairs
 
   /** The title-level duplicate graph q70/q87 run components over:
     * cross edges between distinct-title near-dup pairs, plus self-edges

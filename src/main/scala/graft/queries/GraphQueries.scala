@@ -117,27 +117,29 @@ object GraphQueries {
     * consumer is order-insensitive (exact-integer folds with total tie
     * orders); only the physical row layout differs. */
   private val edgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]
 
   /** Size-derived loop partitions for the purchase/kNN graphs
     * ([[graft.operators.LoopSizing]]), memoized with the edges so the
     * count job runs once per (session, fixture) instead of once per
     * bench run (the count reads the already-checkpointed edge blocks). */
   private val partsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), Int]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), Int]
+  private val knnPartsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), Int]
 
   private def purchaseParts(s: SparkSession, dir: String): Int =
-    partsMemo.computeIfAbsent((s, dir, "purchase"), { _ =>
+    partsMemo.computeIfAbsent(graft.sources.FixtureStamp.key(partsMemo, s, dir), { _ =>
       graft.operators.LoopSizing.partitions(s, 2L * purchaseEdges(s, dir).count())
     })
 
   private def knnParts(s: SparkSession, dir: String): Int =
-    partsMemo.computeIfAbsent((s, dir, "knn"), { _ =>
+    knnPartsMemo.computeIfAbsent(graft.sources.FixtureStamp.key(knnPartsMemo, s, dir), { _ =>
       graft.operators.LoopSizing.partitions(s, 2L * knnEdges(s, dir).count())
     })
 
   private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
-    edgeMemo.computeIfAbsent((s, dir), { _ =>
+    edgeMemo.computeIfAbsent(graft.sources.FixtureStamp.key(edgeMemo, s, dir), { _ =>
       val orders = Tables.load(s, dir, "orders")
       val lineitem = Tables.load(s, dir, "lineitem")
       orders.join(lineitem, col("l_orderkey") === col("o_orderkey"))
@@ -150,10 +152,10 @@ object GraphQueries {
   /** q121's weighted twin: edge multiplicity w = distinct orders
     * between the pair. Same memo rationale as [[purchaseEdges]]. */
   private val weightedEdgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]
 
   private def weightedEdges(s: SparkSession, dir: String): DataFrame =
-    weightedEdgeMemo.computeIfAbsent((s, dir), { _ =>
+    weightedEdgeMemo.computeIfAbsent(graft.sources.FixtureStamp.key(weightedEdgeMemo, s, dir), { _ =>
       val orders = Tables.load(s, dir, "orders")
       val lineitem = Tables.load(s, dir, "lineitem")
       orders.join(lineitem, col("l_orderkey") === col("o_orderkey"))
@@ -180,10 +182,10 @@ object GraphQueries {
     * (localCheckpoint-backed, so Bench's cache teardown doesn't defeat
     * it; both consumers reference it from several subtrees). */
   private val knnEdgeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]
 
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
-    knnEdgeMemo.computeIfAbsent((s, dir), { _ =>
+    knnEdgeMemo.computeIfAbsent(graft.sources.FixtureStamp.key(knnEdgeMemo, s, dir), { _ =>
       val li = Tables.load(s, dir, "lineitem")
       val pw = li.groupBy(col("l_orderkey").as("ok"))
         .agg(sort_array(collect_set(col("l_suppkey"))).as("sks"))

@@ -86,17 +86,25 @@ object PostsProxy {
   // The proxy is a test-fixture corpus (|documents| rows, narrow), so
   // MEMORY_AND_DISK is safe at every driver SF.
   private val cached =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), DataFrame]
 
   /** Spark-side proxy DataFrame (registers `documents` as a temp view).
     * Entries for stopped sessions are dropped on every access so a
     * long-lived JVM cycling through sessions (test suites, notebooks)
-    * never pins a dead SparkContext or its cached plan. */
+    * never pins a dead SparkContext or its cached plan; entries whose
+    * fixture files were regenerated (stamp mismatch) are unpersisted
+    * and rebuilt (graft.sources.FixtureStamp). */
   def df(spark: SparkSession, sfDir: String): DataFrame = {
-    cached.keys.foreach { case k @ (s, _) =>
+    val stamp = graft.sources.FixtureStamp.of(sfDir)
+    cached.keys.foreach { case k @ (s, d, st) =>
       if (s.sparkContext.isStopped) cached.remove(k)
+      else if ((s eq spark) && d == sfDir && st != stamp)
+        cached.remove(k).foreach { old =>
+          try old.unpersist(false)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
     }
-    val frame = cached.getOrElseUpdate((spark, sfDir), {
+    val frame = cached.getOrElseUpdate((spark, sfDir, stamp), {
       Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
       spark.sql(sql(SparkSql))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -816,12 +816,13 @@ object TextQueries {
       // offsets — without it the whole scan+window-expansion+groupBy
       // runs twice (measured: two ~11 MB partial-agg stages per run,
       // ~0.5 s; exchange reuse cannot fire because the two consumers
-      // aggregate differently). Released by the harness's per-query
-      // clearCache (the iterative-operator cache contract).
-      val dw = suffixWindows(docs(s, dir))
-        .groupBy("w").agg(count(lit(1)).as("reps"))
-        .withColumn("r", substring(col("w"), 1, 1))
-        .persist()
+      // aggregate differently). ScopedCache bounds the lifetime to one
+      // live copy per session (re-builds release the previous frame);
+      // the harness's per-query clearCache still releases the last one.
+      val dw = graft.operators.ScopedCache.persist("q136.dw",
+        suffixWindows(docs(s, dir))
+          .groupBy("w").agg(count(lit(1)).as("reps"))
+          .withColumn("r", substring(col("w"), 1, 1)))
       val inRange = Window.partitionBy("r").orderBy("w")
       val local = dw
         .withColumn("lr", dense_rank().over(inRange).cast("long"))
@@ -1023,10 +1024,10 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     // persisted for the same two-consumer reason as q136's dw (the
     // rank windows and the distinct-count offsets both re-expand the
-    // corpus otherwise); caller-released via clearCache
-    val w1 = suffixWindows(d)
-      .withColumn("r", substring(col("w"), 1, prefixChars))
-      .persist()
+    // corpus otherwise); ScopedCache bounds it to one live copy
+    val w1 = graft.operators.ScopedCache.persist(s"suffixRanks.w1.$prefixChars",
+      suffixWindows(d)
+        .withColumn("r", substring(col("w"), 1, prefixChars)))
     val local = w1
       .withColumn("lr",
         dense_rank().over(Window.partitionBy("r").orderBy("w")).cast("long"))
