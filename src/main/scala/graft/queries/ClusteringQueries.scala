@@ -100,12 +100,15 @@ object ClusteringQueries {
       val coarse = coarseCents(s, dir)
       val res = pqResiduals(s, dir, coarse)
         .persist() // feeds the 4 codebook trainings
-      val cents: Seq[Array[Array[Long]]] = (0 until PqM).map { m =>
-        KMeans.fitCentroidsQuantized(
-          res.select(col("vec_id"),
-            expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)").as("qv")),
-          "vec_id", PqKc, PqIters)
-      }
+      // independent per-subspace trainings overlapped from driver
+      // threads (guide §2.6; see q143) — same results, max() wall
+      val cents: Seq[Array[Array[Long]]] =
+        graft.operators.Concurrent.parMap((0 until PqM).toSeq) { m =>
+          KMeans.fitCentroidsQuantized(
+            res.select(col("vec_id"),
+              expr(s"slice(rv, ${m * PqDSub + 1}, $PqDSub)").as("qv")),
+            "vec_id", PqKc, PqIters)
+        }
       res.unpersist()
       (coarse, cents)
     })
@@ -303,12 +306,18 @@ object ClusteringQueries {
     // bit-for-bit: one hash certifies training, encoding, and ADC.
     "q143_pq_adc" -> ((s, dir) => {
       val embT = Tables.load(s, dir, "embeddings")
-      val cents: Seq[Array[Array[Long]]] = (0 until PqM).map { m =>
-        KMeans.fitCentroids(
-          embT.select(col("vec_id"),
-            expr(s"slice(embedding, ${m * PqDSub + 1}, $PqDSub)").as("sub")),
-          "vec_id", "sub", PqKc, PqIters)
-      }
+      // the PqM subspace trainings are independent deterministic Lloyd
+      // chains of small driver-blocking jobs — overlapped from driver
+      // threads (guide §2.6) so the executors back-fill instead of
+      // idling between one chain's collects; results assemble by index,
+      // bit-identical to the sequential loop
+      val cents: Seq[Array[Array[Long]]] =
+        graft.operators.Concurrent.parMap((0 until PqM).toSeq) { m =>
+          KMeans.fitCentroids(
+            embT.select(col("vec_id"),
+              expr(s"slice(embedding, ${m * PqDSub + 1}, $PqDSub)").as("sub")),
+            "vec_id", "sub", PqKc, PqIters)
+        }
       val codes = (0 until PqM).foldLeft(
           embT.select(col("vec_id"), col("embedding"))) { (d, m) =>
         d.withColumn(s"c$m",

@@ -254,6 +254,10 @@ object CorpusQueries {
     // shuffle (TopKPerKey streams k rows/group) → one tiny window over
     // ≤ k·|langs| rows. No stage materializes the corpus twice.
     "q95_curation_pipeline" -> ((s, dir) => {
+      // r15: FanOut.byKey tried and REVERTED here — wall was a wash
+      // (1.12 → 1.14 min-of-3) while total task time inflated 10×; the
+      // chain's cost is spread over its dedup window and TopK stages,
+      // not the scan map segment.
       val t = docs(s, dir)
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")))

@@ -112,7 +112,17 @@ object DedupQueries {
       .select(col("title"), col("rep"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // skew guard: bound every band bucket to MaxBucket members (see
     // Dedup.capBuckets — a boilerplate bucket otherwise joins quadratic)
+    // Width pin before the checkpoint (r15, same rationale as q53's
+    // cg_titles repartition): the band self-join + exact-Jaccard verify
+    // below probes these checkpointed blocks, and the checkpoint freezes
+    // whatever width AQE left — one narrow task carrying all the
+    // array_intersect work. REPARTITION_BY_NUM on the row-unique
+    // (title, band) spreads the probe evenly (broadcast build side needs
+    // no key alignment); q225's band audit re-joins the same view and
+    // inherits the width from the checkpointed layout.
     val bands = Dedup.capBuckets(banded, Seq("band", "bkey"), "rep")
+      .repartition(math.max(2, s.sparkContext.defaultParallelism / 4),
+        col("title"), col("band"))
       .localCheckpoint(false)
     bands.createOrReplaceTempView("mh_bands")
     val pairs = s.sql("""
@@ -346,7 +356,20 @@ object DedupQueries {
             size(TextAnalysis.tokens(col("title"))).cast("string")).as("blk"),
           Dedup.charGrams(lower(trim(col("title")))).as("cg"))
       // skew guard: same MaxBucket bound on the block key (Dedup.capBuckets)
+      // Width pin (r15, guide §2.5 narrow compute-dense stages): the
+      // planner broadcasts the b-side of the block self-join, so the
+      // whole pair-generation + exact char-gram verify fuses into the
+      // stage that reads the capBuckets window output — ~290 KB, which
+      // AQE's byte-based coalescer ran as ONE task carrying ~850 ms of
+      // array_intersect CPU at sf0.1. REPARTITION_BY_NUM (env-derived
+      // width, never coalesced by AQE) on the row-unique rep spreads
+      // the probe side evenly — block-size skew cannot hot-spot a
+      // partition because a broadcast probe needs no key alignment.
+      // (repartition(W, blk) does NOT work here: the window already
+      // hash-partitions by blk, so the optimizer drops the identical
+      // repartition and AQE re-coalesces the window exchange.)
       Dedup.capBuckets(blocked, Seq("blk"), "rep")
+        .repartition(math.max(2, s.sparkContext.defaultParallelism / 4), col("rep"))
         .createOrReplaceTempView("cg_titles")
       s.sql("""
         |WITH tp AS (

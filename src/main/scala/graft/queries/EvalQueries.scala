@@ -449,18 +449,27 @@ object EvalQueries {
     // scalars ride back over the tiny frame as a broadcast (the q237
     // idiom). Exact to the same ~4 M-vector 10⁶·N² bound as q241.
     "q242_label_prf" -> ((s, dir) => {
-      val cells = margins(s, dir)
-        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
-      val labs = cells.select("label")
-        .union(cells.select(col("pred").as("label"))).distinct()
-      val per = labs
-        .join(cells.groupBy("label").agg(sum("n").as("support")),
-          Seq("label"), "left")
-        .join(cells.groupBy(col("pred").as("label"))
-          .agg(sum("n").as("predicted")), Seq("label"), "left")
-        .join(cells.where(col("label") === col("pred"))
-          .select(col("label"), col("n").as("tp")), Seq("label"), "left")
-        .na.fill(0L, Seq("support", "predicted", "tp"))
+      // r15 restructure (guide §2.4 "remove shuffles outright"): the
+      // former shape — |labels|² cells, a distinct label spine, and
+      // THREE left joins back onto it — cost 5 exchanges and a deep
+      // sequential AQE stage chain on tiny frames (pure scheduling
+      // latency at any SF; at scale, 3 extra shuffles). support /
+      // predicted / tp are all per-label SUMS of row-local indicators,
+      // so one unionAll (true-label side + pred side) and ONE groupBy
+      // produce the identical per-label table: the spine is the union
+      // of both sides by construction, absent sides sum to 0 exactly
+      // where the old na.fill(0) applied, and tp counts each diagonal
+      // row once (on the true-label side). Values are bit-identical;
+      // the oracle (unchanged) certifies it.
+      val m = margins(s, dir)
+      val per = m.select(col("label"),
+          lit(1L).as("sup_c"), lit(0L).as("prd_c"),
+          when(col("label") === col("pred"), 1L).otherwise(0L).as("tp_c"))
+        .unionAll(m.select(col("pred").as("label"),
+          lit(0L).as("sup_c"), lit(1L).as("prd_c"), lit(0L).as("tp_c")))
+        .groupBy("label")
+        .agg(sum("sup_c").as("support"), sum("prd_c").as("predicted"),
+          sum("tp_c").as("tp"))
         .select(col("label"), col("support"), col("predicted"), col("tp"),
           when(col("predicted") === 0, -1L)
             .otherwise(expr("(CAST(1000000 AS BIGINT) * tp) div predicted"))

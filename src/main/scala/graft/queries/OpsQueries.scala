@@ -624,6 +624,12 @@ object OpsQueries {
       val os = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // r15: a REPARTITION_BY_NUM(ok) width pin before this groupBy was
+      // tried and REVERTED — it widened the explode stage to 32 tasks
+      // but quadrupled total task time (13.6 → 68.5 s at sf0.1; the
+      // repartition displaced the map-side partial collect_set, so raw
+      // rows crossed the exchange). The AQE-chosen 4-task final stage
+      // stands.
       val pair = os.groupBy("ok")
         .agg(sort_array(collect_set(col("sk"))).as("sks"))
         .select(explode(expr(

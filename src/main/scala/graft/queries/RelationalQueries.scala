@@ -831,8 +831,15 @@ object RelationalQueries {
         col("p_partkey").as("key_a"), col("p_name").as("name_a"))
       val bSide = capped.select(col("bk"),
         col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      // width pin (r15): the salted exchanges are byte-light but the
+      // banded-DP work is quadratic per block — AQE's byte-based
+      // coalescer was folding the 8 salts back into 1–2 tasks
+      // (measured: two 1-task ~350 ms stages at sf0.1; at sf1 the
+      // same coalescing capped the join at a few tasks). The pin keeps
+      // the join co-partitioned at the env-derived width.
       graft.operators.SkewJoin
-        .saltedInnerJoin(aSide, bSide, "bk", col("key_a"), salts = 8)
+        .saltedInnerJoin(aSide, bSide, "bk", col("key_a"), salts = 8,
+          width = math.max(2, s.sparkContext.defaultParallelism))
         .where(col("key_a") < col("key_b"))
         .select(col("key_a"), col("key_b"),
           expr("levenshtein(name_a, name_b, 5)").as("dist"))

@@ -174,8 +174,14 @@ object TextQueries {
         .orderBy("decile")
     }),
 
+    // FanOut (r15): tokenize + 4 stopword scans are the per-row cost;
+    // on the single-row-group fixtures this stage ran serially AND
+    // twice (the orderBy's range sampling re-evaluates the map chain
+    // when no exchange sits between scan and sort). The fan-out
+    // parallelizes the map and materializes it once into shuffle files
+    // that both the sampling and sort passes read.
     "q40_lang_id" -> ((s, dir) =>
-      docs(s, dir)
+      graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
         .withColumn("toks", tokens(col("text")))
         .select(
           col("doc_id"), col("lang"),
