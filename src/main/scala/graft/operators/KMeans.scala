@@ -123,7 +123,16 @@ object KMeans {
     val asg = transform(df, idCol, embCol, cents)
       .select(col(idCol), col("cluster").cast("long").as("cluster"))
     val q = df.select(col(idCol), quantize(col(embCol)).as("qv"))
+    // Width pin (r15, the q53 pattern): the cluster-blocked self-join +
+    // exact sqDist verify is compute-dense but byte-light — the planner
+    // broadcasts one side and AQE coalesced the probe side (the
+    // capBuckets window output) to ONE task (~300 ms at sf0.1 inside
+    // q162). REPARTITION_BY_NUM on the row-unique id spreads the probe
+    // evenly at an env-derived width; results are join-key-invariant.
     val m = Dedup.capBuckets(asg.join(q, Seq(idCol)), Seq("cluster"), idCol, cap)
+      .repartition(
+        math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4),
+        col(idCol))
     val nbr = m.select(col("cluster"), col(idCol).as("va"), col("qv").as("qa"))
       .join(m.select(col("cluster"), col(idCol).as("vb"), col("qv").as("qb")),
         Seq("cluster"))

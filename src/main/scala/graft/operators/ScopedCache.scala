@@ -27,7 +27,14 @@ object ScopedCache {
     val s = df.sparkSession
     val p = df.persist()
     val prev = last.put((s, tag), p)
-    if (prev != null && !(prev eq p))
+    // Unpersist ONLY a logically different predecessor: CacheManager
+    // keys entries by PLAN equality, so a rebuild of the same query
+    // yields the same entry — unpersisting "prev" there would evict
+    // the entry just persisted (observed: q136's shared expansion ran
+    // twice again). sameResult ⇒ shared entry ⇒ nothing to release;
+    // different plan (new fixture/stamp) ⇒ release the stale copy.
+    if (prev != null && !(prev eq p) &&
+        !prev.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
       try prev.unpersist(false)
       catch { case scala.util.control.NonFatal(_) => () }
     val it = last.keySet().iterator()

@@ -415,7 +415,16 @@ object ClusteringQueries {
     // point prunes to its probed lists physically.
     "q240_ivf_nprobe_sweep" -> ((s, dir) => {
       val (coarse, cents) = ivfPqModel(s, dir)
-      val codes = pqResCodes(s, dir, coarse, cents).drop("rv")
+      // ScopedCache (r15): the scaladoc above already states the
+      // production shape — "the codes table is materialized once" —
+      // but each sweep point's candidate join AND its n_candidates
+      // count were re-running the encode projection (quantize +
+      // 5 graft_nearest passes over the corpus; ~6 evaluations per
+      // invocation). One within-query persist makes the code match
+      // the claim; the frame is corpus-linear and 64× narrower than
+      // the raw vectors.
+      val codes = graft.operators.ScopedCache.persist("q240.codes",
+        pqResCodes(s, dir, coarse, cents).drop("rv"))
       // exact ground truth: per probe, top-PqTopK by exact int64
       // squared L2 over the full corpus (q161's exact chain)
       val q = Tables.load(s, dir, "embeddings")

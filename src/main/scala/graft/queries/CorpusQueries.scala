@@ -303,6 +303,10 @@ object CorpusQueries {
     // #sources²-bounded.
     "q105_source_overlap" -> ((s, dir) => {
       val d = graft.operators.FanOut.byKey(docs(s, dir), col("doc_id"))
+      // r15: persisting the distinct'd frames (to stop the self-joins'
+      // broadcast sides re-running the shingle expansion) was tried and
+      // REVERTED — 1.38 → 1.63 min-of-3; the cache-build barrier cost
+      // more than the duplicated expansion at this scale.
       d.select(col("source"), md5(col("text")).as("h"))
         .distinct().createOrReplaceTempView("so_texts")
       d.select(col("source"),
@@ -565,6 +569,9 @@ object CorpusQueries {
       val ng = g.where(col("doc_id") % 13 =!= 0)
         .join(broadcast(bg), Seq("gram"))
         .groupBy("doc_id").agg(count(lit(1)).as("nsg"))
+      // r15: FanOut on this embeddings scan was tried and REVERTED
+      // (1.09 → 1.32 min-of-3 — the benchmark-slice collect pays the
+      // extra shuffle; same verdict as the r14 light-kernel reverts)
       val q2 = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))
       val bRows = q2.where(col("vec_id") % 13 === 0)

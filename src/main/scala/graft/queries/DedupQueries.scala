@@ -811,7 +811,12 @@ object DedupQueries {
     // pure per-doc array algebra inside one codegen'd projection — NO
     // shuffle until the single hash-partition on chunk_hash that counts
     // reps; output linear in corpus tokens / expected-chunk-size.
-    "q138_cdc_chunks" -> ((s, dir) => cdcChunks(Tables.load(s, dir, "documents"))))
+    // FanOut (r15): the per-doc rolling-hash boundary scan + chunk
+    // assembly is the per-row cost (measured 650 ms on 2 tasks at
+    // sf0.1); the chunk-hash window and final orderBy re-key downstream
+    "q138_cdc_chunks" -> ((s, dir) => cdcChunks(
+      graft.operators.FanOut.byKey(Tables.load(s, dir, "documents"),
+        col("doc_id")))))
 
   /** q138's body over any (doc_id, text, …) frame — ScaleSpec pins the
     * boundary-resynchronization property (an inserted token perturbs

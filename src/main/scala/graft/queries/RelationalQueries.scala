@@ -253,8 +253,10 @@ object RelationalQueries {
                  col("o_orderpriority").asc_nulls_first)),
 
     // JSON extraction from the events.props payload column.
+    // FanOut (r15): per-row JSON parsing is the cost (measured 500 ms
+    // on 4 tasks at sf0.1); the orderBy re-establishes the total order
     "q32_json_extract" -> ((s, dir) =>
-      t(s, dir, "events").select(
+      graft.operators.FanOut.byKey(t(s, dir, "events"), col("event_id")).select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
           (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"))

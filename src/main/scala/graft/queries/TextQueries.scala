@@ -830,6 +830,8 @@ object TextQueries {
           .groupBy("w").agg(count(lit(1)).as("reps"))
           .withColumn("r", substring(col("w"), 1, 1)))
       val inRange = Window.partitionBy("r").orderBy("w")
+      // (r15: a REPARTITION_BY_NUM(r) width pin on this window pass was
+      // tried and REVERTED — min-of-3 wash, the pass is sort-bound)
       val local = dw
         .withColumn("lr", dense_rank().over(inRange).cast("long"))
         .withColumn("w_prev_local", lag("w", 1).over(inRange))
