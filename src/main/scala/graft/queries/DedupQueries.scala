@@ -313,15 +313,36 @@ object DedupQueries {
     // smaller band join).
     "q51_minhash_lsh" -> ((s, dir) => {
       titlePairs(s, dir).createOrReplaceTempView("mh_sel")
+      // r15 restructure (guide §2.4): the old shape ran a
+      // GROUP BY (least, greatest) + max(jaccard) over the FULL
+      // quadratic doc-pair expansion — a second output-sized shuffle
+      // before the declared ORDER BY. But every doc has exactly ONE
+      // title (mh_members is keyed by doc), so an unordered doc pair
+      // is produced exactly once: by its unique unordered title pair
+      // when the titles differ, and by the title's self-pair when they
+      // match — where (d1, d2)/(d2, d1) both appear and the i < j
+      // predicate keeps one. The two branches are disjoint and
+      // duplicate-free, so the aggregation was a no-op dedup: a UNION
+      // ALL of a plain projection (cross) and an i < j expansion
+      // (self) is value-identical — the oracle (unchanged, still the
+      // GROUP BY form) certifies it via the row hash. Removes the
+      // biggest non-output shuffle of the engine's largest sf1 query.
       s.sql("""
-        |SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
-        |       greatest(ma.doc_id, mb.doc_id) AS doc_b,
-        |       max(jaccard) AS jaccard
-        |FROM mh_sel
-        |JOIN mh_members ma ON ma.title = mh_sel.title_a
-        |JOIN mh_members mb ON mb.title = mh_sel.title_b
-        |WHERE ma.doc_id <> mb.doc_id
-        |GROUP BY least(ma.doc_id, mb.doc_id), greatest(ma.doc_id, mb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+        |         greatest(ma.doc_id, mb.doc_id) AS doc_b,
+        |         jaccard
+        |  FROM mh_sel
+        |  JOIN mh_members ma ON ma.title = mh_sel.title_a
+        |  JOIN mh_members mb ON mb.title = mh_sel.title_b
+        |  WHERE mh_sel.title_a <> mh_sel.title_b
+        |  UNION ALL
+        |  SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b, jaccard
+        |  FROM mh_sel
+        |  JOIN mh_members ma ON ma.title = mh_sel.title_a
+        |  JOIN mh_members mb ON mb.title = mh_sel.title_b
+        |  WHERE mh_sel.title_a = mh_sel.title_b
+        |    AND ma.doc_id < mb.doc_id)
         |ORDER BY doc_a, doc_b""".stripMargin)
     }),
 
